@@ -1,0 +1,257 @@
+"""Distributed inverted-index build: the Spark-first replacement for the
+reference's (missing) Indexer job, whose contract is fixed by its consumers
+(SURVEY.md §2.3; searchEngine/src/cis5550/search/Searcher.java:44-57,78-101).
+
+Pipeline (all lazy DataFrame ops; shuffles marked):
+
+  corpus(repo,path,commit,lang,content)
+    ├── stage "docs":  doc_id + content_sha256 (built-in sha2/conv — JVM side)
+    │                  + doc_len via vectorized tokenizer     [no shuffle]
+    ├── stage "postings":
+    │     mapInPandas: tokenize + per-doc term counts         [no shuffle]
+    │     → (term, doc_id, tf) with range-salt = doc_id >> shift
+    │     → repartition(P, term, salt)                        [SHUFFLE 1, salted]
+    │     → mapInPandas: per-(term,salt) sorted partial runs (raw int64/int32)
+    │     → repartition(P2, term) + sortWithinPartitions(term, salt)
+    │                                                         [SHUFFLE 2, small]
+    │     → mapInPandas: concat salt-ordered runs (already globally sorted —
+    │       salts are doc_id RANGE buckets, so no k-way merge needed),
+    │       delta+varint encode, block maxes, df
+    └── stage "stats": n_docs, total_len, avgdl (single aggregate)
+
+Skew story (north_rule: explicit salted repartition): a hot term ("def",
+"return" — the code-stopword analog) would otherwise send its entire posting
+list through one reducer. SHUFFLE 1 keys on (term, salt) so a hot term fans
+out over `n_salts` reducers, each producing a bounded sorted run; SHUFFLE 2
+moves only the compressed partial runs (tiny vs raw postings). Salt =
+high bits of doc_id (hash-uniform), so runs per term are disjoint RANGES —
+merge is pure concatenation, O(n), order-preserving.
+
+At 10^12 files: SHUFFLE 1 volume ~ total postings — unavoidable (it IS the
+index); partial runs keep per-task state bounded; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .checkpoint import BuildManifest
+from .codec import block_maxes, encode_postings
+from .tokenizer import tokenize_series
+
+DEFAULT_SALT_BITS = 3  # 8 salt buckets
+
+
+# ---------------------------------------------------------------- doc identity
+
+def with_doc_identity(corpus: DataFrame) -> DataFrame:
+    """Add doc_id + content_sha256 with JVM built-ins (no Python).
+
+    doc_id = first 8 bytes of sha256(repo||'/'||path||'@'||commit), top bit
+    cleared — bit-exact with engine.corpus.doc_id_of (tests enforce).
+    """
+    out = corpus
+    if "content_sha256" not in out.columns:
+        out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    if "doc_id" not in out.columns:
+        key_hex = F.sha2(
+            F.concat(F.col("repo"), F.lit("/"), F.col("path"),
+                     F.lit("@"), F.col("commit")), 256)
+        hi = F.conv(F.substring(key_hex, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(key_hex, 9, 8), 16, 10).cast("long")
+        out = out.withColumn(
+            "doc_id",
+            F.shiftleft(hi.bitwiseAND(F.lit(0x7FFFFFFF)), 32)
+            .bitwiseOR(lo))
+    return out
+
+
+# ------------------------------------------------------------ pandas UDF bodies
+
+def _doc_len_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        toks = tokenize_series(pdf["content"])
+        out = pdf.drop(columns=["content"]).copy()
+        out["doc_len"] = toks.map(len).astype("int64")
+        yield out
+
+
+def _term_doc_tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, content) batches -> (term, doc_id, tf) via vectorized
+    explode + C-level groupby (no per-row Python)."""
+    for pdf in batches:
+        toks = tokenize_series(pdf["content"])
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            continue
+        flat_terms = np.concatenate([t if t else [] for t in toks]) \
+            if len(toks) else np.empty(0, object)
+        flat_docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+        grouped = (
+            pd.DataFrame({"term": flat_terms, "doc_id": flat_docs})
+            .groupby(["term", "doc_id"], sort=False).size()
+            .rename("tf").reset_index()
+        )
+        grouped["tf"] = grouped["tf"].astype("int32")
+        yield grouped
+
+
+def _encode_partial_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition-level: (term, salt, doc_id, tf) -> one row per (term, salt)
+    holding the sorted run as raw little-endian bytes (cheap to concat later;
+    varint encoding happens once, at the final merge)."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        order = np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")
+        ids = g["doc_id"].to_numpy(np.int64)[order]
+        tfs = g["tf"].to_numpy(np.int32)[order]
+        rows.append((term, int(salt), len(ids),
+                     ids.tobytes(), tfs.tobytes()))
+    yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
+
+
+def _merge_term_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition-level: salt-partial runs (sorted by term, salt) -> final
+    index rows. Salt buckets are doc_id ranges, so concatenation in salt
+    order is already globally sorted per term."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for term, g in pdf.groupby("term", sort=False):
+        g = g.sort_values("salt", kind="stable")
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        tfs = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
+        blob = encode_postings(ids.astype(np.uint64), tfs.astype(np.uint64))
+        last_ids, max_tfs = block_maxes(ids, tfs.astype(np.int64))
+        rows.append((term, len(ids), int(tfs.sum()), int(tfs.max()),
+                     blob, last_ids.tolist(), max_tfs.tolist()))
+    yield pd.DataFrame(rows, columns=[
+        "term", "df", "total_tf", "max_tf", "postings",
+        "block_last_ids", "block_max_tfs"])
+
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("total_tf", T.LongType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("postings", T.BinaryType(), False),
+    T.StructField("block_last_ids", T.ArrayType(T.LongType()), False),
+    T.StructField("block_max_tfs", T.ArrayType(T.IntegerType()), False),
+])
+
+
+# ----------------------------------------------------------------- build stages
+
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
+                n_salts: int | None = None, partitions: int | None = None,
+                resume: bool = True) -> BuildManifest:
+    """Run (or resume) the full build into out_dir/{docs,index,stats,_lineage}."""
+    man = BuildManifest(out_dir)
+    if not resume:
+        man.state = {"snapshots": [], "completed": {}}
+    sc_parallelism = spark.sparkContext.defaultParallelism
+    partitions = partitions or max(8, sc_parallelism)
+    salt_bits = DEFAULT_SALT_BITS if n_salts is None \
+        else max(1, int(n_salts).bit_length() - 1)
+    shift = 63 - salt_bits
+
+    corpus = with_doc_identity(corpus)
+    lineage_parts = []
+
+    # ---- stage: docs (forward index / doc stats; reference `urls` table) ----
+    if not man.is_complete("docs"):
+        t0 = man.begin("docs")
+        docs_schema = T.StructType(
+            [f for f in corpus.schema.fields if f.name != "content"]
+            + [T.StructField("doc_len", T.LongType(), False)])
+        docs = corpus.mapInPandas(_doc_len_batches, schema=docs_schema)
+        docs.write.mode("overwrite").parquet(man.stage_path("docs"))
+        n = spark.read.parquet(man.stage_path("docs")).count()
+        man.commit("docs", t0, n)
+    docs = spark.read.parquet(man.stage_path("docs"))
+
+    # ---- stage: stats (N, avgdl — broadcast-side scalars) ----
+    if not man.is_complete("stats"):
+        t0 = man.begin("stats")
+        stats = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").alias("total_len"))
+        stats.write.mode("overwrite").parquet(man.stage_path("stats"))
+        man.commit("stats", t0, 1)
+
+    # ---- stage: index (salted two-phase posting build) ----
+    if not man.is_complete("index"):
+        t0 = man.begin("index")
+        td = corpus.select("doc_id", "content").mapInPandas(
+            _term_doc_tf_batches,
+            schema="term string, doc_id long, tf int")
+        td = td.withColumn("salt", F.shiftright("doc_id", shift).cast("int"))
+        partials = (
+            td.repartition(partitions, "term", "salt")
+            .mapInPandas(_encode_partial_runs,
+                         schema="term string, salt int, n long, "
+                                "ids binary, tfs binary")
+        )
+        index = (
+            partials.repartition(partitions, "term")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_merge_term_runs, schema=INDEX_SCHEMA)
+        )
+        index.write.mode("overwrite").parquet(man.stage_path("index"))
+        idx = spark.read.parquet(man.stage_path("index"))
+        n_terms = idx.count()
+        agg = idx.agg(F.sum("df").alias("postings"),
+                      F.sum(F.length("postings")).alias("bytes")).first()
+        man.commit("index", t0, n_terms, {
+            "postings_emitted": int(agg["postings"]),
+            "bytes_compressed": int(agg["bytes"]),
+            "n_salts": 1 << salt_bits,
+            "partitions": partitions,
+        })
+
+    # ---- stage: lineage (per-partition metrics rows; north-rule field set) ----
+    if not man.is_complete("_lineage"):
+        t0 = man.begin("_lineage")
+        docs_lin = (
+            docs.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("docs_processed"),
+                 F.sum("doc_len").alias("postings_emitted"),
+                 F.lit(0).cast("long").alias("bytes_compressed"))
+            .withColumn("stage", F.lit("docs")))
+        idx_df = spark.read.parquet(man.stage_path("index"))
+        idx_lin = (
+            idx_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("docs_processed"),
+                 F.sum("df").alias("postings_emitted"),
+                 F.sum(F.length("postings")).alias("bytes_compressed"))
+            .withColumn("stage", F.lit("index")))
+        lineage = docs_lin.unionByName(idx_lin).select(
+            "stage", "partition_id", "docs_processed",
+            "postings_emitted", "bytes_compressed")
+        lineage.write.mode("overwrite").parquet(man.stage_path("_lineage"))
+        man.commit("_lineage", t0, lineage.count())
+
+    return man
+
+
+def load_stats(spark: SparkSession, out_dir: str) -> tuple[int, float]:
+    row = spark.read.parquet(os.path.join(out_dir, "stats")).first()
+    n_docs = int(row["n_docs"])
+    avgdl = (int(row["total_len"]) / n_docs) if n_docs else 0.0
+    return n_docs, avgdl

@@ -1,0 +1,223 @@
+"""BM25 top-k query engine over the built index.
+
+Replaces the reference Searcher (searchEngine/src/cis5550/search/Searcher.java):
+where the reference re-scans the whole `urls` table per query (:44-57) and
+point-looks-up posting strings per term (:78-101), we load doc-length stats
+once (broadcast-style driver arrays; at cluster scale these are the
+"broadcast lookup tables" of BASELINE.json) and fetch only the queried terms'
+posting blobs via Parquet predicate pushdown on `term`.
+
+Scoring: BM25 (k1=1.2, b=0.75) per BASELINE.json north_rule, conjunctive
+(AND) and ranked (OR) modes, tie-break score DESC then doc_id ASC.
+
+Rank-identity discipline (SURVEY.md §7.4): scores accumulate per doc over
+query terms in SORTED term order, float64 throughout, idf via math.log
+(scalar libm — identical to the oracle); NumPy is used only for elementwise
+arithmetic (+,*,/) which is IEEE-deterministic. The result is bitwise equal
+to engine.oracle.Bm25Oracle — tests assert exact float equality.
+
+Pruning: score-safe block-max pruning (a block-max WAND/MaxScore variant):
+per-term upper bounds from (max_tf per block, min doc_len); candidates whose
+summed block upper bounds fall below a θ lower-bounded by seeding the
+highest-impact term are never scored. Tests assert identical top-k vs the
+exhaustive path on every fixture.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .codec import decode_postings
+from .index_build import load_stats
+from .tokenizer import query_terms
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    doc_ids: np.ndarray  # int64 asc
+    tfs: np.ndarray      # int64
+    block_last_ids: np.ndarray
+    block_max_tfs: np.ndarray
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_docs, self.avgdl = load_stats(spark, index_dir)
+        self.index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+        docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
+                .select("doc_id", "doc_len").orderBy("doc_id").toPandas())
+        self._doc_ids = docs["doc_id"].to_numpy(np.int64)
+        self._doc_lens = docs["doc_len"].to_numpy(np.int64)
+        self._min_dl = int(self._doc_lens.min()) if len(docs) else 1
+        self._term_cache: dict[str, TermPostings | None] = {}
+
+    # ------------------------------------------------------------- postings IO
+
+    def _fetch(self, terms: list[str]) -> dict[str, TermPostings]:
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = (self.index_df
+                    .where(F.col("term").isin(missing))  # parquet pushdown
+                    .collect())
+            got = {}
+            for r in rows:
+                ids, tfs = decode_postings(bytes(r["postings"]))
+                got[r["term"]] = TermPostings(
+                    r["term"], int(r["df"]), ids, tfs,
+                    np.array(r["block_last_ids"], dtype=np.int64),
+                    np.array(r["block_max_tfs"], dtype=np.int64))
+            for t in missing:
+                self._term_cache[t] = got.get(t)
+        return {t: tp for t in terms
+                if (tp := self._term_cache.get(t)) is not None}
+
+    # ------------------------------------------------------------ BM25 scoring
+
+    def _idf(self, df: int) -> float:
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def _doc_len_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._doc_ids, doc_ids)
+        return self._doc_lens[pos]
+
+    def _tfw(self, tf, dl):
+        # mirror of Bm25Oracle._tf_weight, elementwise float64
+        return (tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + B * (dl / self.avgdl)))
+
+    def _score(self, terms: list[str], postings: dict[str, TermPostings],
+               candidates: np.ndarray) -> np.ndarray:
+        """Exact BM25 for sorted candidate doc_ids; sorted-term sum order."""
+        dl = self._doc_len_of(candidates).astype(np.float64)
+        scores = np.zeros(candidates.size, dtype=np.float64)
+        for t in terms:  # terms pre-sorted — fixed accumulation order
+            tp = postings.get(t)
+            if tp is None:
+                continue
+            pos = np.searchsorted(tp.doc_ids, candidates)
+            pos_c = np.minimum(pos, tp.doc_ids.size - 1)
+            mask = (pos < tp.doc_ids.size) & (tp.doc_ids[pos_c] == candidates)
+            if not mask.any():
+                continue
+            tf = tp.tfs[pos_c[mask]].astype(np.float64)
+            idf = self._idf(tp.df)
+            scores[mask] += idf * self._tfw(tf, dl[mask])
+        return scores
+
+    @staticmethod
+    def _topk(candidates: np.ndarray, scores: np.ndarray,
+              k: int) -> list[tuple[int, int, float]]:
+        order = np.lexsort((candidates, -scores))[:k]
+        return [(i + 1, int(candidates[j]), float(scores[j]))
+                for i, j in enumerate(order)]
+
+    # --------------------------------------------------------------- search API
+
+    def search(self, query: str, k: int = 10, mode: str = "ranked",
+               prune: bool = True) -> list[tuple[int, int, float]]:
+        """Return [(rank, doc_id, score)]; rank-identical to Bm25Oracle."""
+        terms = query_terms(query)
+        if not terms:
+            return []
+        postings = self._fetch(terms)
+        if mode == "conjunctive":
+            if len(postings) < len(terms):
+                return []  # some term absent from corpus -> empty AND
+            cands = None
+            for tp in sorted(postings.values(), key=lambda x: x.df):
+                ids = tp.doc_ids
+                cands = ids if cands is None else np.intersect1d(
+                    cands, ids, assume_unique=True)
+                if cands.size == 0:
+                    return []
+            scores = self._score(terms, postings, cands)
+            return self._topk(cands, scores, k)
+        if mode != "ranked":
+            raise ValueError(f"unknown mode {mode!r}")
+        if not postings:
+            return []
+        if prune:
+            return self._ranked_pruned(terms, postings, k)
+        cands = self._union(postings)
+        return self._topk(cands, self._score(terms, postings, cands), k)
+
+    @staticmethod
+    def _union(postings: dict[str, TermPostings]) -> np.ndarray:
+        arrays = [tp.doc_ids for tp in postings.values()]
+        return arrays[0] if len(arrays) == 1 else np.unique(
+            np.concatenate(arrays))
+
+    # ------------------------------------------------- block-max pruned ranked
+
+    def _term_ub(self, tp: TermPostings) -> float:
+        return self._idf(tp.df) * float(
+            self._tfw(np.float64(tp.tfs.max()), np.float64(self._min_dl)))
+
+    def _ranked_pruned(self, terms: list[str],
+                       postings: dict[str, TermPostings],
+                       k: int) -> list[tuple[int, int, float]]:
+        # θ seed: exactly score the highest-upper-bound term's postings
+        seed_term = max(postings.values(), key=self._term_ub)
+        seed = seed_term.doc_ids
+        seed_scores = self._score(terms, postings, seed)
+        if seed.size >= k:
+            theta = np.partition(seed_scores, seed.size - k)[seed.size - k]
+        else:
+            theta = -np.inf
+        union = self._union(postings)
+        rest = union[np.isin(union, seed, assume_unique=True, invert=True)]
+        if rest.size:
+            # block-max upper bound per candidate, per term
+            ub = np.zeros(rest.size, dtype=np.float64)
+            for t in terms:
+                tp = postings.get(t)
+                if tp is None:
+                    continue
+                j = np.searchsorted(tp.block_last_ids, rest, side="left")
+                inside = j < tp.block_last_ids.size
+                jj = np.minimum(j, tp.block_last_ids.size - 1)
+                btf = tp.block_max_tfs[jj].astype(np.float64)
+                ub[inside] += (self._idf(tp.df)
+                               * self._tfw(btf, np.float64(self._min_dl)))[inside]
+            survivors = rest[ub >= theta]
+            surv_scores = self._score(terms, postings, survivors)
+        else:
+            survivors = rest
+            surv_scores = np.empty(0, dtype=np.float64)
+        all_c = np.concatenate([seed, survivors])
+        all_s = np.concatenate([seed_scores, surv_scores])
+        return self._topk(all_c, all_s, k)
+
+    # ------------------------------------------- reference TF-IDF (secondary)
+
+    def search_tfidf_reference(self, query: str, k: int = 300,
+                               threshold: float = 0.3
+                               ) -> list[tuple[int, int, float]]:
+        """The reference's actual scoring (Searcher.java:108,113,139-159,196):
+        Σ (1+log10 tf)·log10(N/df), OR semantics, score>threshold, top-k."""
+        terms = query_terms(query)
+        postings = self._fetch(terms)
+        if not postings:
+            return []
+        acc: dict[int, float] = {}
+        for t in terms:  # sorted order
+            tp = postings.get(t)
+            if tp is None:
+                continue
+            idf = math.log10(self.n_docs / tp.df)
+            ws = (1.0 + np.log10(tp.tfs.astype(np.float64))) * idf
+            for d, w in zip(tp.doc_ids.tolist(), ws.tolist()):
+                acc[d] = acc.get(d, 0.0) + w
+        scored = [(d, s) for d, s in acc.items() if s > threshold]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]

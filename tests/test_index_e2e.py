@@ -1,0 +1,74 @@
+"""End-to-end rank-identity gate: Spark-built index + SearchEngine must equal
+the pure-Python oracle fixtures EXACTLY — doc_ids and float64 BM25 scores
+(BASELINE.json: "rank-identical top-k (docIDs and BM25 scores)")."""
+
+import numpy as np
+import pytest
+
+from engine.query import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    out, _ = built_index
+    return SearchEngine(spark, out)
+
+
+def test_stats_match_oracle(engine, fixture_corpus_pdf):
+    from engine.oracle import Bm25Oracle
+    oracle = Bm25Oracle(dict(zip(fixture_corpus_pdf["doc_id"],
+                                 fixture_corpus_pdf["content"])))
+    assert engine.n_docs == oracle.n_docs
+    assert engine.avgdl == oracle.avgdl  # exact: both total/n in float64
+
+
+def test_rank_identical_all_fixtures(engine, golden):
+    queries, by_q = golden
+    checked = 0
+    for q in queries:
+        got = engine.search(q["query"], k=q["k"], mode=q["mode"])
+        want = by_q.get(q["query_id"], [])
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], \
+            f"doc/rank mismatch for {q}"
+        got_scores = np.array([s for _, _, s in got])
+        want_scores = np.array([s for _, _, s in want])
+        assert got_scores.tolist() == want_scores.tolist(), \
+            f"score mismatch for {q}"  # bitwise float64 equality
+        checked += 1
+    assert checked == len(queries)
+
+
+def test_pruned_equals_exhaustive(engine, golden):
+    """Block-max pruning must be score-safe: identical top-k either way."""
+    queries, _ = golden
+    for q in queries:
+        if q["mode"] != "ranked":
+            continue
+        pruned = engine.search(q["query"], k=q["k"], mode="ranked", prune=True)
+        full = engine.search(q["query"], k=q["k"], mode="ranked", prune=False)
+        assert pruned == full, f"pruning changed top-k for {q}"
+
+
+def test_conjunctive_subset_of_ranked(engine):
+    conj = engine.search("def return", k=1000, mode="conjunctive")
+    ranked = engine.search("def return", k=100000, mode="ranked")
+    conj_docs = {d for _, d, _ in conj}
+    ranked_docs = {d for _, d, _ in ranked}
+    assert conj_docs <= ranked_docs
+    # conjunctive docs score identically in both modes
+    rscore = {d: s for _, d, s in ranked}
+    for _, d, s in conj:
+        assert rscore[d] == s
+
+
+def test_tfidf_reference_scorer(engine, fixture_corpus_pdf):
+    """Secondary scorer reproduces the reference TF-IDF semantics."""
+    from engine.oracle import tfidf_reference_scores
+    corpus = dict(zip(fixture_corpus_pdf["doc_id"],
+                      fixture_corpus_pdf["content"]))
+    for query in ["identifier_40", "identifier_100 identifier_101"]:
+        want = tfidf_reference_scores(corpus, query, threshold=0.0, k=300)
+        got = engine.search_tfidf_reference(query, k=300, threshold=0.0)
+        assert [(d) for _, d, _ in got] == [(d) for _, d, _ in want]
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
