@@ -5,17 +5,26 @@ reference's (missing) Indexer job, whose contract is fixed by its consumers
 Pipeline (all lazy DataFrame ops; shuffles marked):
 
   corpus(repo,path,commit,lang,content)
-    ├── stage "docs":  doc_id + content_sha256 (built-in sha2/conv — JVM side)
-    │                  + doc_len via vectorized tokenizer     [no shuffle]
+    ├── stage "corpus": doc_id + content_sha256 (JVM-side sha2/conv) and
+    │     DENSE ORDINALS. Postings that store raw 63-bit hash doc_ids are
+    │     incompressible (avg delta ~2^63/df → 8-9 varint bytes); dense
+    │     ordinals 0..N-1 assigned in doc_id order give avg delta N/df →
+    │     1-2 bytes. Assignment is a deterministic bucket-offset scheme,
+    │     NOT a global sort: bucket = high bits of the hash-uniform doc_id
+    │     (fixed ranges, balanced), per-bucket counts -> cumulative offsets
+    │     (tiny driver array), ordinal = offset[bucket] + rank within bucket.
+    │     Ordinals are monotone in doc_id, so doc_id order == ordinal order
+    │     everywhere downstream.                       [SHUFFLE 0 on bucket]
+    ├── stage "docs":  forward index (no content) + doc_len  [no shuffle]
     ├── stage "postings":
     │     mapInPandas: tokenize + per-doc term counts         [no shuffle]
-    │     → (term, doc_id, tf) with range-salt = doc_id >> shift
+    │     → (term, ordinal, tf), range-salt = ordinal*S//N
     │     → repartition(P, term, salt)                        [SHUFFLE 1, salted]
-    │     → mapInPandas: per-(term,salt) sorted partial runs (raw int64/int32)
-    │     → repartition(P2, term) + sortWithinPartitions(term, salt)
-    │                                                         [SHUFFLE 2, small]
-    │     → mapInPandas: concat salt-ordered runs (already globally sorted —
-    │       salts are doc_id RANGE buckets, so no k-way merge needed),
+    │     → mapInPandas: per-(term,salt) sorted partial runs (raw bytes)
+    │     → repartition(P, term) + sortWithinPartitions       [SHUFFLE 2, small:
+    │                                                moves compressed runs only]
+    │     → mapInPandas: concat salt-ordered runs (salts are ordinal RANGES,
+    │       so concatenation is already globally sorted — no k-way merge),
     │       delta+varint encode, block maxes, df
     └── stage "stats": n_docs, total_len, avgdl (single aggregate)
 
@@ -23,11 +32,8 @@ Skew story (north_rule: explicit salted repartition): a hot term ("def",
 "return" — the code-stopword analog) would otherwise send its entire posting
 list through one reducer. SHUFFLE 1 keys on (term, salt) so a hot term fans
 out over `n_salts` reducers, each producing a bounded sorted run; SHUFFLE 2
-moves only the compressed partial runs (tiny vs raw postings). Salt =
-high bits of doc_id (hash-uniform), so runs per term are disjoint RANGES —
-merge is pure concatenation, O(n), order-preserving.
-
-At 10^12 files: SHUFFLE 1 volume ~ total postings — unavoidable (it IS the
+moves only packed partial runs (~10 bytes/posting) instead of shuffled rows.
+At 10^12 files, SHUFFLE 1 volume ~ total postings — unavoidable (it IS the
 index); partial runs keep per-task state bounded; AQE handles residual skew.
 """
 
@@ -46,7 +52,8 @@ from .checkpoint import BuildManifest
 from .codec import block_maxes, encode_postings
 from .tokenizer import tokenize_series
 
-DEFAULT_SALT_BITS = 3  # 8 salt buckets
+DEFAULT_N_SALTS = 8
+ORDINAL_BUCKET_BITS = 6  # 64 fixed doc_id range buckets for ordinal assignment
 
 
 # ---------------------------------------------------------------- doc identity
@@ -73,6 +80,24 @@ def with_doc_identity(corpus: DataFrame) -> DataFrame:
     return out
 
 
+def _assign_ordinals_factory(offsets: dict[int, int]):
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        out = []
+        for bucket, g in pdf.groupby("bucket", sort=True):
+            ids = g["doc_id"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            g = g.iloc[order].copy()
+            g["ordinal"] = offsets[int(bucket)] + np.arange(len(g),
+                                                            dtype=np.int64)
+            out.append(g)
+        yield pd.concat(out, ignore_index=True).drop(columns=["bucket"])
+    return assign
+
+
 # ------------------------------------------------------------ pandas UDF bodies
 
 def _doc_len_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,19 +109,18 @@ def _doc_len_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _term_doc_tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id, content) batches -> (term, doc_id, tf) via vectorized
+    """(ordinal, content) batches -> (term, ordinal, tf) via vectorized
     explode + C-level groupby (no per-row Python)."""
     for pdf in batches:
         toks = tokenize_series(pdf["content"])
         lens = toks.map(len).to_numpy(dtype=np.int64)
         if lens.sum() == 0:
             continue
-        flat_terms = np.concatenate([t if t else [] for t in toks]) \
-            if len(toks) else np.empty(0, object)
-        flat_docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+        flat_terms = np.concatenate([t if t else [] for t in toks])
+        flat_docs = np.repeat(pdf["ordinal"].to_numpy(np.int64), lens)
         grouped = (
-            pd.DataFrame({"term": flat_terms, "doc_id": flat_docs})
-            .groupby(["term", "doc_id"], sort=False).size()
+            pd.DataFrame({"term": flat_terms, "ordinal": flat_docs})
+            .groupby(["term", "ordinal"], sort=False).size()
             .rename("tf").reset_index()
         )
         grouped["tf"] = grouped["tf"].astype("int32")
@@ -104,7 +128,7 @@ def _term_doc_tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 
 def _encode_partial_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Partition-level: (term, salt, doc_id, tf) -> one row per (term, salt)
+    """Partition-level: (term, salt, ordinal, tf) -> one row per (term, salt)
     holding the sorted run as raw little-endian bytes (cheap to concat later;
     varint encoding happens once, at the final merge)."""
     parts = [p for p in batches if len(p)]
@@ -113,24 +137,23 @@ def _encode_partial_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     rows = []
     for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-        order = np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")
-        ids = g["doc_id"].to_numpy(np.int64)[order]
+        order = np.argsort(g["ordinal"].to_numpy(np.int64), kind="stable")
+        ids = g["ordinal"].to_numpy(np.int64)[order]
         tfs = g["tf"].to_numpy(np.int32)[order]
-        rows.append((term, int(salt), len(ids),
-                     ids.tobytes(), tfs.tobytes()))
+        rows.append((term, int(salt), len(ids), ids.tobytes(), tfs.tobytes()))
     yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
 
 
 def _merge_term_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Partition-level: salt-partial runs (sorted by term, salt) -> final
-    index rows. Salt buckets are doc_id ranges, so concatenation in salt
-    order is already globally sorted per term."""
+    """Partition-level: salt-partial runs -> final index rows. Salt buckets
+    are ordinal ranges, so concatenation in salt order is already globally
+    sorted per term."""
     parts = [p for p in batches if len(p)]
     if not parts:
         return
     pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     rows = []
-    for term, g in pdf.groupby("term", sort=False):
+    for term, g in pdf.groupby("term", sort=True):
         g = g.sort_values("salt", kind="stable")
         ids = np.concatenate(
             [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
@@ -161,26 +184,43 @@ INDEX_SCHEMA = T.StructType([
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 n_salts: int | None = None, partitions: int | None = None,
                 resume: bool = True) -> BuildManifest:
-    """Run (or resume) the full build into out_dir/{docs,index,stats,_lineage}."""
+    """Run (or resume) the full build into
+    out_dir/{corpus,docs,index,stats,_lineage} + manifest.json."""
     man = BuildManifest(out_dir)
     if not resume:
         man.state = {"snapshots": [], "completed": {}}
-    sc_parallelism = spark.sparkContext.defaultParallelism
-    partitions = partitions or max(8, sc_parallelism)
-    salt_bits = DEFAULT_SALT_BITS if n_salts is None \
-        else max(1, int(n_salts).bit_length() - 1)
-    shift = 63 - salt_bits
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+    n_salts = n_salts or DEFAULT_N_SALTS
 
-    corpus = with_doc_identity(corpus)
-    lineage_parts = []
+    # ---- stage: corpus (identity + dense ordinals; Iceberg-snapshot analog) --
+    if not man.is_complete("corpus"):
+        t0 = man.begin("corpus")
+        c = with_doc_identity(corpus)
+        shift = 63 - ORDINAL_BUCKET_BITS
+        c = c.withColumn("bucket", F.shiftright("doc_id", shift).cast("int"))
+        counts = {int(r["bucket"]): int(r["cnt"]) for r in
+                  c.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        schema = T.StructType(
+            [f for f in c.schema.fields if f.name != "bucket"]
+            + [T.StructField("ordinal", T.LongType(), False)])
+        ordinal_ed = (
+            c.repartition(min(partitions, 1 << ORDINAL_BUCKET_BITS), "bucket")
+            .mapInPandas(_assign_ordinals_factory(offsets), schema=schema))
+        ordinal_ed.write.mode("overwrite").parquet(man.stage_path("corpus"))
+        man.commit("corpus", t0, acc, {"buckets": len(counts)})
+    corpus_ord = spark.read.parquet(man.stage_path("corpus"))
 
     # ---- stage: docs (forward index / doc stats; reference `urls` table) ----
     if not man.is_complete("docs"):
         t0 = man.begin("docs")
         docs_schema = T.StructType(
-            [f for f in corpus.schema.fields if f.name != "content"]
+            [f for f in corpus_ord.schema.fields if f.name != "content"]
             + [T.StructField("doc_len", T.LongType(), False)])
-        docs = corpus.mapInPandas(_doc_len_batches, schema=docs_schema)
+        docs = corpus_ord.mapInPandas(_doc_len_batches, schema=docs_schema)
         docs.write.mode("overwrite").parquet(man.stage_path("docs"))
         n = spark.read.parquet(man.stage_path("docs")).count()
         man.commit("docs", t0, n)
@@ -194,14 +234,19 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             F.sum("doc_len").alias("total_len"))
         stats.write.mode("overwrite").parquet(man.stage_path("stats"))
         man.commit("stats", t0, 1)
+    n_docs = int(spark.read.parquet(man.stage_path("stats")).first()["n_docs"])
 
     # ---- stage: index (salted two-phase posting build) ----
     if not man.is_complete("index"):
         t0 = man.begin("index")
-        td = corpus.select("doc_id", "content").mapInPandas(
+        td = corpus_ord.select("ordinal", "content").mapInPandas(
             _term_doc_tf_batches,
-            schema="term string, doc_id long, tf int")
-        td = td.withColumn("salt", F.shiftright("doc_id", shift).cast("int"))
+            schema="term string, ordinal long, tf int")
+        # order-preserving range salt over dense ordinal space
+        td = td.withColumn(
+            "salt",
+            ((F.col("ordinal") * n_salts) / max(n_docs, 1))
+            .cast("int"))
         partials = (
             td.repartition(partitions, "term", "salt")
             .mapInPandas(_encode_partial_runs,
@@ -221,7 +266,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         man.commit("index", t0, n_terms, {
             "postings_emitted": int(agg["postings"]),
             "bytes_compressed": int(agg["bytes"]),
-            "n_salts": 1 << salt_bits,
+            "n_salts": n_salts,
             "partitions": partitions,
         })
 

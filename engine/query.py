@@ -43,7 +43,7 @@ from .tokenizer import query_terms
 class TermPostings:
     term: str
     df: int
-    doc_ids: np.ndarray  # int64 asc
+    doc_ids: np.ndarray  # dense ordinals, int64 asc (monotone in ext doc_id)
     tfs: np.ndarray      # int64
     block_last_ids: np.ndarray
     block_max_tfs: np.ndarray
@@ -55,9 +55,13 @@ class SearchEngine:
         self.index_dir = index_dir
         self.n_docs, self.avgdl = load_stats(spark, index_dir)
         self.index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+        # doc stats keyed by dense ordinal -> direct array indexing.
+        # Ordinals are assigned in ascending doc_id order (index_build stage
+        # "corpus"), so ordinal order == doc_id order and tie-breaks carry.
         docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
-                .select("doc_id", "doc_len").orderBy("doc_id").toPandas())
-        self._doc_ids = docs["doc_id"].to_numpy(np.int64)
+                .select("ordinal", "doc_id", "doc_len")
+                .orderBy("ordinal").toPandas())
+        self._ext_ids = docs["doc_id"].to_numpy(np.int64)
         self._doc_lens = docs["doc_len"].to_numpy(np.int64)
         self._min_dl = int(self._doc_lens.min()) if len(docs) else 1
         self._term_cache: dict[str, TermPostings | None] = {}
@@ -87,9 +91,8 @@ class SearchEngine:
     def _idf(self, df: int) -> float:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
-    def _doc_len_of(self, doc_ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self._doc_ids, doc_ids)
-        return self._doc_lens[pos]
+    def _doc_len_of(self, ordinals: np.ndarray) -> np.ndarray:
+        return self._doc_lens[ordinals]
 
     def _tfw(self, tf, dl):
         # mirror of Bm25Oracle._tf_weight, elementwise float64
@@ -114,11 +117,12 @@ class SearchEngine:
             scores[mask] += idf * self._tfw(tf, dl[mask])
         return scores
 
-    @staticmethod
-    def _topk(candidates: np.ndarray, scores: np.ndarray,
+    def _topk(self, candidates: np.ndarray, scores: np.ndarray,
               k: int) -> list[tuple[int, int, float]]:
+        # candidates are ordinals; ordinal asc == external doc_id asc, so the
+        # lexsort tie-break matches the oracle's (score DESC, doc_id ASC)
         order = np.lexsort((candidates, -scores))[:k]
-        return [(i + 1, int(candidates[j]), float(scores[j]))
+        return [(i + 1, int(self._ext_ids[candidates[j]]), float(scores[j]))
                 for i, j in enumerate(order)]
 
     # --------------------------------------------------------------- search API
@@ -216,7 +220,8 @@ class SearchEngine:
                 continue
             idf = math.log10(self.n_docs / tp.df)
             ws = (1.0 + np.log10(tp.tfs.astype(np.float64))) * idf
-            for d, w in zip(tp.doc_ids.tolist(), ws.tolist()):
+            ext = self._ext_ids[tp.doc_ids]
+            for d, w in zip(ext.tolist(), ws.tolist()):
                 acc[d] = acc.get(d, 0.0) + w
         scored = [(d, s) for d, s in acc.items() if s > threshold]
         scored.sort(key=lambda x: (-x[1], x[0]))

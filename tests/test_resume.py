@@ -1,0 +1,71 @@
+"""Resumability (BASELINE.json north_rule: resumable from checkpoint with
+per-partition lineage + metrics): interrupt after a stage, re-run, get an
+identical index without recomputing completed stages."""
+
+import json
+import os
+
+from engine.corpus import corpus_to_spark
+from engine.index_build import build_index
+
+
+def _index_fingerprint(spark, out):
+    rows = (spark.read.parquet(f"{out}/index")
+            .select("term", "df", "postings").collect())
+    return sorted((r["term"], r["df"], bytes(r["postings"])) for r in rows)
+
+
+def test_resume_skips_completed_stages(spark, fixture_corpus_pdf, tmp_path):
+    out = str(tmp_path / "idx")
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(200))
+
+    # full build
+    man1 = build_index(spark, corpus, out, n_salts=4, partitions=4)
+    fp1 = _index_fingerprint(spark, out)
+    snaps1 = len(man1.state["snapshots"])
+
+    # simulate a crash AFTER docs+stats but BEFORE index completed:
+    # wipe index + lineage outputs and manifest entries
+    man_path = os.path.join(out, "manifest.json")
+    with open(man_path) as f:
+        state = json.load(f)
+    for stage in ("index", "_lineage"):
+        state["completed"].pop(stage)
+    state["snapshots"] = [s for s in state["snapshots"]
+                          if s["stage"] in ("docs", "stats")]
+    with open(man_path, "w") as f:
+        json.dump(state, f)
+    import shutil
+    shutil.rmtree(os.path.join(out, "index"))
+    shutil.rmtree(os.path.join(out, "_lineage"))
+    docs_mtime = os.path.getmtime(os.path.join(out, "docs", "_SUCCESS"))
+
+    # resume: must rebuild index, must NOT touch docs
+    man2 = build_index(spark, corpus, out, n_salts=4, partitions=4)
+    assert os.path.getmtime(os.path.join(out, "docs", "_SUCCESS")) == docs_mtime
+    assert _index_fingerprint(spark, out) == fp1
+    stages2 = [s["stage"] for s in man2.state["snapshots"]]
+    assert stages2.count("docs") == 1  # not re-run
+    assert "index" in stages2
+
+
+def test_resume_noop_when_complete(spark, fixture_corpus_pdf, tmp_path):
+    out = str(tmp_path / "idx2")
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(100))
+    man1 = build_index(spark, corpus, out, n_salts=4, partitions=4)
+    n1 = len(man1.state["snapshots"])
+    idx_mtime = os.path.getmtime(os.path.join(out, "index", "_SUCCESS"))
+    man2 = build_index(spark, corpus, out, n_salts=4, partitions=4)
+    assert len(man2.state["snapshots"]) == n1  # nothing re-ran
+    assert os.path.getmtime(os.path.join(out, "index", "_SUCCESS")) == idx_mtime
+
+
+def test_salt_count_does_not_change_index(spark, fixture_corpus_pdf, tmp_path):
+    """Partitioning/salting is a physical choice — logical result identical."""
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(300))
+    fps = []
+    for n_salts, parts in [(2, 3), (16, 8)]:
+        out = str(tmp_path / f"idx_s{n_salts}")
+        build_index(spark, corpus, out, n_salts=n_salts, partitions=parts)
+        fps.append(_index_fingerprint(spark, out))
+    assert fps[0] == fps[1]
