@@ -1,0 +1,679 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry runs on the driver-generated tables at an sf_dir
+(documents/embeddings/lineitem/orders/customer/supplier/nation/events) and
+has a matching ANSI-SQL oracle. Column names are aligned exactly (the driver
+hashes values after sorting columns by name). Floats that involve arithmetic
+are rounded to 6 dp on BOTH sides; ranks order by the ROUNDED score so ulp
+differences between engines cannot flip ranks.
+
+Coverage map (SURVEY.md §2.1 Flame operators -> entries here):
+  count/fold/foldByKey -> fold_by_key;  distinct -> distinct_terms;
+  filter -> filter_events_hourly;  flatMap(tokenize) -> term_counts;
+  mapToPair/flatMapToPair -> term_df;  groupBy(collect) -> group_collect;
+  join -> join_customer_orders;  cogroup -> cogroup_nation;
+  intersection -> intersection_custkeys;  fromTable/select -> doc_sha256;
+plus the query-side semantics (SURVEY.md §2.4): tfidf_rank (reference
+formula), bm25_rank (north-rule scoring), conjunctive_docs (AND mode),
+and the real engine end-to-end: inverted_index_stats / bm25_engine_topk
+run the actual salted distributed build + SearchEngine and are verified
+against SQL oracles.
+
+Training-pipeline extras (task brief): dedup_exact, minhash_lsh_buckets,
+ngram_jaccard_pairs, simhash64 (rows-only), fingerprint, quality_scores,
+dominant_term (lang-id style argmax), token_stats, ann_cosine_topk,
+embedding_norms.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BM25_TERMS = ["join", "spark"]          # fixed fixture query
+TFIDF_TERMS = ["scan", "window"]
+CONJ_TERMS = ["join", "spark", "table"]
+K1, B = 1.2, 0.75
+TOPK = 20
+ANN_QUERY_IDS = [0, 1, 2]
+ANN_K = 5
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "row", "key"]
+MINHASH_SEEDS = ["s0:", "s1:", "s2:", "s3:"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, term) with one row per token occurrence (flatMap analog)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+            .where(F.col("term") != ""))
+
+
+_TOKENS_SQL = ("select doc_id, t.term as term from documents, "
+               "unnest(string_split_regex(text, '\\s+')) as t(term) "
+               "where t.term <> ''")
+
+
+# --------------------------------------------------------------- core slices
+
+def q_term_counts(spark, sf_dir):
+    return _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("n"))
+
+
+def q_term_df(spark, sf_dir):
+    return _tokens(spark, sf_dir).distinct().groupBy("term").agg(
+        F.count("*").alias("df"))
+
+
+def q_doc_lengths(spark, sf_dir):
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("doc_len"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    return q_doc_lengths(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("total_len"),
+        F.round(F.sum("doc_len") / F.count("*"), 6).alias("avgdl"))
+
+
+def q_doc_sha256(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+# ------------------------------------------------- scoring (SQL both engines)
+
+def _bm25_spark_sql(terms: list[str], k: int) -> str:
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+with tok as (
+  select doc_id, term from (
+    select doc_id, explode(split(text, '\\\\s+')) as term from documents
+  ) where term <> ''
+),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from tf join dfs on tf.term = dfs.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by tf.doc_id
+),
+ranked as (
+  select doc_id, round(score, 6) as score_r,
+         row_number() over (order by round(score, 6) desc, doc_id) as rank
+  from scored
+)
+select doc_id, rank, score_r from ranked where rank <= {k}
+"""
+
+
+def _bm25_duck_sql(terms: list[str], k: int) -> str:
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from tf join dfs on tf.term = dfs.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by tf.doc_id
+),
+ranked as (
+  select doc_id, round(score, 6) as score_r,
+         row_number() over (order by round(score, 6) desc, doc_id) as rank
+  from scored
+)
+select doc_id, rank, score_r from ranked where rank <= {k}
+"""
+
+
+def q_bm25_rank(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bm25_spark_sql(BM25_TERMS, TOPK))
+
+
+def q_tfidf_rank(spark, sf_dir):
+    """Reference TF-IDF semantics (Searcher.java:108,113): OR-mode
+    sum((1+log10 tf) * log10(N/df)), ranked."""
+    tl = ",".join(f"'{t}'" for t in TFIDF_TERMS)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"""
+with tok as (
+  select doc_id, term from (
+    select doc_id, explode(split(text, '\\\\s+')) as term from documents
+  ) where term <> ''
+),
+n as (select count(distinct doc_id) as n_docs from tok),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+         sum((1.0 + log10(tf.tf)) * log10(n.n_docs / dfs.df)) as score
+  from tf join dfs on tf.term = dfs.term cross join n
+  group by tf.doc_id
+)
+select doc_id, round(score, 6) as score_r,
+       row_number() over (order by round(score, 6) desc, doc_id) as rank
+from scored
+""").where(F.col("rank") <= TOPK)
+
+
+def q_conjunctive_docs(spark, sf_dir):
+    toks = _tokens(spark, sf_dir).where(F.col("term").isin(CONJ_TERMS))
+    return (toks.distinct().groupBy("doc_id")
+            .agg(F.count("*").alias("nt"))
+            .where(F.col("nt") == len(CONJ_TERMS))
+            .select("doc_id"))
+
+
+def q_distinct_terms(spark, sf_dir):
+    return _tokens(spark, sf_dir).select("term").distinct()
+
+
+# ------------------------------------------- Flame-operator relational parity
+
+def q_fold_by_key(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.count("*").alias("n")))
+
+
+def q_join_customer_orders(spark, sf_dir):
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))  # small dim -> broadcast
+    return (_t(spark, sf_dir, "orders")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_r")))
+
+
+def q_cogroup_nation(spark, sf_dir):
+    s = (_t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_supp"))
+         .withColumnRenamed("s_nationkey", "nationkey"))
+    c = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_cust"))
+         .withColumnRenamed("c_nationkey", "nationkey"))
+    return (s.join(c, "nationkey", "full_outer")
+            .select("nationkey",
+                    F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+                    F.coalesce("n_cust", F.lit(0)).alias("n_cust")))
+
+
+def q_intersection_custkeys(spark, sf_dir):
+    a = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def q_group_collect(spark, sf_dir):
+    return (_t(spark, sf_dir, "supplier")
+            .groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.concat_ws(",", F.sort_array(
+                F.collect_list("s_name"))).alias("names")))
+
+
+def q_filter_events_hourly(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("click", "error"))
+            .groupBy("event_type",
+                     F.date_format(F.date_trunc("hour", "ts"),
+                                   "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_json_extract_events(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("long").alias("k"))
+            .where(F.col("event_id") < 1000))
+
+
+def q_window_top_order(spark, sf_dir):
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (_t(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_totalprice").alias("totalprice")))
+
+
+# ------------------------------------------------ training-pipeline operators
+
+def q_dedup_exact(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper")))
+
+
+def q_fingerprint(spark, sf_dir):
+    return (_tokens(spark, sf_dir).distinct()
+            .groupBy("doc_id")
+            .agg(F.md5(F.concat_ws(" ", F.sort_array(
+                F.collect_list("term")))).alias("fp")))
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.lit(seed), F.col("term"))))
+            .alias(f"mh{i}") for i, seed in enumerate(MINHASH_SEEDS)]
+    sig = toks.groupBy("doc_id").agg(*aggs)
+    return (sig.groupBy("mh0", "mh1", "mh2", "mh3")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Word-3-gram shingle near-dup: candidate pairs sharing a shingle,
+    exact Jaccard over shingle sets, threshold 0.2."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("ts"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, greatest(size(ts)-3, -1)), "
+            "i -> concat_ws(' ', slice(ts, i+1, 3)))")).alias("shingle"))
+    sh = sh.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("ida"),
+                      F.col("b.doc_id").alias("idb"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    return (inter.join(sa, "ida").join(sb, "idb")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6))
+            .where(F.col("jaccard") >= 0.2)
+            .select("ida", "idb", "jaccard"))
+
+
+def q_quality_scores(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return (toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum(F.col("term").isin(STOPWORDS).cast("int"))
+                / F.count("*"), 6).alias("stop_ratio"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len")))
+
+
+def q_dominant_term(spark, sf_dir):
+    """Per-doc argmax term (lang-ID-style classification by marker counts)."""
+    from pyspark.sql import Window
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (tf.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("term").alias("dominant"),
+                    F.col("tf").alias("dom_tf")))
+
+
+def q_lang_distribution(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n"))
+
+
+def q_token_stats(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return (toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_unique")))
+
+
+# ------------------------------------------------------------ embeddings / ANN
+
+def _dots(a_col: str, b_col: str):
+    prod = F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("e")))
+    emb = emb.withColumn("nrm", F.sqrt(_dots("e", "e")))
+    q = (emb.where(F.col("vec_id").isin(ANN_QUERY_IDS))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn")))
+    pairs = (q.crossJoin(emb).where(F.col("vec_id") != F.col("qid"))
+             .withColumn("sim", F.round(
+                 _dots("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= ANN_K)
+            .select("qid", "rank", "vec_id", "sim"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("e")))
+    return emb.select("vec_id", F.round(F.sqrt(_dots("e", "e")), 6)
+                      .alias("norm"))
+
+
+# ----------------------------------- the real engine, SQL-verified end-to-end
+
+_ENGINE_CACHE: dict[str, str] = {}
+
+
+def _built_engine_dir(spark, sf_dir) -> str:
+    """Build (once per sf_dir per process) the actual inverted index over the
+    documents table mapped into the corpus shape."""
+    if sf_dir in _ENGINE_CACHE:
+        return _ENGINE_CACHE[sf_dir]
+    from .index_build import build_index
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lit("testdata").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id")).alias("path"),
+        F.lit("0000000000").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("doc_id"),  # keep driver doc_ids as identity
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="engine_idx_"), "idx")
+    build_index(spark, docs, out)
+    _ENGINE_CACHE[sf_dir] = out
+    return out
+
+
+def q_inverted_index_stats(spark, sf_dir):
+    """df/total_tf straight out of the REAL salted distributed index build —
+    verified against plain SQL aggregation (binary postings themselves are
+    covered by pytest round-trip tests)."""
+    out = _built_engine_dir(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(out, "index"))
+            .select("term", "df", "total_tf"))
+
+
+def q_bm25_engine_topk(spark, sf_dir):
+    """The REAL SearchEngine (varint postings, block-max pruning) answering
+    the fixture query — verified against the pure-SQL BM25 oracle."""
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    eng = SearchEngine(spark, out)
+    # fetch ALL matches, then re-rank by ROUNDED score (the oracle ranks by
+    # round(score,6), so ulp-close scores must tie-break by doc_id in both)
+    rows = eng.search(" ".join(BM25_TERMS), k=2**31 - 1, mode="ranked")
+    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
+                     key=lambda x: (-x[0], x[1]))
+    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    return spark.createDataFrame(pdf, "doc_id long, rank int, score_r double")
+
+
+# ------------------------------------------------------------------ rows-only
+
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash fingerprints via Arrow-batched pandas UDF (bit ops are
+    not reasonably SQL-oracle-able -> rows-only driver check; pytest covers
+    determinism)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            shifts = np.arange(64, dtype=np.uint64)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in text.split():
+                    h = np.uint64(int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"))
+                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    acc += bits * 2 - 1
+                sh = int(((acc > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)).sum()
+                         & np.uint64(0x7FFFFFFFFFFFFFFF))
+                out_ids.append(doc_id)
+                out_hashes.append(sh)
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .mapInPandas(batches, schema="doc_id long, simhash long"))
+
+
+# =============================================================== registry
+
+def queries():
+    return {
+        "term_counts": q_term_counts,
+        "term_df": q_term_df,
+        "doc_lengths": q_doc_lengths,
+        "corpus_stats": q_corpus_stats,
+        "doc_sha256": q_doc_sha256,
+        "bm25_rank": q_bm25_rank,
+        "tfidf_rank": q_tfidf_rank,
+        "conjunctive_docs": q_conjunctive_docs,
+        "distinct_terms": q_distinct_terms,
+        "fold_by_key": q_fold_by_key,
+        "join_customer_orders": q_join_customer_orders,
+        "cogroup_nation": q_cogroup_nation,
+        "intersection_custkeys": q_intersection_custkeys,
+        "group_collect": q_group_collect,
+        "filter_events_hourly": q_filter_events_hourly,
+        "json_extract_events": q_json_extract_events,
+        "window_top_order": q_window_top_order,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "quality_scores": q_quality_scores,
+        "dominant_term": q_dominant_term,
+        "lang_distribution": q_lang_distribution,
+        "token_stats": q_token_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "inverted_index_stats": q_inverted_index_stats,
+        "bm25_engine_topk": q_bm25_engine_topk,
+        "simhash64": q_simhash64,  # rows-only
+    }
+
+
+def oracle_sql():
+    tfidf_tl = ",".join(f"'{t}'" for t in TFIDF_TERMS)
+    conj_tl = ",".join(f"'{t}'" for t in CONJ_TERMS)
+    stop_tl = ",".join(f"'{t}'" for t in STOPWORDS)
+    ann_ql = ",".join(str(i) for i in ANN_QUERY_IDS)
+    mh = ", ".join(
+        f"min(md5(concat('{seed}', term))) as mh{i}"
+        for i, seed in enumerate(MINHASH_SEEDS))
+    return {
+        "term_counts": f"select term, count(*) as n from ({_TOKENS_SQL}) "
+                       "group by term",
+        "term_df": "select term, count(distinct doc_id) as df from "
+                   f"({_TOKENS_SQL}) group by term",
+        "doc_lengths": f"select doc_id, count(*) as doc_len from "
+                       f"({_TOKENS_SQL}) group by doc_id",
+        "corpus_stats": f"""
+            with dl as (select doc_id, count(*) as doc_len from
+                        ({_TOKENS_SQL}) group by doc_id)
+            select count(*) as n_docs, sum(doc_len) as total_len,
+                   round(sum(doc_len)/count(*), 6) as avgdl from dl""",
+        "doc_sha256": "select doc_id, sha256(text) as sha from documents",
+        "bm25_rank": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "tfidf_rank": f"""
+            with tok as ({_TOKENS_SQL}),
+            n as (select count(distinct doc_id) as n_docs from tok),
+            tf as (select doc_id, term, count(*) as tf from tok
+                   where term in ({tfidf_tl}) group by doc_id, term),
+            dfs as (select term, count(*) as df from tf group by term),
+            scored as (
+              select tf.doc_id,
+                     sum((1.0 + log10(tf.tf)) * log10(n.n_docs / dfs.df))
+                       as score
+              from tf join dfs on tf.term = dfs.term cross join n
+              group by tf.doc_id)
+            select doc_id, round(score, 6) as score_r,
+                   row_number() over
+                     (order by round(score, 6) desc, doc_id) as rank
+            from scored qualify rank <= {TOPK}""",
+        "conjunctive_docs": f"""
+            select doc_id from (select distinct doc_id, term from
+              ({_TOKENS_SQL}) where term in ({conj_tl}))
+            group by doc_id having count(*) = {len(CONJ_TERMS)}""",
+        "distinct_terms": f"select distinct term from ({_TOKENS_SQL})",
+        "fold_by_key": """
+            select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
+                   round(avg(l_extendedprice), 2) as avg_price,
+                   count(*) as n
+            from lineitem group by l_returnflag, l_linestatus""",
+        "join_customer_orders": """
+            select c_custkey, c_mktsegment, count(*) as n_orders,
+                   round(sum(o_totalprice), 2) as total_r
+            from orders join customer on o_custkey = c_custkey
+            group by c_custkey, c_mktsegment""",
+        "cogroup_nation": """
+            with s as (select s_nationkey as nationkey, count(*) as n_supp
+                       from supplier group by 1),
+                 c as (select c_nationkey as nationkey, count(*) as n_cust
+                       from customer group by 1)
+            select coalesce(s.nationkey, c.nationkey) as nationkey,
+                   coalesce(n_supp, 0) as n_supp,
+                   coalesce(n_cust, 0) as n_cust
+            from s full outer join c on s.nationkey = c.nationkey""",
+        "intersection_custkeys": """
+            select o_custkey as custkey from orders
+            intersect
+            select c_custkey as custkey from customer where c_acctbal > 5000""",
+        "group_collect": """
+            select s_nationkey as nationkey,
+                   string_agg(s_name, ',' order by s_name) as names
+            from supplier group by s_nationkey""",
+        "filter_events_hourly": """
+            select event_type, strftime(date_trunc('hour', ts),
+                                        '%Y-%m-%d %H') as hour,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events where event_type in ('click', 'error')
+            group by 1, 2""",
+        "json_extract_events": """
+            select event_id, cast(props->>'$.k' as bigint) as k
+            from events where event_id < 1000""",
+        "window_top_order": """
+            select o_custkey as custkey, o_orderkey as orderkey,
+                   o_totalprice as totalprice
+            from (select o_custkey, o_orderkey, o_totalprice,
+                         row_number() over (partition by o_custkey
+                             order by o_totalprice desc, o_orderkey) as rn
+                  from orders) where rn = 1""",
+        "dedup_exact": """
+            select md5(text) as text_hash, count(*) as n_docs,
+                   min(doc_id) as keeper
+            from documents group by md5(text)""",
+        "fingerprint": f"""
+            select doc_id,
+                   md5(string_agg(term, ' ' order by term)) as fp
+            from (select distinct doc_id, term from ({_TOKENS_SQL}))
+            group by doc_id""",
+        "minhash_lsh_buckets": f"""
+            with sig as (select doc_id, {mh}
+                         from ({_TOKENS_SQL}) group by doc_id)
+            select mh0, mh1, mh2, mh3, count(*) as n_docs
+            from sig group by mh0, mh1, mh2, mh3""",
+        "ngram_jaccard_pairs": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') as ts
+              from documents where doc_id < 200),
+            sh as (
+              select distinct doc_id, shingle from toks,
+                unnest([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, greatest(len(ts)-2, 0) + 1)])
+                  as u(shingle)),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select a.doc_id as ida, b.doc_id as idb, count(*) as inter
+              from sh a join sh b
+                on a.shingle = b.shingle and a.doc_id < b.doc_id
+              group by 1, 2)
+            select ida, idb,
+                   round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+            from inter join sizes sa on ida = sa.doc_id
+                       join sizes sb on idb = sb.doc_id
+            where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2""",
+        "quality_scores": f"""
+            select doc_id, count(*) as n_tokens,
+                   round(sum(case when term in ({stop_tl}) then 1 else 0 end)
+                         / count(*), 6) as stop_ratio,
+                   round(avg(length(term)), 6) as avg_token_len
+            from ({_TOKENS_SQL}) group by doc_id""",
+        "dominant_term": f"""
+            with tf as (select doc_id, term, count(*) as tf
+                        from ({_TOKENS_SQL}) group by doc_id, term)
+            select doc_id, term as dominant, tf as dom_tf
+            from (select *, row_number() over (partition by doc_id
+                      order by tf desc, term) as rn from tf)
+            where rn = 1""",
+        "lang_distribution": "select lang, count(*) as n from documents "
+                             "group by lang",
+        "token_stats": f"""
+            select doc_id, count(*) as n_tokens,
+                   count(distinct term) as n_unique
+            from ({_TOKENS_SQL}) group by doc_id""",
+        "ann_cosine_topk": f"""
+            with e as (select vec_id, embedding::DOUBLE[] as emb
+                       from embeddings),
+            n as (select vec_id, emb,
+                         sqrt(list_dot_product(emb, emb)) as nrm from e),
+            pairs as (
+              select q.vec_id as qid, x.vec_id as vec_id,
+                     round(list_dot_product(q.emb, x.emb)
+                           / (q.nrm * x.nrm), 6) as sim
+              from n q join n x on x.vec_id <> q.vec_id
+              where q.vec_id in ({ann_ql}))
+            select qid, row_number() over (partition by qid
+                       order by sim desc, vec_id) as rank, vec_id, sim
+            from pairs qualify rank <= {ANN_K}""",
+        "embedding_norms": """
+            select vec_id,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6)
+                     as norm
+            from embeddings""",
+        "inverted_index_stats": f"""
+            select term, count(distinct doc_id) as df, count(*) as total_tf
+            from ({_TOKENS_SQL}) group by term""",
+        "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        # simhash64: intentionally no oracle (rows-only driver check)
+    }
