@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+ "throughput": {...}, "scaling": {...}}
+
+Phases:
+ 1. sf_dir workload (default /root/testdata/sf0.1, override $SPARK_GRAFT_SF_DIR):
+    - real inverted-index build over the documents table (docs/sec)
+    - BM25 fixture query latency p50/p95 over a query set on that index
+    - headline contract queries (term_counts, bm25_rank, ann_cosine_topk, ...)
+ 2. scaling evidence (north rule's N vs 4N executors, sandbox stand-in):
+    same synthetic index build at local[8] and local[32]; reports docs/sec at
+    both + efficiency = thr(32) / (4 * thr(8)). Skipped if
+    $SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+BENCH_QUERIES = [
+    "join spark", "scan window", "table part hash", "agg row",
+    "spark stream batch", "column order sort", "dup slow fast",
+    "query line customer", "merge small value", "key data",
+    "window window window", "batch", "spark", "join table",
+    "scan merge part window", "order by key", "fast slow dup",
+    "value hash part", "line item", "stream",
+]
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def _build_session(master, shuffle_partitions):
+    from engine.session import get_spark
+    return get_spark(master=master, app_name="bench",
+                     shuffle_partitions=shuffle_partitions)
+
+
+def _scaling_run(n_cores: int, pdf) -> float:
+    """Build the synthetic index on local[n_cores]; return docs/sec."""
+    from engine.corpus import corpus_to_spark
+    from engine.index_build import build_index
+    spark = _build_session(f"local[{n_cores}]", max(8, n_cores * 2))
+    try:
+        corpus = corpus_to_spark(spark, pdf)
+        out = tempfile.mkdtemp(prefix=f"bench_scale_{n_cores}_")
+        t0 = time.time()
+        build_index(spark, corpus, os.path.join(out, "idx"),
+                    partitions=n_cores * 2, resume=False)
+        wall = time.time() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        return len(pdf) / wall
+    finally:
+        spark.stop()
+
+
+def main():
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---------------- phase 1: sf_dir workload ----------------
+    spark = _build_session(f"local[{CPUS}]", max(16, CPUS))
+    try:
+        from engine import contract_queries as cq
+        from engine.query import SearchEngine
+
+        n_docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")).count()
+
+        # real engine build over documents
+        idx_tmp = tempfile.mkdtemp(prefix="bench_idx_")
+        idx_dir = os.path.join(idx_tmp, "idx")
+
+        def do_build():
+            from pyspark.sql import functions as F
+
+            from engine.index_build import build_index
+            docs = (spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+                .select(F.lit("bench").alias("repo"),
+                        F.col("doc_id").cast("string").alias("path"),
+                        F.lit("0").alias("commit"), F.col("lang"),
+                        F.col("text").alias("content"),
+                        F.col("doc_id")))
+            return build_index(spark, docs, idx_dir, resume=False)
+
+        t_build, _ = _timed(do_build)
+        queries["index_build"] = round(t_build, 4)
+        throughput["index_build_docs_per_sec"] = round(n_docs / t_build, 2)
+
+        # BM25 query latency over the built index
+        eng = SearchEngine(spark, idx_dir)
+        eng.search("warmup", k=10)  # touch index once
+        lat = []
+        for q in BENCH_QUERIES:
+            t0 = time.time()
+            eng.search(q, k=10, mode="ranked")
+            eng.search(q, k=10, mode="conjunctive")
+            lat.append(time.time() - t0)
+        lat.sort()
+        queries["bm25_query_p50"] = round(lat[len(lat) // 2], 4)
+        queries["bm25_query_p95"] = round(
+            lat[min(len(lat) - 1, int(len(lat) * 0.95))], 4)
+        throughput["bm25_queries_per_sec"] = round(
+            2 * len(BENCH_QUERIES) / sum(lat), 2)
+        shutil.rmtree(idx_tmp, ignore_errors=True)
+
+        # headline contract queries
+        for name in ["term_counts", "term_df", "bm25_rank", "tfidf_rank",
+                     "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
+                     "fold_by_key", "join_customer_orders",
+                     "window_top_order"]:
+            fn = cq.queries()[name]
+            t, _ = _timed(lambda: fn(spark, SF_DIR).collect())
+            queries[name] = round(t, 4)
+    finally:
+        spark.stop()
+
+    # ---------------- phase 2: scaling N vs 4N ----------------
+    scaling = {}
+    if RUN_SCALING:
+        from engine.corpus import make_corpus
+        pdf = make_corpus(SCALING_DOCS, seed=7)
+        thr8 = _scaling_run(8, pdf)
+        thr32 = _scaling_run(32, pdf)
+        scaling = {
+            "docs": SCALING_DOCS,
+            "throughput_local8_docs_per_sec": round(thr8, 2),
+            "throughput_local32_docs_per_sec": round(thr32, 2),
+            "scaling_efficiency_8_to_32": round(thr32 / (4 * thr8), 4),
+        }
+
+    total = time.time() - t_total0
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "fulltext index build + BM25 query workload",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": throughput,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""spark-submit entry point (north_rule: "run via spark-submit --py-files").
+
+Usage:
+  spark-submit --py-files engine.zip -m engine.cli ...   # or:
+  spark-submit cli_wrapper; locally: python -m engine.cli <cmd> ...
+
+  build  --input DIR|synthetic:N --out DIR [--salts S] [--partitions P]
+  query  --index DIR --query TEXT [--k K] [--mode ranked|conjunctive]
+  bench  (delegates to bench.py's main)
+
+`build --input DIR` expects a parquet table in the input_hint shape
+(repo, path, commit, lang, content); doc_id/content_sha256 are derived if
+absent. `synthetic:N` generates the deterministic Zipf corpus (testing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+    if args.master:
+        return get_spark(master=args.master)
+    # under spark-submit the master is already in the conf; reuse it
+    try:
+        return SparkSession.builder.appName("fulltext-engine").getOrCreate()
+    except Exception:
+        return get_spark()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="engine")
+    p.add_argument("--master", default="", help="override spark master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--salts", type=int, default=None)
+    pb.add_argument("--partitions", type=int, default=None)
+    pb.add_argument("--no-resume", action="store_true")
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("--query", required=True)
+    pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--mode", default="ranked",
+                    choices=["ranked", "conjunctive"])
+
+    sub.add_parser("bench")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        sys.path.insert(0, ".")
+        import bench
+        bench.main()
+        return
+
+    spark = _spark(args)
+    if args.cmd == "build":
+        from .index_build import build_index
+        if args.input.startswith("synthetic:"):
+            from .corpus import corpus_to_spark, make_corpus
+            corpus = corpus_to_spark(
+                spark, make_corpus(int(args.input.split(":", 1)[1])))
+        else:
+            corpus = spark.read.parquet(args.input)
+        man = build_index(spark, corpus, args.out, n_salts=args.salts,
+                          partitions=args.partitions,
+                          resume=not args.no_resume)
+        print(json.dumps(man.metrics(), indent=1))
+    elif args.cmd == "query":
+        from .query import SearchEngine
+        eng = SearchEngine(spark, args.index)
+        res = eng.search(args.query, k=args.k, mode=args.mode)
+        print(json.dumps([
+            {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+
+
+if __name__ == "__main__":
+    main()
