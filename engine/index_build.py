@@ -15,14 +15,18 @@ Pipeline (all lazy DataFrame ops; shuffles marked):
     │     (tiny driver array), ordinal = offset[bucket] + rank within bucket.
     │     Ordinals are monotone in doc_id, so doc_id order == ordinal order
     │     everywhere downstream.                       [SHUFFLE 0 on bucket]
-    ├── stage "docs":  forward index (no content) + doc_len  [no shuffle]
+    ├── stage "docs":  forward index = pure-JVM projection (doc_len was
+    │     computed alongside ordinals — one tokenize pass)    [no shuffle]
     ├── stage "postings":
-    │     mapInPandas: tokenize + per-doc term counts         [no shuffle]
-    │     → (term, ordinal, tf), range-salt = ordinal*S//N
+    │     mapInPandas MAP-SIDE COMBINE: tokenize + factorize terms to int
+    │     codes + one int64 np.unique for (term,doc) tf counts, then emit
+    │     ONE PACKED ROW per (term, range-salt) per map partition (sorted
+    │     ordinal run as raw bytes). Shuffle rows ~ terms×salts×partitions,
+    │     not one row per posting (30-50× fewer).             [no shuffle]
     │     → repartition(P, term, salt)                        [SHUFFLE 1, salted]
-    │     → mapInPandas: per-(term,salt) sorted partial runs (raw bytes)
+    │     → mapInPandas: merge map-partition runs per (term,salt) (argsort)
     │     → repartition(P, term) + sortWithinPartitions       [SHUFFLE 2, small:
-    │                                                moves compressed runs only]
+    │                                                moves packed runs only]
     │     → mapInPandas: concat salt-ordered runs (salts are ordinal RANGES,
     │       so concatenation is already globally sorted — no k-way merge),
     │       delta+varint encode, block maxes, df
@@ -81,11 +85,14 @@ def with_doc_identity(corpus: DataFrame) -> DataFrame:
 
 
 def _assign_ordinals_factory(offsets: dict[int, int]):
+    """Assign dense ordinals AND doc_len in one pass (tokenize happens here
+    once; the docs stage is then a pure-JVM projection of this output)."""
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        pdf["doc_len"] = tokenize_series(pdf["content"]).map(len).astype("int64")
         out = []
         for bucket, g in pdf.groupby("bucket", sort=True):
             ids = g["doc_id"].to_numpy(np.int64)
@@ -100,46 +107,76 @@ def _assign_ordinals_factory(offsets: dict[int, int]):
 
 # ------------------------------------------------------------ pandas UDF bodies
 
-def _doc_len_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        toks = tokenize_series(pdf["content"])
-        out = pdf.drop(columns=["content"]).copy()
-        out["doc_len"] = toks.map(len).astype("int64")
-        yield out
+def _map_partial_runs_factory(n_docs: int, n_salts: int):
+    """MAP-SIDE COMBINE: (ordinal, content) partition -> one packed row per
+    (term, salt) seen in this partition: sorted ordinal run + tfs as raw
+    little-endian bytes. Shuffling #terms×salts×map_partitions packed rows
+    instead of one row per (term, doc) posting cuts shuffle row count ~30-50×
+    — the per-row JVM/Arrow serialization was the scalability bottleneck."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Hot path is integer-only: terms are factorized to codes once
+        # (C-level hash), then (term, doc) counting is one int64 np.unique.
+        # No object-string groupby — that allocation storm was the scaling
+        # bottleneck at high task concurrency.
+        code_arrays, ord_arrays, vocab_frames = [], [], []
+        vocab: dict[str, int] = {}
+        for pdf in batches:
+            toks = tokenize_series(pdf["content"])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_terms = np.concatenate([t if t else [] for t in toks])
+            codes, uniques = pd.factorize(flat_terms, sort=False)
+            # remap batch-local codes to partition-global vocab codes
+            remap = np.empty(len(uniques), dtype=np.int64)
+            for i, u in enumerate(uniques):
+                remap[i] = vocab.setdefault(u, len(vocab))
+            code_arrays.append(remap[codes])
+            ord_arrays.append(
+                np.repeat(pdf["ordinal"].to_numpy(np.int64), lens))
+        if not code_arrays:
+            return
+        codes = np.concatenate(code_arrays)
+        ordinals = np.concatenate(ord_arrays)
+        # composite key (term_code, ordinal) -> tf via sorted unique
+        # ordinals are dense (< n_docs), so key = code * n_docs + ordinal
+        key = codes * np.int64(max(n_docs, 1)) + ordinals
+        uk, tfs = np.unique(key, return_counts=True)
+        t_code = (uk // max(n_docs, 1)).astype(np.int64)
+        t_ord = (uk % max(n_docs, 1)).astype(np.int64)
+        salt = (t_ord * n_salts // max(n_docs, 1)).astype(np.int32)
+        # uk sort order == (term_code, ordinal) == (term_code, salt, ordinal)
+        terms_by_code = np.empty(len(vocab), dtype=object)
+        for t, c in vocab.items():
+            terms_by_code[c] = t
+        # run boundaries where (term_code, salt) changes
+        change = np.flatnonzero(
+            (np.diff(t_code) != 0) | (np.diff(salt) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [uk.size]))
+        tfs32 = tfs.astype(np.int32)
+        rows = [(terms_by_code[t_code[s]], int(salt[s]), int(e - s),
+                 t_ord[s:e].tobytes(), tfs32[s:e].tobytes())
+                for s, e in zip(starts, ends)]
+        yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
+    return run
 
 
-def _term_doc_tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(ordinal, content) batches -> (term, ordinal, tf) via vectorized
-    explode + C-level groupby (no per-row Python)."""
-    for pdf in batches:
-        toks = tokenize_series(pdf["content"])
-        lens = toks.map(len).to_numpy(dtype=np.int64)
-        if lens.sum() == 0:
-            continue
-        flat_terms = np.concatenate([t if t else [] for t in toks])
-        flat_docs = np.repeat(pdf["ordinal"].to_numpy(np.int64), lens)
-        grouped = (
-            pd.DataFrame({"term": flat_terms, "ordinal": flat_docs})
-            .groupby(["term", "ordinal"], sort=False).size()
-            .rename("tf").reset_index()
-        )
-        grouped["tf"] = grouped["tf"].astype("int32")
-        yield grouped
-
-
-def _encode_partial_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Partition-level: (term, salt, ordinal, tf) -> one row per (term, salt)
-    holding the sorted run as raw little-endian bytes (cheap to concat later;
-    varint encoding happens once, at the final merge)."""
+def _reduce_partial_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per (term, salt): merge the map-partition runs (overlapping ordinal
+    ranges across map partitions -> one argsort) into a single sorted run."""
     parts = [p for p in batches if len(p)]
     if not parts:
         return
     pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     rows = []
     for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-        order = np.argsort(g["ordinal"].to_numpy(np.int64), kind="stable")
-        ids = g["ordinal"].to_numpy(np.int64)[order]
-        tfs = g["tf"].to_numpy(np.int32)[order]
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        tfs = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
         rows.append((term, int(salt), len(ids), ids.tobytes(), tfs.tobytes()))
     yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
 
@@ -206,7 +243,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             acc += counts[b]
         schema = T.StructType(
             [f for f in c.schema.fields if f.name != "bucket"]
-            + [T.StructField("ordinal", T.LongType(), False)])
+            + [T.StructField("doc_len", T.LongType(), False),
+               T.StructField("ordinal", T.LongType(), False)])
         ordinal_ed = (
             c.repartition(min(partitions, 1 << ORDINAL_BUCKET_BITS), "bucket")
             .mapInPandas(_assign_ordinals_factory(offsets), schema=schema))
@@ -215,12 +253,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     corpus_ord = spark.read.parquet(man.stage_path("corpus"))
 
     # ---- stage: docs (forward index / doc stats; reference `urls` table) ----
+    # pure-JVM projection: doc_len was computed in the corpus stage
     if not man.is_complete("docs"):
         t0 = man.begin("docs")
-        docs_schema = T.StructType(
-            [f for f in corpus_ord.schema.fields if f.name != "content"]
-            + [T.StructField("doc_len", T.LongType(), False)])
-        docs = corpus_ord.mapInPandas(_doc_len_batches, schema=docs_schema)
+        docs = corpus_ord.drop("content")
         docs.write.mode("overwrite").parquet(man.stage_path("docs"))
         n = spark.read.parquet(man.stage_path("docs")).count()
         man.commit("docs", t0, n)
@@ -239,19 +275,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # ---- stage: index (salted two-phase posting build) ----
     if not man.is_complete("index"):
         t0 = man.begin("index")
-        td = corpus_ord.select("ordinal", "content").mapInPandas(
-            _term_doc_tf_batches,
-            schema="term string, ordinal long, tf int")
-        # order-preserving range salt over dense ordinal space
-        td = td.withColumn(
-            "salt",
-            ((F.col("ordinal") * n_salts) / max(n_docs, 1))
-            .cast("int"))
+        run_schema = ("term string, salt int, n long, ids binary, tfs binary")
+        map_runs = corpus_ord.select("ordinal", "content").mapInPandas(
+            _map_partial_runs_factory(n_docs, n_salts), schema=run_schema)
         partials = (
-            td.repartition(partitions, "term", "salt")
-            .mapInPandas(_encode_partial_runs,
-                         schema="term string, salt int, n long, "
-                                "ids binary, tfs binary")
+            map_runs.repartition(partitions, "term", "salt")
+            .mapInPandas(_reduce_partial_runs, schema=run_schema)
         )
         index = (
             partials.repartition(partitions, "term")
