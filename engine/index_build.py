@@ -52,9 +52,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 from .checkpoint import BuildManifest
 from .codec import block_maxes, encode_postings
-from .tokenizer import tokenize_series
+from .tokenizer import tokenize_arrow
 
 DEFAULT_N_SALTS = 8
 ORDINAL_BUCKET_BITS = 6  # 64 fixed doc_id range buckets for ordinal assignment
@@ -92,7 +95,9 @@ def _assign_ordinals_factory(offsets: dict[int, int]):
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        pdf["doc_len"] = tokenize_series(pdf["content"]).map(len).astype("int64")
+        toks = tokenize_arrow(pa.array(pdf["content"], type=pa.string()))
+        pdf["doc_len"] = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         out = []
         for bucket, g in pdf.groupby("bucket", sort=True):
             ids = g["doc_id"].to_numpy(np.int64)
@@ -113,52 +118,77 @@ def _map_partial_runs_factory(n_docs: int, n_salts: int):
     little-endian bytes. Shuffling #terms×salts×map_partitions packed rows
     instead of one row per (term, doc) posting cuts shuffle row count ~30-50×
     — the per-row JVM/Arrow serialization was the scalability bottleneck."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Hot path is integer-only: terms are factorized to codes once
-        # (C-level hash), then (term, doc) counting is one int64 np.unique.
-        # No object-string groupby — that allocation storm was the scaling
-        # bottleneck at high task concurrency.
-        code_arrays, ord_arrays, vocab_frames = [], [], []
-        vocab: dict[str, int] = {}
-        for pdf in batches:
-            toks = tokenize_series(pdf["content"])
-            lens = toks.map(len).to_numpy(dtype=np.int64)
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Arrow-native hot path (mapInArrow): tokens live only in Arrow
+        # buffers (tokenize_arrow) and are dictionary-encoded to int codes in
+        # C++; per-(term,doc) tf counting is one int64 np.unique. No Python
+        # object is ever created per token — per-token Python allocation was
+        # the dominant cost and destroyed multi-worker scaling.
+        code_parts, ord_parts, dict_parts, bases = [], [], [], []
+        base = 0
+        for rb in batches:
+            content = rb.column("content")
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            toks = tokenize_arrow(content)
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             if lens.sum() == 0:
                 continue
-            flat_terms = np.concatenate([t if t else [] for t in toks])
-            codes, uniques = pd.factorize(flat_terms, sort=False)
-            # remap batch-local codes to partition-global vocab codes
-            remap = np.empty(len(uniques), dtype=np.int64)
-            for i, u in enumerate(uniques):
-                remap[i] = vocab.setdefault(u, len(vocab))
-            code_arrays.append(remap[codes])
-            ord_arrays.append(
-                np.repeat(pdf["ordinal"].to_numpy(np.int64), lens))
-        if not code_arrays:
+            enc = pc.list_flatten(toks).dictionary_encode()
+            code_parts.append(enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            dict_parts.append(enc.dictionary)
+            bases.append(base)
+            base += len(enc.dictionary)
+            ord_parts.append(np.repeat(
+                rb.column("ordinal").to_numpy(zero_copy_only=False)
+                .astype(np.int64), lens))
+        if not code_parts:
             return
-        codes = np.concatenate(code_arrays)
-        ordinals = np.concatenate(ord_arrays)
-        # composite key (term_code, ordinal) -> tf via sorted unique
-        # ordinals are dense (< n_docs), so key = code * n_docs + ordinal
-        key = codes * np.int64(max(n_docs, 1)) + ordinals
-        uk, tfs = np.unique(key, return_counts=True)
-        t_code = (uk // max(n_docs, 1)).astype(np.int64)
-        t_ord = (uk % max(n_docs, 1)).astype(np.int64)
-        salt = (t_ord * n_salts // max(n_docs, 1)).astype(np.int32)
-        # uk sort order == (term_code, ordinal) == (term_code, salt, ordinal)
-        terms_by_code = np.empty(len(vocab), dtype=object)
-        for t, c in vocab.items():
-            terms_by_code[c] = t
-        # run boundaries where (term_code, salt) changes
+        # batch-local codes -> partition-global codes, still C-level
+        gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
+        genc = gdict.dictionary_encode()
+        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.concatenate(
+            [gidx[b + c] for b, c in zip(bases, code_parts)])
+        ordinals = np.concatenate(ord_parts)
+        vocab_arr = genc.dictionary
+        # composite key (term_code, ordinal) -> tf via one sorted unique
+        nd = max(n_docs, 1)
+        if len(vocab_arr) * nd < 2**62:
+            key = codes * np.int64(nd) + ordinals
+            uk, tfs = np.unique(key, return_counts=True)
+            t_code = uk // nd
+            t_ord = uk % nd
+        else:  # overflow-safe path for astronomically large corpora
+            order = np.lexsort((ordinals, codes))
+            sc, so = codes[order], ordinals[order]
+            newgrp = np.empty(sc.size, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = (np.diff(sc) != 0) | (np.diff(so) != 0)
+            starts_ = np.flatnonzero(newgrp)
+            tfs = np.diff(np.concatenate((starts_, [sc.size])))
+            t_code, t_ord = sc[starts_], so[starts_]
+        salt = (t_ord * n_salts // nd).astype(np.int32)
+        # uk order == (term_code, ordinal) == (term_code, salt, ordinal)
         change = np.flatnonzero(
             (np.diff(t_code) != 0) | (np.diff(salt) != 0)) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [uk.size]))
+        ends = np.concatenate((change, [t_code.size]))
         tfs32 = tfs.astype(np.int32)
-        rows = [(terms_by_code[t_code[s]], int(salt[s]), int(e - s),
-                 t_ord[s:e].tobytes(), tfs32[s:e].tobytes())
-                for s, e in zip(starts, ends)]
-        yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
+        run_terms = vocab_arr.take(
+            pa.array(t_code[starts], pa.int64())).cast(pa.string())
+        ids_col = pa.array([t_ord[s:e].tobytes()
+                            for s, e in zip(starts, ends)], pa.binary())
+        tfs_col = pa.array([tfs32[s:e].tobytes()
+                            for s, e in zip(starts, ends)], pa.binary())
+        yield pa.RecordBatch.from_arrays(
+            [run_terms,
+             pa.array(salt[starts], pa.int32()),
+             pa.array((ends - starts).astype(np.int64), pa.int64()),
+             ids_col, tfs_col],
+            names=["term", "salt", "n", "ids", "tfs"])
     return run
 
 
@@ -276,7 +306,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     if not man.is_complete("index"):
         t0 = man.begin("index")
         run_schema = ("term string, salt int, n long, ids binary, tfs binary")
-        map_runs = corpus_ord.select("ordinal", "content").mapInPandas(
+        map_runs = corpus_ord.select("ordinal", "content").mapInArrow(
             _map_partial_runs_factory(n_docs, n_salts), schema=run_schema)
         partials = (
             map_runs.repartition(partitions, "term", "salt")

@@ -22,11 +22,20 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _TAG_RE = re.compile(r"<[^>]*>")
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
-# ASCII/unicode punctuation + underscore -> space. \w keeps letters/digits.
+# unicode punctuation + underscore -> space. \w keeps letters/digits.
 _PUNCT_RE = re.compile(r"[^\w\s]|_")
+
+# RE2 (Arrow) equivalents — RE2 has no lookaround, so the camel boundary is
+# a capture-group replace; char classes are spelled with \p{..} to stay
+# unicode-equivalent to Python's \w. Parity is enforced by tests.
+_TAG_RE2 = r"<[^>]*>"
+_CAMEL_RE2 = r"([a-z0-9])([A-Z])"
+_PUNCT_RE2 = r"[^\p{L}\p{N}\s]|_"
 
 
 def tokenize(text: str) -> list[str]:
@@ -58,3 +67,38 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     s = s.str.replace(_CAMEL_RE, " ", regex=True)
     s = s.str.replace(_PUNCT_RE, " ", regex=True)
     return s.str.lower().str.split()
+
+
+def tokenize_arrow(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Arrow-native tokenizer: StringArray -> ListArray<string>.
+
+    Semantically identical to ``tokenize``/``tokenize_series`` (tests
+    enforce parity) but runs entirely in Arrow C++ (RE2 + vectorized utf8
+    kernels): NO Python objects are created per token. This is the hot-path
+    variant for the index build — per-token Python string allocation was the
+    dominant cost and killed multi-worker scaling.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    x = pc.replace_substring_regex(texts, pattern=_TAG_RE2, replacement=" ")
+    x = pc.replace_substring_regex(x, pattern=_CAMEL_RE2,
+                                   replacement=r"\1 \2")
+    x = pc.replace_substring_regex(x, pattern=_PUNCT_RE2, replacement=" ")
+    x = pc.utf8_lower(x)
+    toks = pc.utf8_split_whitespace(x)
+    # strip empty tokens produced by leading/trailing whitespace
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    # rebuild list offsets after dropping empties: offset[i+1] = kept tokens
+    # up to the end of list i (lists cover `flat` contiguously)
+    import numpy as np
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths).astype(np.int64)
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    kept_cum = np.concatenate(([0], np.cumsum(keep_np)))
+    new_offsets = np.empty(len(lengths) + 1, dtype=np.int64)
+    new_offsets[0] = 0
+    new_offsets[1:] = kept_cum[np.cumsum(lengths)]
+    values = pc.filter(flat, keep)
+    return pa.LargeListArray.from_arrays(
+        pa.array(new_offsets, pa.int64()), values)
