@@ -95,3 +95,61 @@ def corpus_spark_schema():
 
 def corpus_to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(pdf, schema=corpus_spark_schema())
+
+
+def make_corpus_spark(spark, n_docs: int, seed: int = 42,
+                      vocab_size: int = 2000, min_tokens: int = 50,
+                      max_tokens: int = 400, partitions: int = 64):
+    """Distributed synthetic corpus: same schema/statistics as make_corpus
+    but generated in parallel executors (deterministic per doc index), for
+    benchmark corpora too large to build on the driver."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    vocab = np.array(_vocab(vocab_size), dtype=object)
+    ranks = np.arange(vocab_size, dtype=np.float64)
+    probs = 1.0 / (ranks + 1.0) ** 1.1
+    probs /= probs.sum()
+    langs = np.array(LANGS, dtype=object)
+    lang_w = np.array(LANG_WEIGHTS)
+
+    def gen(batches):
+        import hashlib
+        for rb in batches:
+            ids = rb.column("id").to_numpy(zero_copy_only=False)
+            out = {"repo": [], "path": [], "commit": [], "lang": [],
+                   "content": [], "content_sha256": [], "doc_id": []}
+            for i in ids.tolist():
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                lang = str(langs[int(rng.choice(len(langs), p=lang_w))])
+                repo = f"org{i % 7}/repo{i % 23}"
+                path = f"src/pkg{i % 13}/mod{i}.{lang[:2]}"
+                commit = hashlib.sha256(
+                    f"{repo}/{path}".encode()).hexdigest()[:12]
+                ln = int(rng.integers(min_tokens, max_tokens + 1))
+                toks = vocab[rng.choice(vocab_size, size=ln, p=probs)]
+                parts = [" ".join(toks[j:j + 8])
+                         for j in range(0, len(toks), 8)]
+                content = "\n".join(parts)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["lang"].append(lang)
+                out["content"].append(content)
+                out["content_sha256"].append(content_sha256(content))
+                out["doc_id"].append(doc_id_of(repo, path, commit))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["repo"], pa.string()),
+                 pa.array(out["path"], pa.string()),
+                 pa.array(out["commit"], pa.string()),
+                 pa.array(out["lang"], pa.string()),
+                 pa.array(out["content"], pa.string()),
+                 pa.array(out["content_sha256"], pa.string()),
+                 pa.array(out["doc_id"], pa.int64())],
+                names=["repo", "path", "commit", "lang", "content",
+                       "content_sha256", "doc_id"])
+
+    return (spark.range(n_docs).repartition(partitions)
+            .mapInArrow(gen, schema="repo string, path string, commit string,"
+                        " lang string, content string, content_sha256 string,"
+                        " doc_id long"))

@@ -87,29 +87,6 @@ def with_doc_identity(corpus: DataFrame) -> DataFrame:
     return out
 
 
-def _assign_ordinals_factory(offsets: dict[int, int]):
-    """Assign dense ordinals AND doc_len in one pass (tokenize happens here
-    once; the docs stage is then a pure-JVM projection of this output)."""
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [p for p in batches if len(p)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        toks = tokenize_arrow(pa.array(pdf["content"], type=pa.string()))
-        pdf["doc_len"] = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        out = []
-        for bucket, g in pdf.groupby("bucket", sort=True):
-            ids = g["doc_id"].to_numpy(np.int64)
-            order = np.argsort(ids, kind="stable")
-            g = g.iloc[order].copy()
-            g["ordinal"] = offsets[int(bucket)] + np.arange(len(g),
-                                                            dtype=np.int64)
-            out.append(g)
-        yield pd.concat(out, ignore_index=True).drop(columns=["bucket"])
-    return assign
-
-
 # ------------------------------------------------------------ pandas UDF bodies
 
 def _map_partial_runs_factory(n_docs: int, n_salts: int):
@@ -260,7 +237,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     n_salts = n_salts or DEFAULT_N_SALTS
 
     # ---- stage: corpus (identity + dense ordinals; Iceberg-snapshot analog) --
+    # 100% JVM (whole-stage codegen): doc_len via regexp tokenizer expr,
+    # ordinal = bucket offset (broadcast tiny dim) + row_number within
+    # bucket ordered by doc_id. No Python touches the content here.
     if not man.is_complete("corpus"):
+        from pyspark.sql import Window
+
+        from .tokenizer import spark_token_count_expr
         t0 = man.begin("corpus")
         c = with_doc_identity(corpus)
         shift = 63 - ORDINAL_BUCKET_BITS
@@ -271,13 +254,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         for b in sorted(counts):
             offsets[b] = acc
             acc += counts[b]
-        schema = T.StructType(
-            [f for f in c.schema.fields if f.name != "bucket"]
-            + [T.StructField("doc_len", T.LongType(), False),
-               T.StructField("ordinal", T.LongType(), False)])
+        off_df = F.broadcast(spark.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "bucket int, _boff long"))
+        w = Window.partitionBy("bucket").orderBy("doc_id")
         ordinal_ed = (
-            c.repartition(min(partitions, 1 << ORDINAL_BUCKET_BITS), "bucket")
-            .mapInPandas(_assign_ordinals_factory(offsets), schema=schema))
+            c.join(off_df, "bucket")
+            .withColumn("doc_len", spark_token_count_expr(F.col("content"))
+                        .cast("long"))
+            .withColumn("ordinal",
+                        (F.col("_boff") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("bucket", "_boff"))
         ordinal_ed.write.mode("overwrite").parquet(man.stage_path("corpus"))
         man.commit("corpus", t0, acc, {"buckets": len(counts)})
     corpus_ord = spark.read.parquet(man.stage_path("corpus"))

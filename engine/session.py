@@ -30,7 +30,13 @@ def get_spark(master: str | None = None, app_name: str = "fulltext-engine",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # tmpfs shuffle dir: on a real cluster this is the node-local NVMe
+        # scratch; on this sandbox /tmp is a slow virtio disk that serializes
+        # concurrent shuffle writers (measured 10x stage slowdown)
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+                if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -69,6 +69,19 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return s.str.lower().str.split()
 
 
+def spark_token_count_expr(col):
+    """JVM Column expression: token count of `col` under the SAME
+    normalization as ``tokenize`` (Java regex supports lookaround and, via
+    (?U), unicode \\w — parity with the Python tokenizer is test-enforced).
+    Used where only doc_len is needed: whole-stage codegen, no Python."""
+    from pyspark.sql import functions as F
+    x = F.regexp_replace(col, r"<[^>]*>", " ")
+    x = F.regexp_replace(x, r"(?<=[a-z0-9])(?=[A-Z])", " ")
+    x = F.regexp_replace(x, r"(?U)[^\w\s]|_", " ")
+    toks = F.split(F.lower(x), r"\s+")
+    return F.size(F.filter(toks, lambda t: t != F.lit("")))
+
+
 def tokenize_arrow(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Arrow-native tokenizer: StringArray -> ListArray<string>.
 
