@@ -42,9 +42,13 @@ class BuildManifest:
 
     def is_complete(self, stage: str) -> bool:
         """Stage counts as done only if manifest says so AND its parquet
-        output survived (a _SUCCESS marker written by Spark)."""
-        if stage not in self.state["completed"]:
+        output survived (a _SUCCESS marker written by Spark); manifest-only
+        stages (has_output=False) need no directory."""
+        snap = self.state["completed"].get(stage)
+        if snap is None:
             return False
+        if not snap.get("has_output", True):
+            return True
         out = self.stage_path(stage)
         return os.path.exists(os.path.join(out, "_SUCCESS"))
 
@@ -59,13 +63,15 @@ class BuildManifest:
         return time.time()
 
     def commit(self, stage: str, t0: float, rows: int,
-               metrics: dict[str, Any] | None = None) -> None:
+               metrics: dict[str, Any] | None = None,
+               has_output: bool = True) -> None:
         snap = {
             "snapshot_id": len(self.state["snapshots"]) + 1,
             "stage": stage,
             "rows": int(rows),
             "wall_s": round(time.time() - t0, 3),
             "metrics": metrics or {},
+            "has_output": has_output,
         }
         self.state["snapshots"].append(snap)
         self.state["completed"][stage] = snap

@@ -270,24 +270,31 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     corpus_ord = spark.read.parquet(man.stage_path("corpus"))
 
     # ---- stage: docs (forward index / doc stats; reference `urls` table) ----
-    # pure-JVM projection: doc_len was computed in the corpus stage
+    # pure-JVM projection: doc_len was computed in the corpus stage; the
+    # corpus-wide stats (N, total_len -> avgdl) ride along on the SAME write
+    # job via the Observation API (no extra pass / no extra Spark job).
     if not man.is_complete("docs"):
+        from pyspark.sql import Observation
         t0 = man.begin("docs")
-        docs = corpus_ord.drop("content")
+        obs = Observation("doc_stats")
+        docs = corpus_ord.drop("content").observe(
+            obs, F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("total_len"))
         docs.write.mode("overwrite").parquet(man.stage_path("docs"))
-        n = spark.read.parquet(man.stage_path("docs")).count()
-        man.commit("docs", t0, n)
+        got = obs.get
+        man.commit("docs", t0, int(got["n_docs"]),
+                   {"n_docs": int(got["n_docs"]),
+                    "total_len": int(got["total_len"])})
     docs = spark.read.parquet(man.stage_path("docs"))
 
-    # ---- stage: stats (N, avgdl — broadcast-side scalars) ----
+    # ---- stage: stats (N, avgdl — broadcast-side scalars, manifest-only) ----
     if not man.is_complete("stats"):
         t0 = man.begin("stats")
-        stats = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_len").alias("total_len"))
-        stats.write.mode("overwrite").parquet(man.stage_path("stats"))
-        man.commit("stats", t0, 1)
-    n_docs = int(spark.read.parquet(man.stage_path("stats")).first()["n_docs"])
+        dm = man.state["completed"]["docs"]["metrics"]
+        man.commit("stats", t0, 1, {"n_docs": dm["n_docs"],
+                                    "total_len": dm["total_len"]},
+                   has_output=False)
+    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
 
     # ---- stage: index (salted two-phase posting build) ----
     if not man.is_complete("index"):
@@ -304,14 +311,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             .sortWithinPartitions("term", "salt")
             .mapInPandas(_merge_term_runs, schema=INDEX_SCHEMA)
         )
+        from pyspark.sql import Observation
+        iobs = Observation("index_stats")
+        index = index.observe(
+            iobs, F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("postings"),
+            F.sum(F.length("postings")).alias("bytes"))
         index.write.mode("overwrite").parquet(man.stage_path("index"))
-        idx = spark.read.parquet(man.stage_path("index"))
-        n_terms = idx.count()
-        agg = idx.agg(F.sum("df").alias("postings"),
-                      F.sum(F.length("postings")).alias("bytes")).first()
-        man.commit("index", t0, n_terms, {
-            "postings_emitted": int(agg["postings"]),
-            "bytes_compressed": int(agg["bytes"]),
+        got = iobs.get
+        man.commit("index", t0, int(got["n_terms"]), {
+            "postings_emitted": int(got["postings"]),
+            "bytes_compressed": int(got["bytes"]),
             "n_salts": n_salts,
             "partitions": partitions,
         })
@@ -335,14 +345,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         lineage = docs_lin.unionByName(idx_lin).select(
             "stage", "partition_id", "docs_processed",
             "postings_emitted", "bytes_compressed")
+        from pyspark.sql import Observation
+        lobs = Observation("lineage_rows")
+        lineage = lineage.observe(lobs, F.count(F.lit(1)).alias("rows"))
         lineage.write.mode("overwrite").parquet(man.stage_path("_lineage"))
-        man.commit("_lineage", t0, lineage.count())
+        man.commit("_lineage", t0, int(lobs.get["rows"]))
 
     return man
 
 
 def load_stats(spark: SparkSession, out_dir: str) -> tuple[int, float]:
-    row = spark.read.parquet(os.path.join(out_dir, "stats")).first()
-    n_docs = int(row["n_docs"])
-    avgdl = (int(row["total_len"]) / n_docs) if n_docs else 0.0
+    man = BuildManifest(out_dir)
+    m = man.state["completed"]["stats"]["metrics"]
+    n_docs = int(m["n_docs"])
+    avgdl = (int(m["total_len"]) / n_docs) if n_docs else 0.0
     return n_docs, avgdl

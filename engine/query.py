@@ -202,6 +202,70 @@ class SearchEngine:
         all_s = np.concatenate([seed_scores, surv_scores])
         return self._topk(all_c, all_s, k)
 
+    # --------------------------------------------------- distributed scoring
+
+    def search_distributed(self, query: str, k: int = 10,
+                           mode: str = "ranked") -> list[tuple[int, int, float]]:
+        """Same result as ``search`` (bitwise — tests assert it), computed as
+        a Spark job instead of on the driver. This is the path for when a
+        query's candidate set exceeds driver memory (hot single-term queries
+        over 10^12 docs): postings stay partitioned, per-term contributions
+        are computed in Arrow batches, and the per-doc sum runs inside
+        F.aggregate over a sort_array'd (term_idx, contrib) list — i.e. the
+        SAME sorted-term float64 accumulation order as the oracle, which a
+        plain distributed SUM() would not guarantee.
+        """
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        terms = query_terms(query)
+        if not terms:
+            return []
+        postings = self._fetch(terms)  # df/idf come from the driver cache
+        if mode == "conjunctive" and len(postings) < len(terms):
+            return []
+        if not postings:
+            return []
+        term_meta = {t: (i, self._idf(tp.df))
+                     for i, (t, tp) in enumerate(sorted(postings.items()))}
+        n_required = len(postings) if mode == "conjunctive" else 1
+        avgdl, k1, b = self.avgdl, K1, B
+        doc_lens = self._doc_lens  # closure-captured (broadcast by Spark)
+
+        idx = (self.index_df
+               .where(F.col("term").isin(list(postings)))
+               .select("term", "postings"))
+
+        def contribs(batches):
+            for pdf in batches:
+                outs = []
+                for term, blob in zip(pdf["term"], pdf["postings"]):
+                    ti, idf = term_meta[term]
+                    ids, tfs = decode_postings(bytes(blob))
+                    tf = tfs.astype(np.float64)
+                    dl = doc_lens[ids].astype(np.float64)
+                    w = idf * ((tf * (k1 + 1.0))
+                               / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+                    outs.append(pd.DataFrame(
+                        {"ordinal": ids, "term_idx": ti, "contrib": w}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cdf = idx.mapInPandas(
+            contribs, schema="ordinal long, term_idx int, contrib double")
+        scored = (cdf.groupBy("ordinal")
+                  .agg(F.count("*").alias("nt"),
+                       F.aggregate(
+                           F.sort_array(F.collect_list(
+                               F.struct("term_idx", "contrib"))),
+                           F.lit(0.0),
+                           lambda acc, x: acc + x["contrib"]).alias("score"))
+                  .where(F.col("nt") >= n_required))
+        rows = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
+                .limit(k).collect())
+        return [(i + 1, int(self._ext_ids[r["ordinal"]]), float(r["score"]))
+                for i, r in enumerate(rows)]
+
     # ------------------------------------------- reference TF-IDF (secondary)
 
     def search_tfidf_reference(self, query: str, k: int = 300,

@@ -29,6 +29,10 @@ def get_spark(master: str | None = None, app_name: str = "fulltext-engine",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # smaller splits: the Arrow/pandas map stages do substantial CPU work
+        # per byte, so 16MB tasks keep all cores busy (128MB default gives a
+        # handful of tasks for a mid-size corpus and idles the cluster)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # tmpfs shuffle dir: on a real cluster this is the node-local NVMe

@@ -72,3 +72,15 @@ def test_tfidf_reference_scorer(engine, fixture_corpus_pdf):
         assert [(d) for _, d, _ in got] == [(d) for _, d, _ in want]
         for (_, _, gs), (_, _, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_distributed_scoring_matches_driver(engine, golden):
+    """search_distributed must be bitwise rank-identical to the driver path
+    (and therefore to the oracle) — the sort_array/aggregate fold preserves
+    the sorted-term float64 accumulation order."""
+    queries, _ = golden
+    picked = [q for q in queries if q["query_id"] % 5 == 0][:8]
+    for q in picked:
+        want = engine.search(q["query"], k=q["k"], mode=q["mode"])
+        got = engine.search_distributed(q["query"], k=q["k"], mode=q["mode"])
+        assert got == want, f"distributed mismatch for {q}"
