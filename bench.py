@@ -141,6 +141,42 @@ def _scaling_child(n_cores: int, base: str) -> None:
         spark.stop()
 
 
+def _hw_ceiling() -> float | None:
+    """Pure-multiprocessing tokenize scaling 4->16 pinned CPUs (no Spark):
+    the hardware's own N->4N efficiency for this workload class."""
+    import subprocess
+    script = (
+        "import sys, time, multiprocessing as mp\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "def work(texts):\n"
+        "    import pyarrow as pa, pyarrow.compute as pc\n"
+        "    from engine.tokenizer import tokenize_arrow\n"
+        "    t = tokenize_arrow(pa.array(texts))\n"
+        "    return int(pc.sum(pc.list_value_length(t)).as_py())\n"
+        "if __name__ == '__main__':\n"
+        "    n = int(sys.argv[1])\n"
+        "    from engine.corpus import make_corpus\n"
+        "    texts = make_corpus(48000, seed=3)['content'].tolist()\n"
+        "    chunks = [texts[i::n*3] for i in range(n*3)]\n"
+        "    with mp.Pool(n) as p:\n"
+        "        p.map(work, chunks[:n])\n"
+        "        t0 = time.time(); p.map(work, chunks)\n"
+        "        print(time.time() - t0)\n")
+    if not shutil.which("taskset"):
+        return None
+    try:
+        walls = {}
+        for n in (4, 16):
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c",
+                 script, str(n)],
+                capture_output=True, text=True, timeout=600)
+            walls[n] = float(out.stdout.strip().splitlines()[-1])
+        return round(walls[4] / (4 * walls[16]), 4)
+    except Exception:
+        return None
+
+
 def _scaling_run(n_cores: int, base: str) -> float:
     """One 'cluster size' = a subprocess CPU-pinned to n_cores cores
     (taskset), so JVM + python workers genuinely share only that budget —
@@ -227,6 +263,7 @@ def main():
     if RUN_SCALING:
         base = _scaling_base()
         _scaling_prepare(base)
+        hw = _hw_ceiling()
         thr = {n: _scaling_run(n, base) for n in (4, 16)}
         shutil.rmtree(base, ignore_errors=True)
         scaling = {
@@ -243,6 +280,11 @@ def main():
             "map_stage_scaling_efficiency_N_to_4N": round(
                 thr[16]["map_docs_per_sec"]
                 / (4 * thr[4]["map_docs_per_sec"]), 4),
+            # single-box ceiling: SAME tokenize workload via bare
+            # multiprocessing (no Spark) at the same pinned CPU counts —
+            # memory bandwidth is shared on one box, unlike a real 4x
+            # cluster where each node brings its own
+            "hw_ceiling_efficiency_N_to_4N": hw,
         }
 
     total = time.time() - t_total0
