@@ -23,7 +23,7 @@ import sys
 def _spark(args):
     from pyspark.sql import SparkSession
 
-    from .session import get_spark
+    from engine.session import get_spark
     if args.master:
         return get_spark(master=args.master)
     # under spark-submit the master is already in the conf; reuse it
@@ -64,9 +64,9 @@ def main(argv=None):
 
     spark = _spark(args)
     if args.cmd == "build":
-        from .index_build import build_index
+        from engine.index_build import build_index
         if args.input.startswith("synthetic:"):
-            from .corpus import corpus_to_spark, make_corpus
+            from engine.corpus import corpus_to_spark, make_corpus
             corpus = corpus_to_spark(
                 spark, make_corpus(int(args.input.split(":", 1)[1])))
         else:
@@ -76,7 +76,7 @@ def main(argv=None):
                           resume=not args.no_resume)
         print(json.dumps(man.metrics(), indent=1))
     elif args.cmd == "query":
-        from .query import SearchEngine
+        from engine.query import SearchEngine
         eng = SearchEngine(spark, args.index)
         res = eng.search(args.query, k=args.k, mode=args.mode)
         print(json.dumps([
