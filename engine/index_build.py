@@ -147,7 +147,11 @@ def _map_partial_runs_factory(n_docs: int, n_salts: int):
             starts_ = np.flatnonzero(newgrp)
             tfs = np.diff(np.concatenate((starts_, [sc.size])))
             t_code, t_ord = sc[starts_], so[starts_]
-        salt = (t_ord * n_salts // nd).astype(np.int32)
+        # overflow-safe range salt: ceil-div keeps <= n_salts buckets and
+        # works for arbitrarily large id spaces (streaming uses raw 63-bit
+        # doc_ids here; t_ord * n_salts would overflow int64)
+        salt_div = max(1, (nd + n_salts - 1) // n_salts)
+        salt = (t_ord // salt_div).astype(np.int32)
         # uk order == (term_code, ordinal) == (term_code, salt, ordinal)
         change = np.flatnonzero(
             (np.diff(t_code) != 0) | (np.diff(salt) != 0)) + 1

@@ -1,0 +1,54 @@
+"""Structured-Streaming incremental ingest: files land in two waves; the
+compacted index must be BYTE-IDENTICAL (terms, df, postings blobs) to a
+batch build over the union corpus, and the SearchEngine over it must be
+rank-identical to the oracle."""
+
+import os
+
+from engine.corpus import corpus_spark_schema, corpus_to_spark, make_corpus
+from engine.index_build import build_index
+from engine.oracle import Bm25Oracle
+from engine.query import SearchEngine
+from engine.streaming import compact, start_ingest
+
+
+def _fingerprint(spark, out):
+    rows = (spark.read.parquet(f"{out}/index")
+            .select("term", "df", "postings").collect())
+    return sorted((r["term"], r["df"], bytes(r["postings"])) for r in rows)
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    pdf = make_corpus(400, seed=11)
+    wave1, wave2 = pdf.iloc[:250], pdf.iloc[250:]
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+
+    # wave 1 lands, stream drains it (availableNow)
+    corpus_to_spark(spark, wave1).coalesce(2).write.mode("append").parquet(src)
+    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    # wave 2 lands, stream resumes from checkpoint (exactly-once file source)
+    corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
+    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    out_stream = str(tmp_path / "idx_stream")
+    compact(spark, work, out_stream, partitions=4)
+
+    out_batch = str(tmp_path / "idx_batch")
+    build_index(spark, corpus_to_spark(spark, pdf), out_batch,
+                n_salts=8, partitions=4)
+
+    assert _fingerprint(spark, out_stream) == _fingerprint(spark, out_batch)
+
+    eng = SearchEngine(spark, out_stream)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    for q in ["def return", "identifier_10", "class import"]:
+        assert eng.search(q, k=10, mode="ranked") == oracle.topk(q, 10, "ranked")
+        assert eng.search(q, k=10, mode="conjunctive") == \
+            oracle.topk(q, 10, "conjunctive")
