@@ -131,7 +131,7 @@ class SearchEngine:
                prune: bool = True) -> list[tuple[int, int, float]]:
         """Return [(rank, doc_id, score)]; rank-identical to Bm25Oracle."""
         terms = query_terms(query)
-        if not terms:
+        if not terms or k <= 0:
             return []
         postings = self._fetch(terms)
         if mode == "conjunctive":
@@ -174,7 +174,7 @@ class SearchEngine:
         seed_term = max(postings.values(), key=self._term_ub)
         seed = seed_term.doc_ids
         seed_scores = self._score(terms, postings, seed)
-        if seed.size >= k:
+        if k <= seed.size:  # k >= 1 guaranteed by search()
             theta = np.partition(seed_scores, seed.size - k)[seed.size - k]
         else:
             theta = -np.inf

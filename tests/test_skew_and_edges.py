@@ -1,0 +1,102 @@
+"""Skew + edge-case coverage:
+- adversarial hot term (in EVERY doc): salted build stays correct and the
+  hot term's partial runs are actually spread across salt buckets (the
+  north-rule skew story, verifiable at small scale);
+- unicode content end-to-end rank-identity;
+- degenerate queries (k=0, huge k, >50 terms, all-absent).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.corpus import corpus_to_spark, doc_id_of, content_sha256
+from engine.index_build import build_index
+from engine.oracle import Bm25Oracle
+from engine.query import SearchEngine
+
+
+def _mk(rows):
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
+                                      "content"])
+    pdf["content_sha256"] = pdf["content"].map(content_sha256)
+    pdf["doc_id"] = [doc_id_of(r, p, c) for r, p, c in
+                     zip(pdf["repo"], pdf["path"], pdf["commit"])]
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def skew_setup(spark, tmp_path_factory):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(600):
+        # "hot" in every doc; tail terms rare
+        toks = ["hot"] * int(rng.integers(1, 4)) + [
+            f"tail_{int(rng.integers(0, 500))}" for _ in range(20)]
+        rng.shuffle(toks)
+        rows.append((f"o/r{i%5}", f"p/{i}.py", f"c{i:04d}", "python",
+                     " ".join(toks)))
+    pdf = _mk(rows)
+    out = str(tmp_path_factory.mktemp("skew") / "idx")
+    build_index(spark, corpus_to_spark(spark, pdf), out,
+                n_salts=8, partitions=4)
+    return pdf, out
+
+
+def test_hot_term_correct_and_salted(spark, skew_setup):
+    pdf, out = skew_setup
+    eng = SearchEngine(spark, out)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    assert eng.search("hot", k=20) == oracle.topk("hot", 20)
+    assert eng.search("hot tail_1", k=20, mode="conjunctive") == \
+        oracle.topk("hot tail_1", 20, "conjunctive")
+    # the hot posting list covers all docs
+    tp = eng._fetch(["hot"])["hot"]
+    assert tp.df == len(pdf)
+
+
+def test_hot_term_salt_distribution(spark, skew_setup):
+    """Re-run just the map phase and check the hot term's runs land in
+    multiple salt buckets — the explicit skew defusal."""
+    from pyspark.sql import functions as F
+
+    pdf, out = skew_setup
+    corpus_ord = spark.read.parquet(f"{out}/corpus")
+    from engine.index_build import _map_partial_runs_factory
+    fn = _map_partial_runs_factory(len(pdf), 8)
+    runs = (corpus_ord.select("ordinal", "content")
+            .mapInArrow(fn, schema="term string, salt int, n long, "
+                                   "ids binary, tfs binary"))
+    hot = runs.where(F.col("term") == "hot").groupBy("salt").agg(
+        F.sum("n").alias("n")).collect()
+    salts = {r["salt"]: r["n"] for r in hot}
+    assert len(salts) >= 4  # spread across buckets, not one reducer
+    assert sum(salts.values()) == len(pdf)
+    assert max(salts.values()) <= len(pdf) / 2  # no bucket holds the list
+
+
+def test_unicode_corpus_end_to_end(spark, tmp_path):
+    rows = [
+        ("o/r", "a.py", "c1", "python", "café naïve déjà café"),
+        ("o/r", "b.py", "c2", "python", "中文 分词 搜索 中文"),
+        ("o/r", "c.py", "c3", "python", "naïve search 中文 engine"),
+        ("o/r", "d.py", "c4", "python", "plain ascii words only"),
+    ]
+    pdf = _mk(rows)
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus_to_spark(spark, pdf), out,
+                n_salts=2, partitions=2)
+    eng = SearchEngine(spark, out)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    for q in ["café", "中文", "naïve 中文", "CAFÉ"]:
+        assert eng.search(q, k=10) == oracle.topk(q, 10), q
+
+
+def test_degenerate_queries(spark, built_index):
+    out, _ = built_index
+    eng = SearchEngine(spark, out)
+    assert eng.search("def", k=0) == []
+    assert len(eng.search("def", k=10**9)) == eng._fetch(["def"])["def"].df
+    many = " ".join(f"identifier_{i}" for i in range(60))
+    assert isinstance(eng.search(many, k=5), list)
+    assert eng.search("nope_1 nope_2 nope_3", k=5) == []
