@@ -99,4 +99,9 @@ def test_degenerate_queries(spark, built_index):
     assert len(eng.search("def", k=10**9)) == eng._fetch(["def"])["def"].df
     many = " ".join(f"identifier_{i}" for i in range(60))
     assert isinstance(eng.search(many, k=5), list)
-    assert eng.search("nope_1 nope_2 nope_3", k=5) == []
+    # terms absent from the corpus (tokenizer splits "_" and digits, so use
+    # pure-alpha nonsense): both modes must return empty
+    assert eng.search("zzqxj wwvbk qqprt", k=5) == []
+    assert eng.search("zzqxj wwvbk qqprt", k=5, mode="conjunctive") == []
+    # conjunctive with one absent term is empty even if others are hot
+    assert eng.search("def zzqxj", k=5, mode="conjunctive") == []
