@@ -116,7 +116,7 @@ scored as (
 ),
 ranked as (
   select doc_id, round(score, 6) as score_r,
-         row_number() over (order by round(score, 6) desc, doc_id) as rank
+         cast(row_number() over (order by round(score, 6) desc, doc_id) as bigint) as rank
   from scored
 )
 select doc_id, rank, score_r from ranked where rank <= {k}
@@ -178,7 +178,8 @@ scored as (
   group by tf.doc_id
 )
 select doc_id, round(score, 6) as score_r,
-       row_number() over (order by round(score, 6) desc, doc_id) as rank
+       cast(row_number() over (order by round(score, 6) desc, doc_id)
+            as bigint) as rank
 from scored
 """).where(F.col("rank") <= TOPK)
 
@@ -437,7 +438,131 @@ def q_bm25_engine_topk(spark, sf_dir):
     rounded = sorted(((round(s, 6), d) for _, d, s in rows),
                      key=lambda x: (-x[0], x[1]))
     pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
-    return spark.createDataFrame(pdf, "doc_id long, rank int, score_r double")
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+# --------------------------------------------- multimodal binary-column ops
+
+def q_media_metadata(spark, sf_dir):
+    """Typed metadata over opaque binary payloads (JVM-side, no Python)."""
+    from .multimodal import with_media_columns
+    return with_media_columns(_t(spark, sf_dir, "documents")) \
+        .drop("payload")
+
+
+def q_image_decode_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary image
+    payloads (deterministic fake decoder; real codec stubbed — see
+    engine/multimodal.py)."""
+    from .multimodal import image_features, with_media_columns
+    return image_features(with_media_columns(_t(spark, sf_dir, "documents")))
+
+
+def q_frame_sample(spark, sf_dir):
+    """1->N frame sampling fan-out over video payloads via mapInPandas."""
+    from .multimodal import frame_samples, with_media_columns
+    return frame_samples(with_media_columns(_t(spark, sf_dir, "documents")))
+
+
+def q_audio_chunk_stats(spark, sf_dir):
+    from .multimodal import audio_chunks, with_media_columns
+    return audio_chunks(with_media_columns(_t(spark, sf_dir, "documents")))
+
+
+# ------------------------------------------------- similarity scale paths
+
+def q_lsh_bucket_counts(spark, sf_dir):
+    from .similarity import lsh_bucket_counts
+    return lsh_bucket_counts(spark, sf_dir)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from .similarity import ann_lsh_topk
+    return ann_lsh_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
+
+
+def q_neardup_embedding_pairs(spark, sf_dir):
+    from .similarity import neardup_pairs_lsh
+    return neardup_pairs_lsh(spark, sf_dir)
+
+
+def q_ivf_cells(spark, sf_dir):
+    from .similarity import ivf_cells
+    return ivf_cells(spark, sf_dir)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from .similarity import ann_ivf_topk
+    return ann_ivf_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
+
+
+# ------------------------------------------------- text-analysis extras
+
+LANG_PROFILES = [
+    ("en", ["the ", " and ", "ing "]),
+    ("de", [" der ", " und ", "sch"]),
+    ("fr", [" le ", " que ", " des "]),
+]
+_BPE_RE = (r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+"
+           r"| ?[^A-Za-z0-9\s]+|\s+")
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def _marker_count(col, marker: str):
+    """Occurrences of a literal marker: (len - len(remove)) / len(marker) —
+    identical semantics in Spark and DuckDB (replace/length)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(marker))))
+            / len(marker)).cast("long")
+
+
+def q_langid_ngram(spark, sf_dir):
+    """n-gram-marker language-ID heuristic: score each doc against each
+    profile's markers, argmax (ties -> profile name asc)."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = None
+    for lang, markers in LANG_PROFILES:
+        sc = docs.select(
+            "doc_id", F.lit(lang).alias("pred_lang"),
+            sum(_marker_count(F.col("text"), m) for m in markers)
+            .alias("score"))
+        scored = sc if scored is None else scored.unionAll(sc)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("pred_lang"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "pred_lang", "score"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting: GPT-2-style pre-tokenizer regex, counted
+    JVM-side (regexp_count); whitespace runs excluded."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long")
+        .alias("n_pieces"),
+        F.regexp_count("text", F.lit(r"\s+")).cast("long")
+        .alias("n_ws"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash): md5 over char
+    k-grams, min per sliding window of w, count distinct selected hashes.
+    Exploded k-grams + window min — all JVM expressions."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1},"
+            f" 1)), i -> md5(substring(text, i, {WINNOW_K})))"))
+        .alias("pos", "h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, WINNOW_W - 1))
+    return (grams.withColumn("wm", F.min("h").over(w))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("wm").alias("n_fp")))
 
 
 # ------------------------------------------------------------------ rows-only
@@ -506,6 +631,18 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
+        "media_metadata": q_media_metadata,
+        "image_decode_features": q_image_decode_features,
+        "frame_sample": q_frame_sample,
+        "audio_chunk_stats": q_audio_chunk_stats,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "neardup_embedding_pairs": q_neardup_embedding_pairs,
+        "ivf_cells": q_ivf_cells,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "langid_ngram": q_langid_ngram,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "simhash64": q_simhash64,  # rows-only
     }
 
@@ -675,5 +812,158 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        **_multimodal_oracles(),
+        **_similarity_oracles(),
+        **_text_extra_oracles(),
         # simhash64: intentionally no oracle (rows-only driver check)
+    }
+
+
+# ------------------------------------------------ oracle builders (new ops)
+
+_MEDIA_TYPE_SQL = ("case cast(doc_id % 3 as int) when 0 then 'image' "
+                   "when 1 then 'audio' else 'video' end")
+
+
+def _multimodal_oracles() -> dict[str, str]:
+    from .multimodal import _FRAME_MOD, _H_MOD, _W_MOD, AUDIO_CHUNK
+    return {
+        "media_metadata": f"""
+            select doc_id, {_MEDIA_TYPE_SQL} as media_type,
+                   octet_length(encode(text)) as n_bytes,
+                   sha256(text) as sha
+            from documents""",
+        # text is ASCII (verified): byte_sum == sum of codepoints,
+        # first_byte == ascii of first char
+        "image_decode_features": f"""
+            with img as (
+              select doc_id, octet_length(encode(text)) as n,
+                     list_sum(list_transform(string_split(text, ''),
+                                             c -> ascii(c))) as bsum,
+                     ascii(substr(text, 1, 1)) as fb
+              from documents where doc_id % 3 = 0)
+            select doc_id, n % {_W_MOD} + 1 as width,
+                   (n * 31) % {_H_MOD} + 1 as height,
+                   (n % {_W_MOD} + 1) * 1000000
+                     // ((n * 31) % {_H_MOD} + 1) as aspect_um,
+                   cast(coalesce(bsum, 0) as bigint) as byte_sum,
+                   cast(coalesce(fb, -1) as bigint) as first_byte
+            from img""",
+        "frame_sample": f"""
+            with vid as (
+              select doc_id, octet_length(encode(text)) as n,
+                     octet_length(encode(text)) % {_FRAME_MOD} + 1
+                       as n_frames
+              from documents where doc_id % 3 = 2)
+            select doc_id, u.i as frame_idx,
+                   (u.i * n) // n_frames as frame_off
+            from vid, unnest(range(0, n_frames,
+                             cast(ceil(n_frames / 8.0) as bigint)))
+                 as u(i)""",
+        "audio_chunk_stats": f"""
+            with aud as (
+              select doc_id, octet_length(encode(text)) as n_bytes
+              from documents where doc_id % 3 = 1)
+            select doc_id, u.i as chunk_idx,
+                   least({AUDIO_CHUNK},
+                         n_bytes - u.i * {AUDIO_CHUNK}) as chunk_bytes
+            from aud, unnest(range(0, cast(ceil(n_bytes / {AUDIO_CHUNK}.0)
+                                           as bigint))) as u(i)""",
+    }
+
+
+def _similarity_oracles() -> dict[str, str]:
+    from .similarity import (NEARDUP_MIN_SIM, ivf_assign_sql,
+                             lsh_signature_sql)
+    sig = lsh_signature_sql()
+    ivf = ivf_assign_sql()
+    ann_ql = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "lsh_bucket_counts": f"""
+            with {sig}
+            select bucket, count(*) as n_vecs from sig group by bucket""",
+        "ann_lsh_topk": f"""
+            with {sig},
+            q as (select vec_id as qid, emb as qe, nrm as qn, bucket
+                  from sig where vec_id in ({ann_ql})),
+            cand as (
+              select q.qid, s.vec_id,
+                     round(list_dot_product(q.qe, s.emb)
+                           / (q.qn * s.nrm), 6) as sim
+              from q join sig s on q.bucket = s.bucket
+              where s.vec_id <> q.qid)
+            select qid, row_number() over (partition by qid
+                     order by sim desc, vec_id) as rank, vec_id, sim
+            from cand qualify rank <= {ANN_K}""",
+        "neardup_embedding_pairs": f"""
+            with {sig}
+            select a.vec_id as ida, b.vec_id as idb,
+                   round(list_dot_product(a.emb, b.emb)
+                         / (a.nrm * b.nrm), 6) as sim
+            from sig a join sig b
+              on a.bucket = b.bucket and a.vec_id < b.vec_id
+            where round(list_dot_product(a.emb, b.emb)
+                        / (a.nrm * b.nrm), 6) >= {NEARDUP_MIN_SIM}""",
+        "ivf_cells": f"""
+            with {ivf}
+            select cell, count(*) as n_vecs from assigned group by cell""",
+        "ann_ivf_topk": f"""
+            with {ivf},
+            q as (select vec_id as qid, e as qe, nrm as qn from assigned
+                  where vec_id in ({ann_ql})),
+            probes as (
+              select qid, qe, qn, cid as cell from (
+                select q.qid, q.qe, q.qn, cents.cid,
+                       row_number() over (partition by q.qid
+                         order by round(list_dot_product(q.qe, cents.ce)
+                                        / (q.qn * cents.cn), 6) desc,
+                                  cents.cid) as prn
+                from q cross join cents) where prn <= 2),
+            cand as (
+              select p.qid, a.vec_id,
+                     round(list_dot_product(p.qe, a.e)
+                           / (p.qn * a.nrm), 6) as sim
+              from probes p join assigned a on p.cell = a.cell
+              where a.vec_id <> p.qid)
+            select qid, row_number() over (partition by qid
+                     order by sim desc, vec_id) as rank, vec_id, sim
+            from cand qualify rank <= {ANN_K}""",
+    }
+
+
+def _text_extra_oracles() -> dict[str, str]:
+    prof_rows = " union all ".join(
+        f"select doc_id, '{lang}' as pred_lang, ("
+        + " + ".join(
+            f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}"
+            for m in markers)
+        + ") as score from documents"
+        for lang, markers in LANG_PROFILES)
+    bpe = _BPE_RE.replace("'", "''")
+    return {
+        "langid_ngram": f"""
+            with scored as ({prof_rows})
+            select doc_id, pred_lang, score from (
+              select *, row_number() over (partition by doc_id
+                order by score desc, pred_lang) as rn from scored)
+            where rn = 1""",
+        "bpe_token_count": f"""
+            select doc_id,
+                   len(regexp_extract_all(text, '{bpe}')) as n_pieces,
+                   len(regexp_extract_all(text, '\\s+')) as n_ws
+            from documents""",
+        "winnow_fingerprints": f"""
+            with grams as (
+              select doc_id, u.i as pos,
+                     md5(substr(text, cast(u.i as int), {WINNOW_K})) as h
+              from (select doc_id, text from documents where doc_id < 200),
+                   unnest(range(1, greatest(length(text) - {WINNOW_K - 1},
+                                            1) + 1)) as u(i)),
+            wm as (select doc_id,
+                          min(h) over (partition by doc_id order by pos
+                            rows between current row
+                            and {WINNOW_W - 1} following) as wm
+                   from grams)
+            select doc_id, count(distinct wm) as n_fp from wm
+            group by doc_id""",
     }

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns — the scale paths.
+
+Brute-force cosine top-k (contract_queries.q_ann_cosine_topk) is the
+baseline: an O(Q x N) crossJoin that is exact but unusable at 100 TB. This
+module adds the two standard scale paths, both as pure DataFrame plans
+(JVM-side dot products via zip_with/aggregate, broadcast dim tables, bucket
+equi-joins instead of cross joins):
+
+- **LSH (random hyperplanes)**: 8 sign bits -> 256 buckets; candidates =
+  same-bucket equi-join (a shuffle-on-bucket hash join; at scale the bucket
+  key is the partitioner, so each candidate set is partition-local).
+  Also powers embedding-cosine near-dup pair mining.
+- **IVF**: K deterministic centroids (broadcast), one assignment pass
+  (argmax cosine), probe the nprobe nearest cells at query time; exact
+  re-rank inside probed cells only.
+
+Everything is deterministic (hyperplanes from a fixed seed, centroids = a
+fixed vec_id stride) and arithmetic is double-precision with a fixed fold
+order, so the DuckDB oracles replicate results bit-for-bit (sims rounded to
+6 dp, ranks ordered by the rounded value, ties by vec_id).
+
+Recall note (documented, by design): LSH/IVF are approximate — they return
+the exact top-k *within the probed candidate set*. Tests quantify recall
+against the brute-force baseline; the contract oracles verify the plumbing
+exactly by replicating the same candidate generation in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+LSH_SEED = 42
+IVF_STRIDE = 50          # centroids = vec_id % IVF_STRIDE == 0
+IVF_NPROBE = 2
+NEARDUP_MIN_SIM = 0.3    # corpus max pairwise cosine is ~0.48
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded so the SQL literal and the
+    Spark literal are the same numbers."""
+    rng = np.random.default_rng(LSH_SEED)
+    return [[round(float(x), 6) for x in rng.standard_normal(DIM)]
+            for _ in range(N_PLANES)]
+
+
+def _dot(a, b):
+    """JVM-side dot product with left-to-right fold order (matches DuckDB's
+    list_dot_product order, so sign decisions agree bitwise)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    return (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("e")))
+
+
+def with_lsh_bucket(emb: DataFrame) -> DataFrame:
+    """Add norm + LSH bucket id (0..2^N_PLANES-1) from hyperplane signs."""
+    planes = hyperplanes()
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        harr = F.array(*[F.lit(v) for v in h])
+        bit = (_dot(F.col("e"), harr) >= 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << j)
+    return emb.withColumn("nrm", F.sqrt(_dot("e", "e"))) \
+              .withColumn("bucket", bucket)
+
+
+def lsh_bucket_counts(spark, sf_dir) -> DataFrame:
+    return (with_lsh_bucket(_emb(spark, sf_dir))
+            .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
+
+
+def ann_lsh_topk(spark, sf_dir, query_ids: list[int], k: int) -> DataFrame:
+    """Top-k within the query's LSH bucket: bucket equi-join (no crossJoin)
+    + exact cosine + windowed rank. The bucket join is the scale path — at
+    10^9 vectors only same-bucket pairs shuffle."""
+    from pyspark.sql import Window
+    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    q = (sig.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn"), "bucket"))
+    cand = (F.broadcast(q).join(sig, "bucket")
+            .where(F.col("vec_id") != F.col("qid"))
+            .withColumn("sim", F.round(
+                _dot("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "sim"))
+
+
+def neardup_pairs_lsh(spark, sf_dir, min_sim: float = NEARDUP_MIN_SIM
+                      ) -> DataFrame:
+    """Embedding-cosine near-dup mining: same-bucket pairs (ida < idb) with
+    cosine >= min_sim. Candidate generation is the bucket self-join — the
+    O(N^2) crossJoin never happens."""
+    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    a = sig.select("bucket", F.col("vec_id").alias("ida"),
+                   F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = sig.select("bucket", F.col("vec_id").alias("idb"),
+                   F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (a.join(b, "bucket").where(F.col("ida") < F.col("idb"))
+            .withColumn("sim", F.round(
+                _dot("ea", "eb") / (F.col("na") * F.col("nb")), 6))
+            .where(F.col("sim") >= min_sim)
+            .select("ida", "idb", "sim"))
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic 'trained' centroids: every IVF_STRIDE-th vector (the
+    sandbox stand-in for a k-means pass; at scale this is a sampled+trained
+    small table either way). Small -> broadcast."""
+    return (emb.where(F.col("vec_id") % IVF_STRIDE == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+            .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
+
+
+def with_ivf_cell(emb: DataFrame) -> DataFrame:
+    """One assignment pass: each vector joins the broadcast centroid table,
+    argmax rounded cosine (ties -> lowest cid)."""
+    from pyspark.sql import Window
+    cents = _centroids(emb)
+    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    scored = (emb_n.crossJoin(F.broadcast(cents))
+              .withColumn("csim", F.round(
+                  _dot("e", "ce") / (F.col("nrm") * F.col("cn")), 6)))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
+                                             F.col("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "e", "nrm", F.col("cid").alias("cell")))
+
+
+def ivf_cells(spark, sf_dir) -> DataFrame:
+    return (with_ivf_cell(_emb(spark, sf_dir))
+            .groupBy("cell").agg(F.count("*").alias("n_vecs")))
+
+
+def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF query: rank centroids per query, probe the top-nprobe cells,
+    exact cosine re-rank within probed cells only."""
+    from pyspark.sql import Window
+    emb = _emb(spark, sf_dir)
+    assigned = with_ivf_cell(emb)
+    cents = _centroids(emb)
+    q = (assigned.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn")))
+    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(),
+                                           F.col("cid"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("csim", F.round(
+                  _dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6))
+              .withColumn("prn", F.row_number().over(wq))
+              .where(F.col("prn") <= nprobe)
+              .select("qid", "qe", "qn", F.col("cid").alias("cell")))
+    cand = (F.broadcast(probes).join(assigned, "cell")
+            .where(F.col("vec_id") != F.col("qid"))
+            .withColumn("sim", F.round(
+                _dot("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "sim"))
+
+
+# ----------------------------------------------------------------- SQL mirrors
+
+def _sql_lit(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in vec) + "]"
+
+
+def lsh_signature_sql() -> str:
+    """DuckDB CTE `sig`: vec_id, emb, nrm, bucket — same planes, same fold
+    order (list_dot_product), same sign rule."""
+    planes = hyperplanes()
+    bits = " + ".join(
+        f"(case when list_dot_product(emb, {_sql_lit(h)}) >= 0 "
+        f"then {1 << j} else 0 end)" for j, h in enumerate(planes))
+    return f"""
+    sig as (
+      select vec_id, embedding::DOUBLE[] as emb,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) as nrm,
+             ({bits}) as bucket
+      from embeddings)"""
+
+
+def ivf_assign_sql() -> str:
+    """DuckDB CTEs `emb`, `cents`, `assigned` mirroring with_ivf_cell."""
+    return f"""
+    emb as (select vec_id, embedding::DOUBLE[] as e,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) as nrm
+            from embeddings),
+    cents as (select vec_id as cid, e as ce, nrm as cn from emb
+              where vec_id % {IVF_STRIDE} = 0),
+    assigned as (
+      select vec_id, e, nrm, cid as cell from (
+        select emb.vec_id, emb.e, emb.nrm, cents.cid,
+               row_number() over (partition by emb.vec_id
+                 order by round(list_dot_product(emb.e, cents.ce)
+                                / (emb.nrm * cents.cn), 6) desc,
+                          cents.cid) as rn
+        from emb cross join cents) where rn = 1)"""

