@@ -22,7 +22,13 @@ against SQL oracles.
 Training-pipeline extras (task brief): dedup_exact, minhash_lsh_buckets,
 ngram_jaccard_pairs, simhash64 (rows-only), fingerprint, quality_scores,
 dominant_term (lang-id style argmax), token_stats, ann_cosine_topk,
-embedding_norms.
+embedding_norms; plus (engine/multimodal.py) media_metadata,
+image_decode_features, frame_sample, audio_chunk_stats;
+(engine/similarity.py) lsh_bucket_counts, ann_lsh_topk,
+neardup_embedding_pairs, ivf_cells, ann_ivf_topk; and text-analysis
+extras langid_ngram, bpe_token_count, winnow_fingerprints — every one
+with a DuckDB oracle whose constants/literals are generated from the same
+Python source of truth as the Spark plan.
 """
 
 from __future__ import annotations

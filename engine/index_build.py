@@ -261,14 +261,31 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         off_df = F.broadcast(spark.createDataFrame(
             [(b, o) for b, o in offsets.items()], "bucket int, _boff long"))
         w = Window.partitionBy("bucket").orderBy("doc_id")
-        ordinal_ed = (
-            c.join(off_df, "bucket")
-            .withColumn("doc_len", spark_token_count_expr(F.col("content"))
-                        .cast("long"))
-            .withColumn("ordinal",
-                        (F.col("_boff") + F.row_number().over(w) - 1)
-                        .cast("long"))
-            .drop("bucket", "_boff"))
+        doc_len = spark_token_count_expr(F.col("content")).cast("long")
+        if acc <= 5_000_000:
+            # content NEVER shuffles: ranks are computed on a pruned
+            # (doc_id, bucket) projection (16 B/row through the exchange
+            # instead of the whole document), then broadcast-joined back, so
+            # the heavy branch is a map-only scan -> join -> doc_len -> write.
+            # At 100 TB the doc-id->ordinal map itself is a big table; past
+            # the broadcast budget we fall through to the co-partitioned
+            # window below (content shuffles once, on bucket).
+            ords = (c.select("doc_id", "bucket").join(off_df, "bucket")
+                    .withColumn("ordinal",
+                                (F.col("_boff") + F.row_number().over(w) - 1)
+                                .cast("long"))
+                    .select("doc_id", "ordinal"))
+            ordinal_ed = (c.drop("bucket")
+                          .join(F.broadcast(ords), "doc_id")
+                          .withColumn("doc_len", doc_len))
+        else:
+            ordinal_ed = (
+                c.join(off_df, "bucket")
+                .withColumn("doc_len", doc_len)
+                .withColumn("ordinal",
+                            (F.col("_boff") + F.row_number().over(w) - 1)
+                            .cast("long"))
+                .drop("bucket", "_boff"))
         ordinal_ed.write.mode("overwrite").parquet(man.stage_path("corpus"))
         man.commit("corpus", t0, acc, {"buckets": len(counts)})
     corpus_ord = spark.read.parquet(man.stage_path("corpus"))
