@@ -67,7 +67,7 @@ def _scaling_prepare(base: str) -> None:
         return
     spark = _build_session("local[16]", 32)
     try:
-        make_corpus_spark(spark, SCALING_DOCS, seed=7, partitions=96) \
+        make_corpus_spark(spark, SCALING_DOCS, seed=7, partitions=128) \
             .write.mode("overwrite").parquet(os.path.join(base, "corpus"))
         make_corpus_spark(spark, 4000, seed=9, partitions=16) \
             .write.mode("overwrite").parquet(os.path.join(base, "pilot"))
@@ -95,7 +95,7 @@ def _warm_workers(spark, n_cores: int) -> None:
 def _scaling_child(n_cores: int, base: str) -> None:
     """Runs inside `taskset -c 0..n-1`. Reports two steady-state numbers
     (the sandbox VM is noisy, so best-of-N):
-    - docs_per_sec: best of 2 timed FULL builds (all stages + checkpoints)
+    - docs_per_sec: best of 2 timed FULL builds per child; each level runs twice, interleaved (4,16,4,16), best kept
     - map_docs_per_sec: min-wall of 3 runs of the dominant distributed
       stage alone (tokenize -> map-side combined posting runs), which is
       what actually scales with executors at 10^12-file size — the O(1)
@@ -196,7 +196,46 @@ def main():
     throughput: dict[str, float] = {}
     t_total0 = time.time()
 
-    # ---------------- phase 1: sf_dir workload ----------------
+    # ---------------- phase A: scaling N vs 4N (run FIRST: the pinned
+    # children must see a pristine box — a live parent JVM from the workload
+    # phase measurably slows them, so corpus prep also runs in a subprocess
+    # and this parent owns no JVM yet) ----------------
+    scaling = {}
+    if RUN_SCALING:
+        import subprocess
+        base = _scaling_base()
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--prepare", base], capture_output=True, timeout=900)
+        # interleave levels (4,16,4,16), keep the best per level: this VM's
+        # run-to-run throughput swings 2-3x on minute timescales (the
+        # no-Spark hw ceiling itself measured 0.25..0.84 across identical
+        # runs); interleaving stops a slump from poisoning one level
+        thr: dict[int, dict] = {}
+        for n in (4, 16, 4, 16):
+            got = _scaling_run(n, base)
+            prev = thr.get(n)
+            thr[n] = got if prev is None else {
+                k: max(prev[k], got[k]) for k in got}
+        hw = _hw_ceiling()
+        shutil.rmtree(base, ignore_errors=True)
+        scaling = {
+            "docs": SCALING_DOCS,
+            "cpu_pinned": bool(shutil.which("taskset")),
+            "throughput_docs_per_sec": {
+                f"{n}cpu": round(v["docs_per_sec"], 2)
+                for n, v in thr.items()},
+            "map_stage_docs_per_sec": {
+                f"{n}cpu": round(v["map_docs_per_sec"], 2)
+                for n, v in thr.items()},
+            "scaling_efficiency_N_to_4N": round(
+                thr[16]["docs_per_sec"] / (4 * thr[4]["docs_per_sec"]), 4),
+            "map_stage_scaling_efficiency_N_to_4N": round(
+                thr[16]["map_docs_per_sec"]
+                / (4 * thr[4]["map_docs_per_sec"]), 4),
+            "hw_ceiling_efficiency_N_to_4N": hw,
+        }
+
+    # ---------------- phase B: sf_dir workload ----------------
     spark = _build_session(f"local[{CPUS}]", max(16, CPUS))
     try:
         from engine import contract_queries as cq
@@ -246,46 +285,15 @@ def main():
         # headline contract queries
         for name in ["term_counts", "term_df", "bm25_rank", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
-                     "fold_by_key", "join_customer_orders",
-                     "window_top_order"]:
+                     "ann_lsh_topk", "ann_ivf_topk", "neardup_embedding_pairs",
+                     "image_decode_features", "frame_sample", "langid_ngram",
+                     "winnow_fingerprints", "fold_by_key",
+                     "join_customer_orders", "window_top_order"]:
             fn = cq.queries()[name]
             t, _ = _timed(lambda: fn(spark, SF_DIR).collect())
             queries[name] = round(t, 4)
     finally:
         spark.stop()
-
-    # ---------------- phase 2: scaling N vs 4N ----------------
-    # Two N->4N pairs: 2->8 cores leaves the 32-core box unsaturated at both
-    # levels (the faithful stand-in for adding executor machines to a
-    # cluster); 8->32 also saturates shared memory bandwidth + JVM/Python
-    # co-residency on ONE box, which a real multi-node 4x would not.
-    scaling = {}
-    if RUN_SCALING:
-        base = _scaling_base()
-        _scaling_prepare(base)
-        hw = _hw_ceiling()
-        thr = {n: _scaling_run(n, base) for n in (4, 16)}
-        shutil.rmtree(base, ignore_errors=True)
-        scaling = {
-            "docs": SCALING_DOCS,
-            "cpu_pinned": bool(shutil.which("taskset")),
-            "throughput_docs_per_sec": {
-                f"{n}cpu": round(v["docs_per_sec"], 2)
-                for n, v in thr.items()},
-            "map_stage_docs_per_sec": {
-                f"{n}cpu": round(v["map_docs_per_sec"], 2)
-                for n, v in thr.items()},
-            "scaling_efficiency_N_to_4N": round(
-                thr[16]["docs_per_sec"] / (4 * thr[4]["docs_per_sec"]), 4),
-            "map_stage_scaling_efficiency_N_to_4N": round(
-                thr[16]["map_docs_per_sec"]
-                / (4 * thr[4]["map_docs_per_sec"]), 4),
-            # single-box ceiling: SAME tokenize workload via bare
-            # multiprocessing (no Spark) at the same pinned CPU counts —
-            # memory bandwidth is shared on one box, unlike a real 4x
-            # cluster where each node brings its own
-            "hw_ceiling_efficiency_N_to_4N": hw,
-        }
 
     total = time.time() - t_total0
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -303,5 +311,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--prepare":
+        _scaling_prepare(sys.argv[2])
     else:
         main()

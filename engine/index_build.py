@@ -4,20 +4,22 @@ reference's (missing) Indexer job, whose contract is fixed by its consumers
 
 Pipeline (all lazy DataFrame ops; shuffles marked):
 
-  corpus(repo,path,commit,lang,content)
-    ├── stage "corpus": doc_id + content_sha256 (JVM-side sha2/conv) and
-    │     DENSE ORDINALS. Postings that store raw 63-bit hash doc_ids are
-    │     incompressible (avg delta ~2^63/df → 8-9 varint bytes); dense
-    │     ordinals 0..N-1 assigned in doc_id order give avg delta N/df →
-    │     1-2 bytes. Assignment is a deterministic bucket-offset scheme,
-    │     NOT a global sort: bucket = high bits of the hash-uniform doc_id
-    │     (fixed ranges, balanced), per-bucket counts -> cumulative offsets
-    │     (tiny driver array), ordinal = offset[bucket] + rank within bucket.
-    │     Ordinals are monotone in doc_id, so doc_id order == ordinal order
-    │     everywhere downstream.                       [SHUFFLE 0 on bucket]
-    ├── stage "docs":  forward index = pure-JVM projection (doc_len was
-    │     computed alongside ordinals — one tokenize pass)    [no shuffle]
-    ├── stage "postings":
+  corpus(repo,path,commit,lang,content)   <- immutable source, never copied
+    ├── stage "docs": doc_id + content_sha256 (JVM-side sha2/conv), DENSE
+    │     ORDINALS, doc_len — the metadata-only snapshot (~50 B/doc; the
+    │     reference `urls` table analog). Postings that store raw 63-bit
+    │     hash doc_ids are incompressible (avg delta ~2^63/df → 8-9 varint
+    │     bytes); dense ordinals 0..N-1 assigned in doc_id order give avg
+    │     delta N/df → 1-2 bytes. Assignment is a deterministic
+    │     bucket-offset scheme, NOT a global sort: bucket = high bits of
+    │     the hash-uniform doc_id (fixed ranges, balanced), per-bucket
+    │     counts -> cumulative offsets (tiny driver array), ordinal =
+    │     offset[bucket] + rank within bucket — ranks computed on a pruned
+    │     (doc_id, bucket) projection and broadcast-joined back, so CONTENT
+    │     NEVER SHUFFLES and is never rewritten. Ordinals are monotone in
+    │     doc_id, so doc_id order == ordinal order everywhere downstream.
+    │                              [SHUFFLE 0: 16 B/row ordinal ranks only]
+    ├── stage "index": source content + broadcast (doc_id -> ordinal) map,
     │     mapInPandas MAP-SIDE COMBINE: tokenize + factorize terms to int
     │     codes + one int64 np.unique for (term,doc) tf counts, then emit
     │     ONE PACKED ROW per (term, range-salt) per map partition (sorted
@@ -61,6 +63,7 @@ from .tokenizer import tokenize_arrow
 
 DEFAULT_N_SALTS = 8
 ORDINAL_BUCKET_BITS = 6  # 64 fixed doc_id range buckets for ordinal assignment
+BROADCAST_DOC_LIMIT = 5_000_000  # (doc_id -> ordinal) map broadcast budget
 
 
 # ---------------------------------------------------------------- doc identity
@@ -240,15 +243,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
     n_salts = n_salts or DEFAULT_N_SALTS
 
-    # ---- stage: corpus (identity + dense ordinals; Iceberg-snapshot analog) --
+    # ---- stage: docs (identity + dense ordinals + doc stats — the snapshot) --
+    # Iceberg mindset: the source table is already durable and immutable, so
+    # the checkpoint stores ONLY metadata (doc_id, ordinal, doc_len, repo,
+    # path, commit, lang, content_sha256) — never a copy of content. At
+    # 100 TB the old design (rewrite the corpus to attach ordinals) would
+    # copy the entire dataset; this one writes ~50 B/doc.
     # 100% JVM (whole-stage codegen): doc_len via regexp tokenizer expr,
     # ordinal = bucket offset (broadcast tiny dim) + row_number within
-    # bucket ordered by doc_id. No Python touches the content here.
-    if not man.is_complete("corpus"):
-        from pyspark.sql import Window
+    # bucket ordered by doc_id; corpus-wide stats (N, total_len -> avgdl)
+    # ride along on the SAME write job via the Observation API.
+    if not man.is_complete("docs"):
+        from pyspark.sql import Observation, Window
 
         from .tokenizer import spark_token_count_expr
-        t0 = man.begin("corpus")
+        t0 = man.begin("docs")
         c = with_doc_identity(corpus)
         shift = 63 - ORDINAL_BUCKET_BITS
         c = c.withColumn("bucket", F.shiftright("doc_id", shift).cast("int"))
@@ -262,50 +271,41 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             [(b, o) for b, o in offsets.items()], "bucket int, _boff long"))
         w = Window.partitionBy("bucket").orderBy("doc_id")
         doc_len = spark_token_count_expr(F.col("content")).cast("long")
-        if acc <= 5_000_000:
+        if acc <= BROADCAST_DOC_LIMIT:
             # content NEVER shuffles: ranks are computed on a pruned
             # (doc_id, bucket) projection (16 B/row through the exchange
             # instead of the whole document), then broadcast-joined back, so
-            # the heavy branch is a map-only scan -> join -> doc_len -> write.
-            # At 100 TB the doc-id->ordinal map itself is a big table; past
-            # the broadcast budget we fall through to the co-partitioned
-            # window below (content shuffles once, on bucket).
+            # the heavy branch is a map-only scan -> join -> doc_len -> drop
+            # content -> write. Past the broadcast budget the ordinal map is
+            # a big table too; fall through to the co-partitioned window
+            # (content shuffles once, on bucket, and is dropped at write).
             ords = (c.select("doc_id", "bucket").join(off_df, "bucket")
                     .withColumn("ordinal",
                                 (F.col("_boff") + F.row_number().over(w) - 1)
                                 .cast("long"))
                     .select("doc_id", "ordinal"))
-            ordinal_ed = (c.drop("bucket")
-                          .join(F.broadcast(ords), "doc_id")
-                          .withColumn("doc_len", doc_len))
+            docs_df = (c.drop("bucket")
+                       .join(F.broadcast(ords), "doc_id")
+                       .withColumn("doc_len", doc_len)
+                       .drop("content"))
         else:
-            ordinal_ed = (
+            docs_df = (
                 c.join(off_df, "bucket")
                 .withColumn("doc_len", doc_len)
                 .withColumn("ordinal",
                             (F.col("_boff") + F.row_number().over(w) - 1)
                             .cast("long"))
-                .drop("bucket", "_boff"))
-        ordinal_ed.write.mode("overwrite").parquet(man.stage_path("corpus"))
-        man.commit("corpus", t0, acc, {"buckets": len(counts)})
-    corpus_ord = spark.read.parquet(man.stage_path("corpus"))
-
-    # ---- stage: docs (forward index / doc stats; reference `urls` table) ----
-    # pure-JVM projection: doc_len was computed in the corpus stage; the
-    # corpus-wide stats (N, total_len -> avgdl) ride along on the SAME write
-    # job via the Observation API (no extra pass / no extra Spark job).
-    if not man.is_complete("docs"):
-        from pyspark.sql import Observation
-        t0 = man.begin("docs")
+                .drop("bucket", "_boff", "content"))
         obs = Observation("doc_stats")
-        docs = corpus_ord.drop("content").observe(
+        docs_df = docs_df.observe(
             obs, F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").alias("total_len"))
-        docs.write.mode("overwrite").parquet(man.stage_path("docs"))
+        docs_df.write.mode("overwrite").parquet(man.stage_path("docs"))
         got = obs.get
         man.commit("docs", t0, int(got["n_docs"]),
                    {"n_docs": int(got["n_docs"]),
-                    "total_len": int(got["total_len"])})
+                    "total_len": int(got["total_len"]),
+                    "buckets": len(counts)})
     docs = spark.read.parquet(man.stage_path("docs"))
 
     # ---- stage: stats (N, avgdl — broadcast-side scalars, manifest-only) ----
@@ -321,7 +321,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     if not man.is_complete("index"):
         t0 = man.begin("index")
         run_schema = ("term string, salt int, n long, ids binary, tfs binary")
-        map_runs = corpus_ord.select("ordinal", "content").mapInArrow(
+        # content comes straight from the immutable source; only the tiny
+        # (doc_id -> ordinal) map from the docs snapshot joins in (broadcast
+        # below the limit; at 10^12 files a doc_id-co-partitioned join).
+        ordmap = docs.select("doc_id", "ordinal")
+        if n_docs <= BROADCAST_DOC_LIMIT:
+            ordmap = F.broadcast(ordmap)
+        pair = (with_doc_identity(corpus).select("doc_id", "content")
+                .join(ordmap, "doc_id").select("ordinal", "content"))
+        map_runs = pair.mapInArrow(
             _map_partial_runs_factory(n_docs, n_salts), schema=run_schema)
         partials = (
             map_runs.repartition(partitions, "term", "salt")

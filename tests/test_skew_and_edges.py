@@ -61,12 +61,14 @@ def test_hot_term_salt_distribution(spark, skew_setup):
     from pyspark.sql import functions as F
 
     pdf, out = skew_setup
-    corpus_ord = spark.read.parquet(f"{out}/corpus")
+    # content lives only in the source; join the snapshot's ordinal map back
+    ordmap = spark.read.parquet(f"{out}/docs").select("doc_id", "ordinal")
+    src = corpus_to_spark(spark, pdf).select("doc_id", "content")
+    pair = src.join(F.broadcast(ordmap), "doc_id").select("ordinal", "content")
     from engine.index_build import _map_partial_runs_factory
     fn = _map_partial_runs_factory(len(pdf), 8)
-    runs = (corpus_ord.select("ordinal", "content")
-            .mapInArrow(fn, schema="term string, salt int, n long, "
-                                   "ids binary, tfs binary"))
+    runs = pair.mapInArrow(fn, schema="term string, salt int, n long, "
+                                      "ids binary, tfs binary")
     hot = runs.where(F.col("term") == "hot").groupBy("salt").agg(
         F.sum("n").alias("n")).collect()
     salts = {r["salt"]: r["n"] for r in hot}
