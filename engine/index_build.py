@@ -242,6 +242,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         man.state = {"snapshots": [], "completed": {}}
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
     n_salts = n_salts or DEFAULT_N_SALTS
+    # null rows are dropped, like the reference's fromTable lambda-null
+    # convention (flame/FlameContextImpl.java:62-67); empty strings stay
+    # (doc_len 0, no postings)
+    corpus = corpus.where(F.col("content").isNotNull())
 
     # ---- stage: docs (identity + dense ordinals + doc stats — the snapshot) --
     # Iceberg mindset: the source table is already durable and immutable, so

@@ -107,3 +107,28 @@ def test_degenerate_queries(spark, built_index):
     assert eng.search("zzqxj wwvbk qqprt", k=5, mode="conjunctive") == []
     # conjunctive with one absent term is empty even if others are hot
     assert eng.search("def zzqxj", k=5, mode="conjunctive") == []
+
+
+def test_null_and_empty_content(spark, tmp_path):
+    """Null content rows are dropped (reference fromTable semantics,
+    FlameContextImpl.java:62-67); empty/whitespace docs index cleanly with
+    doc_len 0 and never appear in results."""
+    import pandas as pd
+    rows = [("o/r", f"p{i}.py", f"c{i}", "python", t) for i, t in enumerate(
+        ["def foo bar", "", "   ", "def baz", None])]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang",
+                                      "content"])
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                n_salts=2, partitions=2)
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.count() == 4  # null dropped
+    assert docs.where("doc_len = 0").count() == 2
+    assert docs.where("doc_len is null").count() == 0
+    eng = SearchEngine(spark, out)
+    got = eng.search("def", k=5)
+    keep = pdf[pdf["content"].notna()]
+    oracle = Bm25Oracle({doc_id_of(r, p, c): t for r, p, c, t in
+                         zip(keep["repo"], keep["path"], keep["commit"],
+                             keep["content"])})
+    assert got == oracle.topk("def", 5)
