@@ -230,6 +230,20 @@ INDEX_SCHEMA = T.StructType([
 ])
 
 
+def ordinal_content_pairs(corpus: DataFrame, docs: DataFrame,
+                          n_docs: int) -> DataFrame:
+    """(ordinal, content) input to the posting map stage: content comes
+    straight from the immutable source; only the tiny (doc_id -> ordinal)
+    map from the docs snapshot joins in (broadcast below the limit; at
+    10^12 files a doc_id-co-partitioned join). The content side must stay
+    map-only — tests assert the plan has a BroadcastHashJoin here."""
+    ordmap = docs.select("doc_id", "ordinal")
+    if n_docs <= BROADCAST_DOC_LIMIT:
+        ordmap = F.broadcast(ordmap)
+    return (with_doc_identity(corpus).select("doc_id", "content")
+            .join(ordmap, "doc_id").select("ordinal", "content"))
+
+
 # ----------------------------------------------------------------- build stages
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
@@ -325,14 +339,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     if not man.is_complete("index"):
         t0 = man.begin("index")
         run_schema = ("term string, salt int, n long, ids binary, tfs binary")
-        # content comes straight from the immutable source; only the tiny
-        # (doc_id -> ordinal) map from the docs snapshot joins in (broadcast
-        # below the limit; at 10^12 files a doc_id-co-partitioned join).
-        ordmap = docs.select("doc_id", "ordinal")
-        if n_docs <= BROADCAST_DOC_LIMIT:
-            ordmap = F.broadcast(ordmap)
-        pair = (with_doc_identity(corpus).select("doc_id", "content")
-                .join(ordmap, "doc_id").select("ordinal", "content"))
+        pair = ordinal_content_pairs(corpus, docs, n_docs)
         map_runs = pair.mapInArrow(
             _map_partial_runs_factory(n_docs, n_salts), schema=run_schema)
         partials = (

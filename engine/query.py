@@ -57,7 +57,7 @@ class SearchEngine:
         self.index_df = spark.read.parquet(os.path.join(index_dir, "index"))
         # doc stats keyed by dense ordinal -> direct array indexing.
         # Ordinals are assigned in ascending doc_id order (index_build stage
-        # "corpus"), so ordinal order == doc_id order and tie-breaks carry.
+        # "docs"), so ordinal order == doc_id order and tie-breaks carry.
         docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
                 .select("ordinal", "doc_id", "doc_len")
                 .orderBy("ordinal").toPandas())
