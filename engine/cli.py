@@ -4,9 +4,12 @@ Usage:
   spark-submit --py-files engine.zip -m engine.cli ...   # or:
   spark-submit cli_wrapper; locally: python -m engine.cli <cmd> ...
 
-  build  --input DIR|synthetic:N --out DIR [--salts S] [--partitions P]
-  query  --index DIR --query TEXT [--k K] [--mode ranked|conjunctive]
-  bench  (delegates to bench.py's main)
+  build   --input DIR|synthetic:N --out DIR [--salts S] [--partitions P]
+  query   --index DIR --query TEXT [--k K] [--mode ranked|conjunctive]
+  ingest  --source DIR --work DIR    (incremental streaming ingest, drains
+          available files exactly-once and exits; re-run as files land)
+  compact --work DIR --out DIR       (streamed partials -> queryable index)
+  bench   (delegates to bench.py's main)
 
 `build --input DIR` expects a parquet table in the input_hint shape
 (repo, path, commit, lang, content); doc_id/content_sha256 are derived if
@@ -52,6 +55,17 @@ def main(argv=None):
     pq.add_argument("--mode", default="ranked",
                     choices=["ranked", "conjunctive"])
 
+    pi = sub.add_parser("ingest")
+    pi.add_argument("--source", required=True)
+    pi.add_argument("--work", required=True)
+    pi.add_argument("--salts", type=int, default=8)
+
+    pc = sub.add_parser("compact")
+    pc.add_argument("--work", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--salts", type=int, default=8)
+    pc.add_argument("--partitions", type=int, default=16)
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -81,6 +95,20 @@ def main(argv=None):
         res = eng.search(args.query, k=args.k, mode=args.mode)
         print(json.dumps([
             {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+    elif args.cmd == "ingest":
+        from engine.corpus import corpus_spark_schema
+        from engine.streaming import start_ingest
+        q1, q2 = start_ingest(spark, args.source, args.work,
+                              corpus_spark_schema(), n_salts=args.salts)
+        q1.awaitTermination()
+        q2.awaitTermination()
+        print(json.dumps({"ingested": True, "work": args.work}))
+    elif args.cmd == "compact":
+        from engine.streaming import compact
+        compact(spark, args.work, args.out, n_salts=args.salts,
+                partitions=args.partitions)
+        from engine.checkpoint import BuildManifest
+        print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
 
 
 if __name__ == "__main__":

@@ -447,6 +447,20 @@ def q_bm25_engine_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample via md5 of the key — the
+    reproducible analog of the reference's (stubbed) sample(f) operator
+    (flame/FlameRDDImpl.java:140-143). Hash-based sampling is also how a
+    100 TB pipeline samples reproducibly across engines/retries (Spark's
+    df.sample is seed-stable only within one Spark version/partitioning)."""
+    docs = _t(spark, sf_dir, "documents")
+    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                  16, 10).cast("long")
+    return (docs.where(frac % 10 == 0)
+            .select("doc_id", "lang", F.col("n_chars").cast("long")
+                    .alias("n_chars")))
+
+
 # --------------------------------------------- multimodal binary-column ops
 
 def q_media_metadata(spark, sf_dir):
@@ -637,6 +651,7 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
+        "sample_hash": q_sample_hash,
         "media_metadata": q_media_metadata,
         "image_decode_features": q_image_decode_features,
         "frame_sample": q_frame_sample,
@@ -818,6 +833,11 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "sample_hash": """
+            select doc_id, lang, cast(n_chars as bigint) as n_chars
+            from documents
+            where cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))
+                       as bigint) % 10 = 0""",
         **_multimodal_oracles(),
         **_similarity_oracles(),
         **_text_extra_oracles(),
