@@ -290,3 +290,92 @@ class SearchEngine:
         scored = [(d, s) for d, s in acc.items() if s > threshold]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+
+
+# ------------------------------------------------- fully-cluster query path
+
+def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
+               mode: str = "ranked") -> list[tuple[int, int, float]]:
+    """Query WITHOUT any driver-side doc arrays — the 10^12-doc serving
+    path. ``SearchEngine`` keeps doc_len/doc_id as driver arrays (the
+    "broadcast lookup tables" — fine up to ~10^8 docs); past that they
+    cannot exist on one machine, so here:
+
+    - corpus stats come from the manifest (two scalars);
+    - per-term df/idf from a pushdown scan of just the queried terms' index
+      rows (len(terms) rows collected);
+    - posting blobs decode to (ordinal, term_idx, tf) in Arrow batches and
+      JOIN doc_len from the docs table (at scale: co-partitioned on
+      ordinal);
+    - the BM25 weight is a JVM column expression with the exact float64 op
+      order of the NumPy/oracle path, and the per-doc sum folds a
+      sort_array'd (term_idx, contrib) list — same sorted-term accumulation
+      order, so results are BITWISE equal to SearchEngine.search (tests
+      assert it);
+    - the final top-k maps ordinal -> external doc_id via a broadcast join
+      of just k rows, not a driver array.
+    """
+    import pandas as pd
+
+    n_docs, avgdl = load_stats(spark, index_dir)
+    terms = query_terms(query)
+    if not terms or k <= 0:
+        return []
+    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    meta = (index_df.where(F.col("term").isin(terms))
+            .select("term", "df").collect())
+    if not meta or (mode == "conjunctive" and len(meta) < len(terms)):
+        return []
+    ordered = sorted(r["term"] for r in meta)
+    dfs = {r["term"]: int(r["df"]) for r in meta}
+    term_meta = {t: (i, math.log((n_docs - dfs[t] + 0.5)
+                                 / (dfs[t] + 0.5) + 1.0))
+                 for i, t in enumerate(ordered)}
+    n_required = len(meta) if mode == "conjunctive" else 1
+
+    def explode_blobs(batches):
+        for pdf in batches:
+            outs = []
+            for term, blob in zip(pdf["term"], pdf["postings"]):
+                ids, tfs = decode_postings(bytes(blob))
+                outs.append(pd.DataFrame(
+                    {"ordinal": ids, "term_idx": term_meta[term][0],
+                     "tf": tfs.astype(np.float64)}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cdf = (index_df.where(F.col("term").isin(terms))
+           .select("term", "postings")
+           .mapInPandas(explode_blobs,
+                        schema="ordinal long, term_idx int, tf double"))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    dl = docs.select("ordinal", F.col("doc_len").cast("double").alias("dl"))
+    idf_df = F.broadcast(spark.createDataFrame(
+        [(i, idf) for _, (i, idf) in term_meta.items()],
+        "term_idx int, idf double"))
+    # exact float64 op order of Bm25Oracle/_tfw:
+    #   idf * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
+    tf = F.col("tf")
+    contrib = (F.col("idf")
+               * ((tf * F.lit(K1 + 1.0))
+                  / (tf + F.lit(K1) * (F.lit(1.0 - B)
+                                       + F.lit(B) * (F.col("dl")
+                                                     / F.lit(avgdl))))))
+    scored = (cdf.join(dl, "ordinal").join(idf_df, "term_idx")
+              .withColumn("contrib", contrib)
+              .groupBy("ordinal")
+              .agg(F.count("*").alias("nt"),
+                   F.aggregate(
+                       F.sort_array(F.collect_list(
+                           F.struct("term_idx", "contrib"))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["contrib"]).alias("score"))
+              .where(F.col("nt") >= n_required))
+    top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
+           .limit(k).select("ordinal", "score"))
+    rows = (F.broadcast(top)
+            .join(docs.select("ordinal", "doc_id"), "ordinal")
+            .orderBy(F.col("score").desc(), F.col("ordinal"))
+            .collect())
+    return [(i + 1, int(r["doc_id"]), float(r["score"]))
+            for i, r in enumerate(rows)]

@@ -84,3 +84,17 @@ def test_distributed_scoring_matches_driver(engine, golden):
         want = engine.search(q["query"], k=q["k"], mode=q["mode"])
         got = engine.search_distributed(q["query"], k=q["k"], mode=q["mode"])
         assert got == want, f"distributed mismatch for {q}"
+
+
+def test_search_big_bitwise_equal(spark, built_index):
+    """The zero-driver-array cluster path returns bitwise-identical results
+    to the driver SearchEngine (and hence to the oracle) in both modes."""
+    from engine.query import SearchEngine, search_big
+    out, _ = built_index
+    eng = SearchEngine(spark, out)
+    for q in ["def", "def return", "class self value", "zzabsent",
+              "def zzabsent"]:
+        for mode in ["ranked", "conjunctive"]:
+            want = eng.search(q, k=7, mode=mode)
+            got = search_big(spark, out, q, k=7, mode=mode)
+            assert got == want, (q, mode, got, want)
