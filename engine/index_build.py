@@ -230,6 +230,31 @@ INDEX_SCHEMA = T.StructType([
 ])
 
 
+def _with_doclen_arrow(df: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """(meta..., content) -> (meta..., doc_len) via tokenize_arrow — the
+    RE2/Arrow twin of tokenizer.spark_token_count_expr (parity
+    test-enforced). Pass-through columns ride the same Arrow batch, so this
+    stays one map-only stage with no join on the content side."""
+    out_schema = T.StructType(
+        [df.schema[name] for name in meta_cols]
+        + [T.StructField("doc_len", T.LongType(), False)])
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            toks = tokenize_arrow(rb.column("content"))
+            lens = pc.list_value_length(toks).cast(pa.int64())
+            lens = pc.coalesce(lens, pa.scalar(0, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(name).combine_chunks()
+                 if isinstance(rb.column(name), pa.ChunkedArray)
+                 else rb.column(name) for name in meta_cols]
+                + [lens if isinstance(lens, pa.Array)
+                   else lens.combine_chunks()],
+                names=meta_cols + ["doc_len"])
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
 def ordinal_content_pairs(corpus: DataFrame, docs: DataFrame,
                           n_docs: int) -> DataFrame:
     """(ordinal, content) input to the posting map stage: content comes
@@ -302,10 +327,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                                 (F.col("_boff") + F.row_number().over(w) - 1)
                                 .cast("long"))
                     .select("doc_id", "ordinal"))
-            docs_df = (c.drop("bucket")
-                       .join(F.broadcast(ords), "doc_id")
-                       .withColumn("doc_len", doc_len)
-                       .drop("content"))
+            # doc_len via the Arrow RE2 tokenizer (pass-through mapInArrow:
+            # metadata columns flow through, content is consumed) — ~2x the
+            # Java-regex expression and identical by the tokenizer-parity
+            # tests. Still a map-only stage.
+            meta_cols = [col for col in c.columns
+                         if col not in ("content", "bucket")]
+            docs_df = (_with_doclen_arrow(c.drop("bucket"), meta_cols)
+                       .join(F.broadcast(ords), "doc_id"))
         else:
             docs_df = (
                 c.join(off_df, "bucket")
