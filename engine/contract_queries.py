@@ -447,6 +447,27 @@ def q_bm25_engine_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+def q_union_all_keys(spark, sf_dir):
+    """union (the reference only gets this implicitly by two jobs writing
+    one table — SURVEY.md §2.1 note): customer+supplier nation keys with
+    provenance, aggregated."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("cust").alias("src"))
+    b = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supp").alias("src"))
+    return a.unionByName(b).groupBy("nationkey", "src").agg(
+        F.count("*").alias("n"))
+
+
+def q_except_custkeys(spark, sf_dir):
+    """except/anti: customers who never placed an order."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    return cust.exceptAll(ordered.distinct())
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic ~10% Bernoulli sample via md5 of the key — the
     reproducible analog of the reference's (stubbed) sample(f) operator
@@ -651,6 +672,8 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
+        "union_all_keys": q_union_all_keys,
+        "except_custkeys": q_except_custkeys,
         "sample_hash": q_sample_hash,
         "media_metadata": q_media_metadata,
         "image_decode_features": q_image_decode_features,
@@ -833,6 +856,15 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "union_all_keys": """
+            select nationkey, src, count(*) as n from (
+              select c_nationkey as nationkey, 'cust' as src from customer
+              union all
+              select s_nationkey as nationkey, 'supp' as src from supplier)
+            group by nationkey, src""",
+        "except_custkeys": """
+            select c_custkey as custkey from customer
+            where c_custkey not in (select o_custkey from orders)""",
         "sample_hash": """
             select doc_id, lang, cast(n_chars as bigint) as n_chars
             from documents
