@@ -69,3 +69,28 @@ def test_salt_count_does_not_change_index(spark, fixture_corpus_pdf, tmp_path):
         build_index(spark, corpus, out, n_salts=n_salts, partitions=parts)
         fps.append(_index_fingerprint(spark, out))
     assert fps[0] == fps[1]
+
+
+def test_beyond_broadcast_limit_fallback_identical(spark, fixture_corpus_pdf,
+                                                   tmp_path, monkeypatch):
+    """Force the >BROADCAST_DOC_LIMIT branch (co-partitioned window, ordinal
+    map NOT broadcast) and assert the index is byte-identical to the
+    broadcast path — the physical strategy must never change the result."""
+    import engine.index_build as ib
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(250))
+
+    out_a = str(tmp_path / "bcast")
+    build_index(spark, corpus, out_a, n_salts=4, partitions=4)
+    fp_a = _index_fingerprint(spark, out_a)
+
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_b = str(tmp_path / "window")
+    build_index(spark, corpus, out_b, n_salts=4, partitions=4)
+    fp_b = _index_fingerprint(spark, out_b)
+    assert fp_a == fp_b
+
+    # docs snapshots identical too (modulo row order)
+    a = spark.read.parquet(f"{out_a}/docs").orderBy("ordinal").collect()
+    b = spark.read.parquet(f"{out_b}/docs").orderBy("ordinal").collect()
+    cols = sorted(a[0].asDict())
+    assert [[r[c] for c in cols] for r in a] == [[r[c] for c in cols] for r in b]
