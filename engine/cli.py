@@ -9,6 +9,8 @@ Usage:
   ingest  --source DIR --work DIR    (incremental streaming ingest, drains
           available files exactly-once and exits; re-run as files land)
   compact --work DIR --out DIR       (streamed partials -> queryable index)
+  merge   --inputs DIR,DIR,... --out DIR  (segment merge: N built indexes ->
+          one, byte-identical to a monolithic build over the union)
   bench   (delegates to bench.py's main)
 
 `build --input DIR` expects a parquet table in the input_hint shape
@@ -66,6 +68,13 @@ def main(argv=None):
     pc.add_argument("--salts", type=int, default=8)
     pc.add_argument("--partitions", type=int, default=16)
 
+    pm = sub.add_parser("merge")
+    pm.add_argument("--inputs", required=True,
+                    help="comma-separated built index dirs")
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--salts", type=int, default=8)
+    pm.add_argument("--partitions", type=int, default=16)
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -103,6 +112,12 @@ def main(argv=None):
         q1.awaitTermination()
         q2.awaitTermination()
         print(json.dumps({"ingested": True, "work": args.work}))
+    elif args.cmd == "merge":
+        from engine.checkpoint import BuildManifest
+        from engine.merge import merge_indexes
+        merge_indexes(spark, args.inputs.split(","), args.out,
+                      n_salts=args.salts, partitions=args.partitions)
+        print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
     elif args.cmd == "compact":
         from engine.streaming import compact
         compact(spark, args.work, args.out, n_salts=args.salts,
