@@ -9,9 +9,11 @@ Phases:
     - BM25 fixture query latency p50/p95 over a query set on that index
     - headline contract queries (term_counts, bm25_rank, ann_cosine_topk, ...)
  2. scaling evidence (north rule's N vs 4N executors, sandbox stand-in):
-    same synthetic index build at local[8] and local[32]; reports docs/sec at
-    both + efficiency = thr(32) / (4 * thr(8)). Skipped if
-    $SPARK_GRAFT_BENCH_SCALING=0.
+    same synthetic index build in taskset-pinned subprocesses at 4 and 16
+    CPUs (levels interleaved 4,16,4,16; best per level); reports docs/sec at
+    both + efficiency = thr(16cpu) / (4 * thr(4cpu)), plus the map-stage
+    numbers and the no-Spark hardware ceiling for context. Runs FIRST, on a
+    pristine box. Skipped if $SPARK_GRAFT_BENCH_SCALING=0.
 """
 
 from __future__ import annotations
