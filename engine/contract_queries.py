@@ -527,6 +527,11 @@ def q_neardup_embedding_pairs(spark, sf_dir):
     return neardup_pairs_lsh(spark, sf_dir)
 
 
+def q_ann_lsh_multiprobe_topk(spark, sf_dir):
+    from .similarity import ann_lsh_multiprobe_topk
+    return ann_lsh_multiprobe_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
+
+
 def q_ivf_cells(spark, sf_dir):
     from .similarity import ivf_cells
     return ivf_cells(spark, sf_dir)
@@ -682,6 +687,7 @@ def queries():
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "neardup_embedding_pairs": q_neardup_embedding_pairs,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ivf_cells": q_ivf_cells,
         "ann_ivf_topk": q_ann_ivf_topk,
         "langid_ngram": q_langid_ngram,
@@ -944,6 +950,22 @@ def _similarity_oracles() -> dict[str, str]:
             with {sig},
             q as (select vec_id as qid, emb as qe, nrm as qn, bucket
                   from sig where vec_id in ({ann_ql})),
+            cand as (
+              select q.qid, s.vec_id,
+                     round(list_dot_product(q.qe, s.emb)
+                           / (q.qn * s.nrm), 6) as sim
+              from q join sig s on q.bucket = s.bucket
+              where s.vec_id <> q.qid)
+            select qid, row_number() over (partition by qid
+                     order by sim desc, vec_id) as rank, vec_id, sim
+            from cand qualify rank <= {ANN_K}""",
+        "ann_lsh_multiprobe_topk": f"""
+            with {sig},
+            q as (select vec_id as qid, emb as qe, nrm as qn, p.b as bucket
+                  from sig, unnest([bucket{"".join(
+                      f", xor(bucket, {1 << j})" for j in range(8))}])
+                    as p(b)
+                  where vec_id in ({ann_ql})),
             cand as (
               select q.qid, s.vec_id,
                      round(list_dot_product(q.qe, s.emb)

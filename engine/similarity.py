@@ -216,3 +216,31 @@ def ivf_assign_sql() -> str:
                                 / (emb.nrm * cents.cn), 6) desc,
                           cents.cid) as rn
         from emb cross join cents) where rn = 1)"""
+
+
+def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int
+                            ) -> DataFrame:
+    """Multi-probe LSH: probe the query's own bucket plus every 1-bit-flip
+    neighbor (N_PLANES+1 buckets). The standard recall fix for sign-LSH —
+    vectors near a hyperplane land on either side, and flipping one bit
+    reaches them — at (P+1)x the candidate cost of single-probe, still a
+    bucket equi-join (never a crossJoin). Deterministic, SQL-mirrored."""
+    from pyspark.sql import Window
+    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    probes = F.array(*([F.col("bucket")]
+                       + [F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                          for j in range(N_PLANES)]))
+    q = (sig.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probes).alias("bucket")))
+    cand = (F.broadcast(q).join(sig, "bucket")
+            .where(F.col("vec_id") != F.col("qid"))
+            .withColumn("sim", F.round(
+                _dot("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "sim"))

@@ -145,3 +145,27 @@ def test_neardup_pairs_symmetric_and_thresholded(spark):
     for r in pairs:
         assert r["ida"] < r["idb"]
         assert r["sim"] >= 0.25
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe, so recall@k
+    vs brute force can only improve; both return exact top-k within their
+    candidate sets."""
+    brute = _brute_topk(spark, [0, 1, 2], 5)
+    single = {(r["qid"], r["vec_id"])
+              for r in sim.ann_lsh_topk(spark, SF, [0, 1, 2], 5).collect()}
+    multi = {(r["qid"], r["vec_id"])
+             for r in sim.ann_lsh_multiprobe_topk(
+                 spark, SF, [0, 1, 2], 5).collect()}
+    hits = lambda got: sum(1 for key, v in brute.items()
+                           if (key[0], v) in got)
+    assert hits(multi) >= hits(single)
+    # each query still returns at most k, ranked by sim desc
+    per_q = {}
+    for r in sim.ann_lsh_multiprobe_topk(spark, SF, [0, 1, 2], 5).collect():
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["sim"]))
+    for qid, rows in per_q.items():
+        rows.sort()
+        assert len(rows) <= 5
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
