@@ -206,8 +206,13 @@ def main():
     if RUN_SCALING:
         import subprocess
         base = _scaling_base()
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--prepare", base], capture_output=True, timeout=900)
+        prep = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prepare", base],
+            capture_output=True, text=True, timeout=900)
+        if prep.returncode != 0:
+            sys.stderr.write(prep.stderr[-4000:])
+            raise RuntimeError("scaling corpus prepare failed "
+                               f"(exit {prep.returncode})")
         # interleave levels (4,16,4,16), keep the best per level: this VM's
         # run-to-run throughput swings 2-3x on minute timescales (the
         # no-Spark hw ceiling itself measured 0.25..0.84 across identical

@@ -715,7 +715,8 @@ def oracle_sql():
         "corpus_stats": f"""
             with dl as (select doc_id, count(*) as doc_len from
                         ({_TOKENS_SQL}) group by doc_id)
-            select count(*) as n_docs, sum(doc_len) as total_len,
+            select count(*) as n_docs,
+                   cast(sum(doc_len) as bigint) as total_len,
                    round(sum(doc_len)/count(*), 6) as avgdl from dl""",
         "doc_sha256": "select doc_id, sha256(text) as sha from documents",
         "bm25_rank": _bm25_duck_sql(BM25_TERMS, TOPK),

@@ -304,8 +304,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         c = with_doc_identity(corpus)
         shift = 63 - ORDINAL_BUCKET_BITS
         c = c.withColumn("bucket", F.shiftright("doc_id", shift).cast("int"))
-        counts = {int(r["bucket"]): int(r["cnt"]) for r in
-                  c.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+        # duplicate doc_ids (same repo/path/commit twice, or a hash
+        # collision) would k^2-fan-out through the ordinal joins below and
+        # silently corrupt the index — fail fast instead. Duplicates share a
+        # bucket, so per-bucket countDistinct rides the existing counts job.
+        brows = (c.groupBy("bucket")
+                 .agg(F.count("*").alias("cnt"),
+                      F.countDistinct("doc_id").alias("dcnt")).collect())
+        dups = sum(int(r["cnt"]) - int(r["dcnt"]) for r in brows)
+        if dups:
+            raise ValueError(
+                f"corpus has {dups} duplicate doc_id row(s) "
+                "(repo/path/commit must be unique); dedup the corpus layer "
+                "first — see merge.py for the same contract")
+        counts = {int(r["bucket"]): int(r["cnt"]) for r in brows}
         offsets, acc = {}, 0
         for b in sorted(counts):
             offsets[b] = acc

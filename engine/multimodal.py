@@ -105,9 +105,13 @@ def image_features(media: DataFrame) -> DataFrame:
             np.cumsum(n_bytes[:-1], out=offs[1:])
             nz = n_bytes > 0
             if flat.size:
+                # prefix sums, not reduceat: clamping reduceat indices for an
+                # empty trailing payload would shift the previous segment's
+                # boundary and drop its last bytes
+                cum = np.concatenate(
+                    ([0], np.cumsum(flat, dtype=np.int64)))
+                byte_sum = cum[offs + n_bytes] - cum[offs]
                 idx = np.minimum(offs, flat.size - 1)
-                sums = np.add.reduceat(flat.astype(np.int64), idx)
-                byte_sum = np.where(nz, sums, 0)
                 first = np.where(nz, flat[idx].astype(np.int64), -1)
             else:
                 byte_sum = np.zeros(len(bufs), dtype=np.int64)
@@ -160,7 +164,10 @@ def audio_chunks(media: DataFrame) -> DataFrame:
     spectrogram framing): per chunk emit (doc_id, chunk_idx, chunk_bytes).
     Pure JVM (no Python): sequence + transform over the binary column."""
     chunk = AUDIO_CHUNK
-    auds = media.where(F.col("media_type") == "audio")
+    # empty payloads emit no chunks: without the guard F.sequence(0, -1)
+    # yields a DESCENDING [0, -1] (implicit step -1), two spurious rows
+    auds = media.where((F.col("media_type") == "audio")
+                       & (F.col("n_bytes") > 0))
     n_chunks = F.ceil(F.col("n_bytes") / F.lit(chunk)).cast("long")
     return (auds.select(
         "doc_id", "n_bytes",

@@ -169,3 +169,30 @@ def test_multiprobe_recall_at_least_single_probe(spark):
         assert len(rows) <= 5
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_image_features_empty_payload_boundaries(spark):
+    """ADVICE repro: an empty payload as the LAST row of an Arrow batch must
+    not shift the preceding payload's segment boundary (reduceat clamping
+    dropped its trailing bytes: [b'abc', b''] -> [195, 0] not [294, 0])."""
+    docs = spark.createDataFrame(
+        [(0, "abc"), (3, ""), (6, "xy"), (9, "")],  # ids % 3 == 0 -> image
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           mm.image_features(mm.with_media_columns(docs)).collect()}
+    assert got[0]["byte_sum"] == sum(b"abc") == 294
+    assert got[3]["byte_sum"] == 0 and got[3]["first_byte"] == -1
+    assert got[6]["byte_sum"] == sum(b"xy")
+    assert got[9]["byte_sum"] == 0 and got[9]["first_byte"] == -1
+
+
+def test_audio_chunks_empty_payload_emits_no_rows(spark):
+    """ADVICE repro: n_bytes=0 made F.sequence(0, -1) descend, emitting two
+    spurious rows (chunk_idx 0 and -1); empty audio must yield zero chunks."""
+    docs = spark.createDataFrame(
+        [(1, ""), (4, "x" * 300)],  # ids % 3 == 1 -> audio
+        "doc_id long, text string")
+    rows = mm.audio_chunks(mm.with_media_columns(docs)).collect()
+    assert all(r["doc_id"] == 4 for r in rows)
+    assert sorted(r["chunk_idx"] for r in rows) == [0, 1]
+    assert all(r["chunk_bytes"] > 0 for r in rows)

@@ -132,3 +132,18 @@ def test_null_and_empty_content(spark, tmp_path):
                          zip(keep["repo"], keep["path"], keep["commit"],
                              keep["content"])})
     assert got == oracle.topk("def", 5)
+
+
+def test_duplicate_doc_ids_fail_fast(spark, tmp_path):
+    """Duplicate doc_id rows would k^2-fan-out through the ordinal joins and
+    silently corrupt postings — the build must refuse them instead."""
+    import pytest
+
+    from engine.index_build import build_index
+    corpus = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "def f"),
+         ("r", "a.py", "c1", "py", "def g")],  # same identity twice
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        build_index(spark, corpus, str(tmp_path / "dup_idx"))
