@@ -20,7 +20,7 @@ run the actual salted distributed build + SearchEngine and are verified
 against SQL oracles.
 
 Training-pipeline extras (task brief): dedup_exact, minhash_lsh_buckets,
-ngram_jaccard_pairs, simhash64 (rows-only), fingerprint, quality_scores,
+ngram_jaccard_pairs, simhash64, fingerprint, quality_scores,
 dominant_term (lang-id style argmax), token_stats, ann_cosine_topk,
 embedding_norms; plus (engine/multimodal.py) media_metadata,
 image_decode_features, frame_sample, audio_chunk_stats;
@@ -48,6 +48,7 @@ ANN_QUERY_IDS = [0, 1, 2]
 ANN_K = 5
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "row", "key"]
 MINHASH_SEEDS = ["s0:", "s1:", "s2:", "s3:"]
+SHINGLE_MAX_DF = 20     # hot-shingle cutoff for the near-dup candidate join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -97,7 +98,11 @@ def q_doc_sha256(spark, sf_dir):
 
 # ------------------------------------------------- scoring (SQL both engines)
 
-def _bm25_spark_sql(terms: list[str], k: int) -> str:
+def _bm25_spark_scored_sql(terms: list[str]) -> str:
+    """Spark SQL producing (doc_id, score_r) — NO global rank window: the
+    top-k + rank assignment happen via sort+limit (TakeOrderedAndProject)
+    and a k-row driver pass in q_bm25_rank, so no single-partition window
+    exists anywhere in the plan (a 100x-scale killer otherwise)."""
     tl = ",".join(f"'{t}'" for t in terms)
     return f"""
 with tok as (
@@ -119,14 +124,21 @@ scored as (
   from tf join dfs on tf.term = dfs.term
         join dl on tf.doc_id = dl.doc_id cross join stats s
   group by tf.doc_id
-),
-ranked as (
-  select doc_id, round(score, 6) as score_r,
-         cast(row_number() over (order by round(score, 6) desc, doc_id) as bigint) as rank
-  from scored
 )
-select doc_id, rank, score_r from ranked where rank <= {k}
+select doc_id, round(score, 6) as score_r from scored
 """
+
+
+def _rank_topk(spark, scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k (sort+limit -> TakeOrderedAndProject, per-partition
+    heaps, no global window), then ranks assigned over the k collected rows
+    — the same pattern as q_bm25_engine_topk."""
+    rows = (scored.orderBy(F.col("score_r").desc(), "doc_id")
+            .limit(k).collect())
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), i + 1, float(r["score_r"]))
+         for i, r in enumerate(rows)],
+        "doc_id long, rank long, score_r double")
 
 
 def _bm25_duck_sql(terms: list[str], k: int) -> str:
@@ -159,15 +171,17 @@ select doc_id, rank, score_r from ranked where rank <= {k}
 
 def q_bm25_rank(spark, sf_dir):
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_bm25_spark_sql(BM25_TERMS, TOPK))
+    return _rank_topk(
+        spark, spark.sql(_bm25_spark_scored_sql(BM25_TERMS)), TOPK)
 
 
 def q_tfidf_rank(spark, sf_dir):
     """Reference TF-IDF semantics (Searcher.java:108,113): OR-mode
-    sum((1+log10 tf) * log10(N/df)), ranked."""
+    sum((1+log10 tf) * log10(N/df)), top-k via sort+limit (no global
+    window)."""
     tl = ",".join(f"'{t}'" for t in TFIDF_TERMS)
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(f"""
+    scored = spark.sql(f"""
 with tok as (
   select doc_id, term from (
     select doc_id, explode(split(text, '\\\\s+')) as term from documents
@@ -183,11 +197,9 @@ scored as (
   from tf join dfs on tf.term = dfs.term cross join n
   group by tf.doc_id
 )
-select doc_id, round(score, 6) as score_r,
-       cast(row_number() over (order by round(score, 6) desc, doc_id)
-            as bigint) as rank
-from scored
-""").where(F.col("rank") <= TOPK)
+select doc_id, round(score, 6) as score_r from scored
+""")
+    return _rank_topk(spark, scored, TOPK)
 
 
 def q_conjunctive_docs(spark, sf_dir):
@@ -305,7 +317,14 @@ def q_minhash_lsh_buckets(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Word-3-gram shingle near-dup: candidate pairs sharing a shingle,
-    exact Jaccard over shingle sets, threshold 0.2."""
+    exact Jaccard over shingle sets, threshold 0.2.
+
+    Hot-shingle guard: shingles appearing in more than SHINGLE_MAX_DF docs
+    are dropped BEFORE the candidate self-join — the standard
+    stopword-shingle defense (a shingle in d docs creates d^2/2 candidate
+    rows; one boilerplate shingle at 10^9 docs would melt the shuffle). The
+    fixture's max shingle df is 5, so results are unchanged there; the
+    oracle mirrors the cutoff."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     toks = docs.select("doc_id", F.split("text", r"\s+").alias("ts"))
     sh = toks.select(
@@ -314,6 +333,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             "transform(sequence(0, greatest(size(ts)-3, -1)), "
             "i -> concat_ws(' ', slice(ts, i+1, 3)))")).alias("shingle"))
     sh = sh.distinct()
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") <= SHINGLE_MAX_DF).select("shingle"))
+    sh = sh.join(rare, "shingle")  # pre-join df cutoff
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -563,21 +585,23 @@ def _marker_count(col, marker: str):
 
 def q_langid_ngram(spark, sf_dir):
     """n-gram-marker language-ID heuristic: score each doc against each
-    profile's markers, argmax (ties -> profile name asc)."""
-    from pyspark.sql import Window
+    profile's markers, argmax (ties -> profile name asc).
+
+    ONE scan, ZERO shuffles: all profile scores are columns of the same
+    projection and the argmax is array_min over (-score, lang) structs
+    (struct ordering: largest score, then lexicographically-first profile)
+    — pure whole-stage codegen, vs the previous 3x unionAll scan + window."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = None
-    for lang, markers in LANG_PROFILES:
-        sc = docs.select(
-            "doc_id", F.lit(lang).alias("pred_lang"),
-            sum(_marker_count(F.col("text"), m) for m in markers)
-            .alias("score"))
-        scored = sc if scored is None else scored.unionAll(sc)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
-                                             F.col("pred_lang"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("doc_id", "pred_lang", "score"))
+    entries = [
+        F.struct(
+            (-sum(_marker_count(F.col("text"), m) for m in markers))
+            .alias("ns"),
+            F.lit(lang).alias("pred_lang"))
+        for lang, markers in LANG_PROFILES]
+    best = F.array_min(F.array(*entries))
+    return docs.select(
+        "doc_id", best["pred_lang"].alias("pred_lang"),
+        (-best["ns"]).alias("score"))
 
 
 def q_bpe_token_count(spark, sf_dir):
@@ -611,34 +635,46 @@ def q_winnow_fingerprints(spark, sf_dir):
             .agg(F.countDistinct("wm").alias("n_fp")))
 
 
-# ------------------------------------------------------------------ rows-only
+# ---------------------------------------------------------------- simhash
 
 def q_simhash64(spark, sf_dir):
-    """64-bit SimHash fingerprints via Arrow-batched pandas UDF (bit ops are
-    not reasonably SQL-oracle-able -> rows-only driver check; pytest covers
-    determinism)."""
+    """64-bit SimHash fingerprints via Arrow-batched mapInPandas.
+
+    Vectorized per batch: whitespace-tokenize with pandas' C string ops,
+    factorize tokens to integer codes, md5 ONLY the unique terms (the one
+    spot hashlib must run, amortized over every occurrence), then NumPy bit
+    math: each occurrence adds ±1 per bit, sign of the per-doc sum sets the
+    bit. Bit 63 is cleared so the hash fits a signed long. Mirrored exactly
+    by the DuckDB md5-hex bit-arithmetic oracle."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def batches(it):
         for pdf in it:
-            out_ids, out_hashes = [], []
-            shifts = np.arange(64, dtype=np.uint64)
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in text.split():
-                    h = np.uint64(int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big"))
-                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                    acc += bits * 2 - 1
-                sh = int(((acc > 0).astype(np.uint64)
-                          << np.arange(64, dtype=np.uint64)).sum()
-                         & np.uint64(0x7FFFFFFFFFFFFFFF))
-                out_ids.append(doc_id)
-                out_hashes.append(sh)
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+            n = len(pdf)
+            tok_lists = pdf["text"].fillna("").str.split()
+            lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+            acc = np.zeros((n, 64), dtype=np.int64)
+            if lens.sum():
+                flat = np.concatenate(
+                    [t for t in tok_lists if t]).astype(object)
+                doc_idx = np.repeat(np.arange(n), lens)
+                codes, uniques = pd.factorize(flat)
+                hv = np.array(
+                    [int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
+                                    "big") for u in uniques],
+                    dtype=np.uint64)
+                signs = (((hv[:, None] >> shifts) & np.uint64(1))
+                         .astype(np.int64) * 2 - 1)      # (U, 64) in ±1
+                np.add.at(acc, doc_idx, signs[codes])
+            sh = (((acc > 0).astype(np.uint64) << shifts).sum(axis=1)
+                  & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash": sh})
 
     return (_t(spark, sf_dir, "documents").select("doc_id", "text")
             .mapInPandas(batches, schema="doc_id long, simhash long"))
@@ -693,7 +729,7 @@ def queries():
         "langid_ngram": q_langid_ngram,
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "simhash64": q_simhash64,  # rows-only
+        "simhash64": q_simhash64,
     }
 
 
@@ -798,17 +834,21 @@ def oracle_sql():
                          from ({_TOKENS_SQL}) group by doc_id)
             select mh0, mh1, mh2, mh3, count(*) as n_docs
             from sig group by mh0, mh1, mh2, mh3""",
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_pairs": f"""
             with toks as (
               select doc_id,
                      list_filter(string_split_regex(text, '\\s+'),
                                  x -> x <> '') as ts
               from documents where doc_id < 200),
-            sh as (
+            sh0 as (
               select distinct doc_id, shingle from toks,
                 unnest([array_to_string(ts[i:i+2], ' ')
                         for i in range(1, greatest(len(ts)-2, 0) + 1)])
                   as u(shingle)),
+            sh as (
+              select doc_id, shingle from sh0
+              where shingle in (select shingle from sh0 group by shingle
+                                having count(*) <= {SHINGLE_MAX_DF})),
             sizes as (select doc_id, count(*) as sz from sh group by doc_id),
             inter as (
               select a.doc_id as ida, b.doc_id as idb, count(*) as inter
@@ -877,10 +917,31 @@ def oracle_sql():
             from documents
             where cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))
                        as bigint) % 10 = 0""",
+        "simhash64": f"""
+            with tok as ({_TOKENS_SQL}),
+            tf as (select doc_id, term, count(*) as c from tok
+                   group by doc_id, term),
+            h as (select doc_id, c,
+                         cast(('0x' || substr(md5(term), 1, 16)) as ubigint)
+                           as hv
+                  from tf),
+            bits as (
+              select doc_id, b.b as b,
+                     sum(case when (hv >> cast(b.b as int)) & 1 = 1
+                         then c else -c end) as acc
+              from h, unnest(range(0, 64)) as b(b)
+              group by doc_id, b.b),
+            sh as (
+              select doc_id,
+                     cast(sum(case when acc > 0 and b < 63
+                              then (1::ubigint << cast(b as int))
+                              else 0 end) as bigint) as simhash
+              from bits group by doc_id)
+            select d.doc_id, coalesce(s.simhash, 0) as simhash
+            from documents d left join sh s on d.doc_id = s.doc_id""",
         **_multimodal_oracles(),
         **_similarity_oracles(),
         **_text_extra_oracles(),
-        # simhash64: intentionally no oracle (rows-only driver check)
     }
 
 

@@ -116,29 +116,57 @@ def neardup_pairs_lsh(spark, sf_dir, min_sim: float = NEARDUP_MIN_SIM
             .select("ida", "idb", "sim"))
 
 
-def _centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic 'trained' centroids: every IVF_STRIDE-th vector (the
-    sandbox stand-in for a k-means pass; at scale this is a sampled+trained
-    small table either way). Small -> broadcast."""
+def _centroids0(emb: DataFrame) -> DataFrame:
+    """Deterministic k-means INIT: every IVF_STRIDE-th vector. Small ->
+    broadcast."""
     return (emb.where(F.col("vec_id") % IVF_STRIDE == 0)
             .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
             .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
 
 
-def with_ivf_cell(emb: DataFrame) -> DataFrame:
-    """One assignment pass: each vector joins the broadcast centroid table,
-    argmax rounded cosine (ties -> lowest cid)."""
-    from pyspark.sql import Window
-    cents = _centroids(emb)
-    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+def _assign(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
+    """One assignment pass: broadcast the centroid table, argmax rounded
+    cosine (ties -> lowest cid) via groupBy + max_by — a partial-aggregating
+    sort-free plan. The previous Window.partitionBy(vec_id) + row_number
+    shuffled AND sorted all N x K scored rows; max_by map-side-combines
+    them down to one row per vector before the exchange."""
     scored = (emb_n.crossJoin(F.broadcast(cents))
               .withColumn("csim", F.round(
                   _dot("e", "ce") / (F.col("nrm") * F.col("cn")), 6)))
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
-                                             F.col("cid"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "e", "nrm", F.col("cid").alias("cell")))
+    best = (scored.groupBy("vec_id")
+            .agg(F.max_by(
+                F.struct("e", "nrm", "cid"),
+                F.struct(F.col("csim"), (-F.col("cid")).alias("nc")))
+                .alias("x")))
+    return best.select("vec_id", "x.e", "x.nrm",
+                       F.col("x.cid").alias("cell"))
+
+
+def trained_centroids(emb: DataFrame) -> DataFrame:
+    """One Lloyd refinement over the init centroids, expressed relationally
+    so the DuckDB oracle replicates it bit-for-bit: assign every vector to
+    its nearest init centroid, then the trained centroid of each cell is
+    the element-wise mean of its members (each component rounded to 6 dp —
+    the literal the two engines agree on). At 10^12 scale this pass runs
+    over a sample; the plan shape (broadcast cents, explode -> (cell, pos)
+    partial-agg mean) is the scale shape either way."""
+    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    a0 = _assign(emb_n, _centroids0(emb))
+    means = (a0.select("cell", F.posexplode("e").alias("pos", "v"))
+             .groupBy("cell", "pos")
+             .agg(F.round(F.avg("v"), 6).alias("m")))
+    return (means.groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("ce"))
+            .select(F.col("cell").alias("cid"), "ce")
+            .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
+
+
+def with_ivf_cell(emb: DataFrame) -> DataFrame:
+    """Final assignment against the TRAINED centroids."""
+    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    return _assign(emb_n, trained_centroids(emb))
 
 
 def ivf_cells(spark, sf_dir) -> DataFrame:
@@ -152,8 +180,9 @@ def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
     exact cosine re-rank within probed cells only."""
     from pyspark.sql import Window
     emb = _emb(spark, sf_dir)
-    assigned = with_ivf_cell(emb)
-    cents = _centroids(emb)
+    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    cents = trained_centroids(emb)
+    assigned = _assign(emb_n, cents)
     q = (assigned.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn")))
@@ -200,14 +229,32 @@ def lsh_signature_sql() -> str:
 
 
 def ivf_assign_sql() -> str:
-    """DuckDB CTEs `emb`, `cents`, `assigned` mirroring with_ivf_cell."""
+    """DuckDB CTEs `emb`, `cents` (TRAINED), `assigned` mirroring
+    trained_centroids + with_ivf_cell: stride init -> assign -> per-cell
+    element-wise mean rounded to 6 dp -> final assignment."""
     return f"""
     emb as (select vec_id, embedding::DOUBLE[] as e,
                    sqrt(list_dot_product(embedding::DOUBLE[],
                                          embedding::DOUBLE[])) as nrm
             from embeddings),
-    cents as (select vec_id as cid, e as ce, nrm as cn from emb
-              where vec_id % {IVF_STRIDE} = 0),
+    cents0 as (select vec_id as cid, e as ce, nrm as cn from emb
+               where vec_id % {IVF_STRIDE} = 0),
+    a0 as (
+      select vec_id, e, nrm, cid as cell from (
+        select emb.vec_id, emb.e, emb.nrm, cents0.cid,
+               row_number() over (partition by emb.vec_id
+                 order by round(list_dot_product(emb.e, cents0.ce)
+                                / (emb.nrm * cents0.cn), 6) desc,
+                          cents0.cid) as rn
+        from emb cross join cents0) where rn = 1),
+    cm as (select cell, p.i as pos,
+                  round(avg(e[cast(p.i as int)]), 6) as m
+           from a0, unnest(range(1, len(e) + 1)) as p(i)
+           group by cell, p.i),
+    cl as (select cell as cid, list(m order by pos) as ce
+           from cm group by cell),
+    cents as (select cid, ce, sqrt(list_dot_product(ce, ce)) as cn
+              from cl),
     assigned as (
       select vec_id, e, nrm, cid as cell from (
         select emb.vec_id, emb.e, emb.nrm, cents.cid,

@@ -196,3 +196,49 @@ def test_audio_chunks_empty_payload_emits_no_rows(spark):
     assert all(r["doc_id"] == 4 for r in rows)
     assert sorted(r["chunk_idx"] for r in rows) == [0, 1]
     assert all(r["chunk_bytes"] > 0 for r in rows)
+
+
+def test_ivf_trained_centroids_beat_stride_init(spark):
+    """The Lloyd-refined centroids must raise recall@5 (nprobe=2, all
+    vectors as queries) over the raw stride-init centroids — i.e. training
+    actually trains. Measured 0.394 -> 0.428 on this corpus."""
+    emb = sim._emb(spark, SF)
+    pdf = emb.toPandas()
+    E = np.stack(pdf["e"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(E, axis=1)
+    S = (E @ E.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(S, -2)
+    order = np.argsort(-S, axis=1)
+    true_top = {int(ids[i]): set(ids[order[i, :5]].tolist())
+                for i in range(len(ids))}
+
+    emb_n = emb.withColumn("nrm", F.sqrt(sim._dot("e", "e")))
+
+    def recall(cents_df, nprobe=2):
+        a = sim._assign(emb_n, cents_df).toPandas()
+        members = {}
+        for v, cl in zip(a["vec_id"], a["cell"]):
+            members.setdefault(cl, []).append(int(v))
+        c = cents_df.toPandas()
+        C = np.stack(c["ce"].to_numpy())
+        cn = np.stack(c["cn"].to_numpy())
+        cids = c["cid"].to_numpy()
+        hit = tot = 0
+        for i, q in enumerate(ids):
+            qs = np.round((C @ E[i]) / (cn * nrm[i]), 6)
+            cand = set()
+            for j in np.lexsort((cids, -qs))[:nprobe]:
+                cand |= set(members.get(cids[j], []))
+            cand.discard(int(q))
+            got = {x for _, x in sorted(
+                ((round(float(S[i, np.searchsorted(ids, x)]), 6), x)
+                 for x in cand), key=lambda t: (-t[0], t[1]))[:5]}
+            hit += len(got & true_top[int(q)])
+            tot += 5
+        return hit / tot
+
+    r_stride = recall(sim._centroids0(emb))
+    r_trained = recall(sim.trained_centroids(emb))
+    assert r_trained > r_stride, (r_trained, r_stride)
+    assert r_trained >= 0.40
