@@ -219,6 +219,107 @@ def _merge_term_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "block_last_ids", "block_max_tfs"])
 
 
+RUN_SCHEMA = "term string, salt int, n long, ids binary, tfs binary"
+
+
+def _merge_runs_sorting(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Runs -> final index rows with a full per-term argsort (for callers
+    whose runs overlap in ordinal range: streamed micro-batches, segment
+    merges, rebuilt fallback runs). The batch build's _merge_term_runs is
+    the concat-only fast path; this one is the general one."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for term, g in pdf.groupby("term", sort=True):
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        tfs = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+        blob = encode_postings(ids.astype(np.uint64), tfs.astype(np.uint64))
+        last_ids, max_tfs = block_maxes(ids, tfs.astype(np.int64))
+        rows.append((term, len(ids), int(tfs.sum()), int(tfs.max()),
+                     blob, last_ids.tolist(), max_tfs.tolist()))
+    yield pd.DataFrame(rows, columns=[
+        "term", "df", "total_tf", "max_tf", "postings",
+        "block_last_ids", "block_max_tfs"])
+
+
+def _pack_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(term, salt, ordinal, tf) rows of one shuffle partition -> one packed
+    sorted run per (term, salt)."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        ids = g["ordinal"].to_numpy(np.int64)
+        tfs = g["tf"].to_numpy(np.int32)
+        order = np.argsort(ids, kind="stable")
+        rows.append((term, int(salt), len(ids),
+                     ids[order].tobytes(), tfs[order].tobytes()))
+    yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
+
+
+def posting_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
+                          partitions: int) -> DataFrame:
+    """(term, ordinal, tf) rows -> final index DataFrame via the same
+    salted two-phase shape as the batch build: salt = ordinal range bucket,
+    shuffle on (term, salt) -> packed runs, shuffle packed runs on term ->
+    merged+encoded postings. This is the beyond-broadcast-limit path for
+    compaction/merge: posting rows join the partitioned ordinal map instead
+    of closure-capturing a driver array, so nothing here needs the whole
+    doc set on one machine."""
+    salt_div = max(1, (n_docs + n_salts - 1) // n_salts)
+    salted = rows.withColumn(
+        "salt", F.floor(F.col("ordinal") / F.lit(salt_div)).cast("int"))
+    packed = (salted.repartition(partitions, "term", "salt")
+              .mapInPandas(_pack_posting_rows, schema=RUN_SCHEMA))
+    return (packed.repartition(partitions, "term")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_merge_runs_sorting, schema=INDEX_SCHEMA))
+
+
+def assign_ordinals(spark: SparkSession, df: DataFrame,
+                    id_col: str = "doc_id", *,
+                    on_duplicate: str | None = None) -> DataFrame:
+    """Dense ordinals 0..N-1, monotone in id_col, for a metadata table —
+    the same bucket-offset scheme as the build's docs stage, shared by
+    streaming compaction and segment merge (which used to toPandas() the
+    whole table onto the driver — an OOM at 10^9+ docs). Only the
+    2^ORDINAL_BUCKET_BITS bucket counts ever hit the driver; the table
+    itself shuffles once on bucket (callers pass ~16-50 B/row metadata,
+    never content). Duplicate ids fail fast (they would corrupt every
+    downstream ordinal)."""
+    from pyspark.sql import Window
+    shift = 63 - ORDINAL_BUCKET_BITS
+    b = df.withColumn("_bkt", F.shiftright(F.col(id_col), shift).cast("int"))
+    brows = (b.groupBy("_bkt")
+             .agg(F.count("*").alias("cnt"),
+                  F.countDistinct(id_col).alias("dcnt")).collect())
+    dups = sum(int(r["cnt"]) - int(r["dcnt"]) for r in brows)
+    if dups:
+        raise ValueError(
+            on_duplicate or
+            f"{dups} duplicate {id_col} row(s); ids must be unique")
+    offsets, acc = {}, 0
+    for r in sorted(brows, key=lambda r: r["_bkt"]):
+        offsets[int(r["_bkt"])] = acc
+        acc += int(r["cnt"])
+    off_df = F.broadcast(spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_bkt int, _boff long"))
+    w = Window.partitionBy("_bkt").orderBy(id_col)
+    return (b.join(off_df, "_bkt")
+            .withColumn("ordinal",
+                        (F.col("_boff") + F.row_number().over(w) - 1)
+                        .cast("long"))
+            .drop("_bkt", "_boff"))
+
+
 INDEX_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("df", T.LongType(), False),

@@ -13,12 +13,15 @@ stage), so remapping old ordinal -> external doc_id -> new union ordinal
 is two monotone maps — runs STAY sorted, and per-term merging is the same
 salt-ordered concatenation/argsort used by the streaming compactor.
 
-Scale notes: the remap arrays (per-input external ids + union ids) ride to
-executors as closure captures (Spark broadcast) — the same
-BROADCAST_DOC_LIMIT regime as the build; past it the remap becomes a join
-against the docs tables (same shape as index_build.ordinal_content_pairs).
-Inputs must have disjoint doc_id sets (asserted) — dedup belongs to the
-corpus layer (content_sha256), not the merger.
+Scale notes: union ordinals come from the build's distributed bucket-offset
+scheme (index_build.assign_ordinals — 64 bucket counts on the driver, never
+the doc table). Under BROADCAST_DOC_LIMIT the remap arrays (per-input
+external ids + union ids) ride to executors as closure captures (Spark
+broadcast); past it postings decode to rows and JOIN the partitioned
+ordinal maps (index_build.posting_rows_to_index) — no driver array
+anywhere, test-enforced byte-identical either way. Inputs must have
+disjoint doc_id sets (rejected) — dedup belongs to the corpus layer
+(content_sha256), not the merger.
 """
 
 from __future__ import annotations
@@ -70,29 +73,49 @@ def _decode_to_runs_factory(ext_of_old: np.ndarray, union_sorted: np.ndarray,
     return run
 
 
+def _decode_to_rows(batches):
+    """index rows (term, postings) -> (term, old_ordinal, tf) posting rows,
+    for the beyond-broadcast-limit merge path."""
+    from .codec import decode_postings
+    for pdf in batches:
+        outs = []
+        for term, blob in zip(pdf["term"], pdf["postings"]):
+            old_ords, tfs = decode_postings(bytes(blob))
+            outs.append(pd.DataFrame({
+                "term": term, "old_ordinal": old_ords,
+                "tf": tfs.astype(np.int32)}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
 def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
                   *, n_salts: int = DEFAULT_N_SALTS,
                   partitions: int = 16) -> BuildManifest:
     """Merge built indexes (each an index_build/compact output dir) into a
     new index dir with the same layout, loadable by SearchEngine."""
+    from . import index_build as ib
     man = BuildManifest(out_dir)
 
-    # ---- docs stage: union snapshots, re-assign dense ordinals ----
+    # ---- docs stage: union snapshots, re-assign dense ordinals (the
+    # distributed bucket-offset scheme; duplicate ids across inputs fail) --
     t0 = man.begin("docs")
+    from pyspark.sql import Observation
     docs_parts = [spark.read.parquet(os.path.join(d, "docs"))
                   .drop("ordinal") for d in index_dirs]
     union = docs_parts[0]
     for p in docs_parts[1:]:
         union = union.unionByName(p, allowMissingColumns=True)
-    pdf = union.orderBy("doc_id").toPandas()
-    n_union = len(pdf)
-    assert pdf["doc_id"].is_unique, \
-        "merge inputs must have disjoint doc_id sets (dedup upstream)"
-    pdf["ordinal"] = np.arange(n_union, dtype=np.int64)
-    union_sorted = pdf["doc_id"].to_numpy(np.int64)
-    total_len = int(pdf["doc_len"].sum())
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-        man.stage_path("docs"))
+    docs_df = ib.assign_ordinals(
+        spark, union,
+        on_duplicate="merge inputs must have disjoint doc_id sets "
+                     "(dedup upstream)")
+    obs = Observation("merge_doc_stats")
+    docs_df = docs_df.observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                              F.sum("doc_len").alias("total_len"))
+    docs_df.write.mode("overwrite").parquet(man.stage_path("docs"))
+    got = obs.get
+    n_union = int(got["n_docs"])
+    total_len = int(got["total_len"] or 0)
     man.commit("docs", t0, n_union,
                {"n_docs": n_union, "total_len": total_len,
                 "merged_from": len(index_dirs)})
@@ -102,20 +125,40 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
 
     # ---- index stage: remap each input's postings, merge per term ----
     t0 = man.begin("index")
-    runs = None
-    for d in index_dirs:
-        ext_of_old = (spark.read.parquet(os.path.join(d, "docs"))
-                      .select("ordinal", "doc_id").orderBy("ordinal")
-                      .toPandas()["doc_id"].to_numpy(np.int64))
-        r = (spark.read.parquet(os.path.join(d, "index"))
-             .select("term", "postings")
-             .mapInArrow(_decode_to_runs_factory(
-                 ext_of_old, union_sorted, n_union, n_salts),
-                 schema=RUN_SCHEMA))
-        runs = r if runs is None else runs.unionByName(r)
-    index = (runs.repartition(partitions, "term")
-             .sortWithinPartitions("term", "salt")
-             .mapInPandas(_merge_sorting, schema=INDEX_SCHEMA))
+    docs = spark.read.parquet(man.stage_path("docs"))
+    if n_union <= ib.BROADCAST_DOC_LIMIT:
+        union_sorted = (docs.select("doc_id").orderBy("doc_id")
+                        .toPandas()["doc_id"].to_numpy(np.int64))
+        runs = None
+        for d in index_dirs:
+            ext_of_old = (spark.read.parquet(os.path.join(d, "docs"))
+                          .select("ordinal", "doc_id").orderBy("ordinal")
+                          .toPandas()["doc_id"].to_numpy(np.int64))
+            r = (spark.read.parquet(os.path.join(d, "index"))
+                 .select("term", "postings")
+                 .mapInArrow(_decode_to_runs_factory(
+                     ext_of_old, union_sorted, n_union, n_salts),
+                     schema=RUN_SCHEMA))
+            runs = r if runs is None else runs.unionByName(r)
+        index = (runs.repartition(partitions, "term")
+                 .sortWithinPartitions("term", "salt")
+                 .mapInPandas(_merge_sorting, schema=INDEX_SCHEMA))
+    else:
+        rows = None
+        for d in index_dirs:
+            old_docs = (spark.read.parquet(os.path.join(d, "docs"))
+                        .select(F.col("ordinal").alias("old_ordinal"),
+                                "doc_id"))
+            r = (spark.read.parquet(os.path.join(d, "index"))
+                 .select("term", "postings")
+                 .mapInPandas(_decode_to_rows,
+                              schema="term string, old_ordinal long, tf int")
+                 .join(old_docs, "old_ordinal")
+                 .select("term", "doc_id", "tf"))
+            rows = r if rows is None else rows.unionByName(r)
+        rows = (rows.join(docs.select("doc_id", "ordinal"), "doc_id")
+                .select("term", "ordinal", "tf"))
+        index = ib.posting_rows_to_index(rows, n_union, n_salts, partitions)
     index.write.mode("overwrite").parquet(man.stage_path("index"))
     idx = spark.read.parquet(man.stage_path("index"))
     agg = idx.agg(F.count(F.lit(1)).alias("n"), F.sum("df").alias("p"),

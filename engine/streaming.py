@@ -33,11 +33,14 @@ from pyspark.sql import functions as F
 
 from .index_build import (
     INDEX_SCHEMA,
+    RUN_SCHEMA,
     _map_partial_runs_factory,
+    _merge_runs_sorting,
     with_doc_identity,
 )
 
-RUN_SCHEMA = "term string, salt int, n long, ids binary, tfs binary"
+# backwards-compat alias (merge.py and older callers import it from here)
+_merge_sorting = _merge_runs_sorting
 DOCLEN_SCHEMA = "doc_id long, doc_len long"
 
 
@@ -107,45 +110,81 @@ def _remap_runs_factory(ext_sorted: np.ndarray, n_docs: int, n_salts: int):
     return remap
 
 
+def _unpack_runs(batches):
+    """Packed external-id runs -> (term, doc_id, tf) posting rows, for the
+    beyond-broadcast-limit compaction path."""
+    import pandas as pd
+    for pdf in batches:
+        outs = []
+        for term, ids_b, tfs_b in zip(pdf["term"], pdf["ids"], pdf["tfs"]):
+            outs.append(pd.DataFrame({
+                "term": term,
+                "doc_id": np.frombuffer(ids_b, dtype=np.int64),
+                "tf": np.frombuffer(tfs_b, dtype=np.int32)}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
 def compact(spark: SparkSession, work_dir: str, out_dir: str,
             n_salts: int = 8, partitions: int = 16) -> None:
     """Merge all streamed partial runs into a final index + docs + stats —
     same layout as engine.index_build.build_index output, loadable by
     SearchEngine. Byte-identical postings vs a batch build of the same
-    corpus (tests enforce)."""
+    corpus (tests enforce, including the beyond-broadcast-limit path).
+
+    Ordinals come from the build's distributed bucket-offset scheme
+    (assign_ordinals) — only 64 bucket counts touch the driver, vs the old
+    toPandas() of the whole doc table (driver OOM at 10^9+ docs). The run
+    remap has two regimes like the build's ordinal join: under
+    BROADCAST_DOC_LIMIT a driver doc_id array closure-captures into the
+    packed-run remap (fast path); past it the runs unpack to posting rows
+    and JOIN the partitioned ordinal map — no driver array anywhere."""
+    from . import index_build as ib
     from .checkpoint import BuildManifest
 
     man = BuildManifest(out_dir)
     doc_stats = (spark.read.parquet(os.path.join(work_dir, "doc_stats"))
                  .dropDuplicates(["doc_id"]))
-    pdf = doc_stats.orderBy("doc_id").toPandas()
-    ext_sorted = pdf["doc_id"].to_numpy(np.int64)
-    n_docs = len(pdf)
-    pdf["ordinal"] = np.arange(n_docs, dtype=np.int64)
 
     t0 = man.begin("docs")
-    docs_df = spark.createDataFrame(pdf[["doc_id", "doc_len", "ordinal"]])
+    from pyspark.sql import Observation
+    docs_df = ib.assign_ordinals(spark, doc_stats)
+    obs = Observation("compact_doc_stats")
+    docs_df = docs_df.observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                              F.sum("doc_len").alias("total_len"))
     docs_df.write.mode("overwrite").parquet(man.stage_path("docs"))
+    got = obs.get
+    n_docs = int(got["n_docs"])
+    total_len = int(got["total_len"] or 0)
     man.commit("docs", t0, n_docs,
-               {"n_docs": n_docs, "total_len": int(pdf["doc_len"].sum())})
+               {"n_docs": n_docs, "total_len": total_len})
     t0 = man.begin("stats")
     man.commit("stats", t0, 1,
-               {"n_docs": n_docs, "total_len": int(pdf["doc_len"].sum())},
+               {"n_docs": n_docs, "total_len": total_len},
                has_output=False)
 
     t0 = man.begin("index")
     runs = spark.read.parquet(os.path.join(work_dir, "run_partials"))
-    # salt was doc_id-range based at ingest; recompute over dense ordinals
-    # note: a streamed run may span ordinal-salt boundaries; the reducer
-    # re-sorts within (term, salt) anyway, and the merger concatenates
-    # salt-ordered runs — but boundary-spanning would misplace postings, so
-    # remap assigns the salt of the run's FIRST ordinal and we rely on the
-    # final merge doing a full argsort per term (see _merge_full below).
-    remapped = runs.mapInArrow(
-        _remap_runs_factory(ext_sorted, n_docs, n_salts), schema=RUN_SCHEMA)
-    index = (remapped.repartition(partitions, "term")
-             .sortWithinPartitions("term", "salt")
-             .mapInPandas(_merge_sorting, schema=INDEX_SCHEMA))
+    docs = spark.read.parquet(man.stage_path("docs"))
+    if n_docs <= ib.BROADCAST_DOC_LIMIT:
+        # salt was doc_id-range based at ingest; recompute over dense
+        # ordinals. A streamed run may span ordinal-salt boundaries; remap
+        # assigns the salt of the run's FIRST ordinal and the final merge
+        # does a full argsort per term, so placement stays correct.
+        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
+                      .toPandas()["doc_id"].to_numpy(np.int64))
+        remapped = runs.mapInArrow(
+            _remap_runs_factory(ext_sorted, n_docs, n_salts),
+            schema=RUN_SCHEMA)
+        index = (remapped.repartition(partitions, "term")
+                 .sortWithinPartitions("term", "salt")
+                 .mapInPandas(_merge_sorting, schema=INDEX_SCHEMA))
+    else:
+        rows = (runs.mapInPandas(
+                    _unpack_runs, schema="term string, doc_id long, tf int")
+                .join(docs.select("doc_id", "ordinal"), "doc_id")
+                .select("term", "ordinal", "tf"))
+        index = ib.posting_rows_to_index(rows, n_docs, n_salts, partitions)
     index.write.mode("overwrite").parquet(man.stage_path("index"))
     idx = spark.read.parquet(man.stage_path("index"))
     agg = idx.agg(F.count(F.lit(1)).alias("n"),
@@ -168,27 +207,3 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     man.commit("_lineage", t0, lin.count())
 
 
-def _merge_sorting(batches):
-    """Like index_build._merge_term_runs but with a full per-term argsort
-    (streamed runs from different micro-batches overlap in ordinal range)."""
-    import pandas as pd
-    parts = [p for p in batches if len(p)]
-    if not parts:
-        return
-    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-    from .codec import block_maxes, encode_postings
-    rows = []
-    for term, g in pdf.groupby("term", sort=True):
-        ids = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
-        tfs = np.concatenate(
-            [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
-        order = np.argsort(ids, kind="stable")
-        ids, tfs = ids[order], tfs[order]
-        blob = encode_postings(ids.astype(np.uint64), tfs.astype(np.uint64))
-        last_ids, max_tfs = block_maxes(ids, tfs.astype(np.int64))
-        rows.append((term, len(ids), int(tfs.sum()), int(tfs.max()),
-                     blob, last_ids.tolist(), max_tfs.tolist()))
-    yield pd.DataFrame(rows, columns=[
-        "term", "df", "total_tf", "max_tf", "postings",
-        "block_last_ids", "block_max_tfs"])

@@ -52,5 +52,27 @@ def test_merge_rejects_overlapping_doc_ids(spark, tmp_path):
                 n_salts=2, partitions=2)
     build_index(spark, corpus_to_spark(spark, pdf.iloc[40:]), out_b,
                 n_salts=2, partitions=2)  # overlaps rows 40..59
-    with pytest.raises(AssertionError, match="disjoint"):
+    with pytest.raises(ValueError, match="disjoint"):
         merge_indexes(spark, [out_a, out_b], str(tmp_path / "m"))
+
+
+def test_merge_beyond_broadcast_limit_identical(spark, tmp_path, monkeypatch):
+    """Force the over-BROADCAST_DOC_LIMIT merge path (postings decode to
+    rows and JOIN the partitioned ordinal maps — no driver arrays): the
+    result must stay byte-identical to the monolithic build."""
+    import engine.index_build as ib
+    pdf = make_corpus(300, seed=23)
+    a, b = pdf.iloc[:180], pdf.iloc[180:]
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, corpus_to_spark(spark, a), out_a,
+                n_salts=4, partitions=4)
+    build_index(spark, corpus_to_spark(spark, b), out_b,
+                n_salts=4, partitions=4)
+    out_full = str(tmp_path / "full")
+    build_index(spark, corpus_to_spark(spark, pdf), out_full,
+                n_salts=4, partitions=4)
+
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_m = str(tmp_path / "merged_fallback")
+    merge_indexes(spark, [out_a, out_b], out_m, n_salts=4, partitions=4)
+    assert _fingerprint(spark, out_m) == _fingerprint(spark, out_full)

@@ -52,3 +52,42 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         assert eng.search(q, k=10, mode="ranked") == oracle.topk(q, 10, "ranked")
         assert eng.search(q, k=10, mode="conjunctive") == \
             oracle.topk(q, 10, "conjunctive")
+
+
+def test_compact_beyond_broadcast_limit_identical(spark, tmp_path,
+                                                  monkeypatch):
+    """Force the over-BROADCAST_DOC_LIMIT compaction path (packed runs
+    unpack to posting rows and JOIN the partitioned ordinal map instead of
+    closure-capturing a driver doc_id array): byte-identical to batch."""
+    import engine.index_build as ib
+    from pyspark.sql import functions as F
+
+    from engine.index_build import _map_partial_runs_factory, with_doc_identity
+    from engine.streaming import RUN_SCHEMA
+    from engine.tokenizer import spark_token_count_expr
+
+    pdf = make_corpus(300, seed=13)
+    work = str(tmp_path / "work")
+    # materialize the work dir exactly as start_ingest does, via batch writes
+    stream_like = with_doc_identity(corpus_to_spark(spark, pdf))
+    (stream_like.withColumn("ordinal", F.col("doc_id"))
+     .select("ordinal", "content")
+     .mapInArrow(_map_partial_runs_factory(1 << 62, 8), schema=RUN_SCHEMA)
+     .write.parquet(os.path.join(work, "run_partials")))
+    (stream_like.select(
+        "doc_id", spark_token_count_expr(F.col("content"))
+        .cast("long").alias("doc_len"))
+     .write.parquet(os.path.join(work, "doc_stats")))
+
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_stream = str(tmp_path / "idx_fallback")
+    compact(spark, work, out_stream, partitions=4)
+
+    out_batch = str(tmp_path / "idx_batch")
+    build_index(spark, corpus_to_spark(spark, pdf), out_batch,
+                n_salts=8, partitions=4)
+    assert _fingerprint(spark, out_stream) == _fingerprint(spark, out_batch)
+
+    eng = SearchEngine(spark, out_stream)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    assert eng.search("def return", k=10) == oracle.topk("def return", 10)
