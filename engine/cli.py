@@ -11,6 +11,8 @@ Usage:
   compact --work DIR --out DIR       (streamed partials -> queryable index)
   merge   --inputs DIR,DIR,... --out DIR  (segment merge: N built indexes ->
           one, byte-identical to a monolithic build over the union)
+  serve   --index DIR [--host H] [--port P]  (HTTP shim: GET /search returns
+          the reference Searcher's {url, rank_score, title, body} JSON)
   bench   (delegates to bench.py's main)
 
 `build --input DIR` expects a parquet table in the input_hint shape
@@ -75,6 +77,11 @@ def main(argv=None):
     pm.add_argument("--salts", type=int, default=8)
     pm.add_argument("--partitions", type=int, default=16)
 
+    ps = sub.add_parser("serve")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -118,6 +125,9 @@ def main(argv=None):
         merge_indexes(spark, args.inputs.split(","), args.out,
                       n_salts=args.salts, partitions=args.partitions)
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
+    elif args.cmd == "serve":
+        from engine.server import serve
+        serve(spark, args.index, host=args.host, port=args.port)
     elif args.cmd == "compact":
         from engine.streaming import compact
         compact(spark, args.work, args.out, n_salts=args.salts,

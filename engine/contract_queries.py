@@ -469,6 +469,51 @@ def q_bm25_engine_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+def q_doc_display(spark, sf_dir):
+    """Serving display fields straight out of the REAL build's docs
+    snapshot (title = last path component, snippet = bounded leading
+    content — what the HTTP shim returns as title/body per
+    Searcher.java:186-207), verified against SQL over the source table."""
+    out = _built_engine_dir(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(out, "docs"))
+            .select("doc_id", "title", "snippet"))
+
+
+_DEDUP_OFFSET = 1_000_000
+_DEDUP_ENGINE_CACHE: dict[str, str] = {}
+
+
+def _built_dedup_engine_dir(spark, sf_dir) -> str:
+    """Build (once per sf_dir) an index over documents PLUS injected
+    duplicate-content rows (same text, doc_id shifted up, '.dup' path) —
+    exercises the build's contentSeen-analog dedup end-to-end."""
+    if sf_dir in _DEDUP_ENGINE_CACHE:
+        return _DEDUP_ENGINE_CACHE[sf_dir]
+    from .index_build import build_index
+    base = _t(spark, sf_dir, "documents").select(
+        F.lit("testdata").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id")).alias("path"),
+        F.lit("0000000000").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id"))
+    dup = (base.withColumn("doc_id", F.col("doc_id") + _DEDUP_OFFSET)
+           .withColumn("path", F.concat(F.col("path"), F.lit(".dup"))))
+    out = os.path.join(tempfile.mkdtemp(prefix="engine_dedup_"), "idx")
+    build_index(spark, base.unionByName(dup), out)
+    _DEDUP_ENGINE_CACHE[sf_dir] = out
+    return out
+
+
+def q_dedup_aliases(spark, sf_dir):
+    """The alias map the REAL build writes when duplicate content is
+    injected: every injected doc must alias the min-doc_id holder of its
+    text (the original)."""
+    out = _built_dedup_engine_dir(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(out, "aliases"))
+            .select("doc_id", "canonical_doc_id"))
+
+
 def q_union_all_keys(spark, sf_dir):
     """union (the reference only gets this implicitly by two jobs writing
     one table — SURVEY.md §2.1 note): customer+supplier nation keys with
@@ -713,6 +758,8 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
+        "doc_display": q_doc_display,
+        "dedup_aliases": q_dedup_aliases,
         "union_all_keys": q_union_all_keys,
         "except_custkeys": q_except_custkeys,
         "sample_hash": q_sample_hash,
@@ -903,6 +950,22 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "doc_display": """
+            select doc_id, cast(doc_id as varchar) as title,
+                   substr(text, 1, 200) as snippet
+            from documents
+            where doc_id in (select min(doc_id) from documents
+                             group by text)""",
+        "dedup_aliases": f"""
+            with canon as (select text, min(doc_id) as c from documents
+                           group by text)
+            select d.doc_id + {_DEDUP_OFFSET} as doc_id,
+                   c.c as canonical_doc_id
+            from documents d join canon c on d.text = c.text
+            union all
+            select d.doc_id, c.c as canonical_doc_id
+            from documents d join canon c on d.text = c.text
+            where d.doc_id <> c.c""",
         "union_all_keys": """
             select nationkey, src, count(*) as n from (
               select c_nationkey as nationkey, 'cust' as src from customer

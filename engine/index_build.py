@@ -64,6 +64,7 @@ from .tokenizer import tokenize_arrow
 DEFAULT_N_SALTS = 8
 ORDINAL_BUCKET_BITS = 6  # 64 fixed doc_id range buckets for ordinal assignment
 BROADCAST_DOC_LIMIT = 5_000_000  # (doc_id -> ordinal) map broadcast budget
+SNIPPET_LEN = 200  # leading-content chars kept in the docs snapshot (serving)
 
 
 # ---------------------------------------------------------------- doc identity
@@ -374,9 +375,10 @@ def ordinal_content_pairs(corpus: DataFrame, docs: DataFrame,
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 n_salts: int | None = None, partitions: int | None = None,
-                resume: bool = True) -> BuildManifest:
+                resume: bool = True,
+                dedup_content: bool = True) -> BuildManifest:
     """Run (or resume) the full build into
-    out_dir/{corpus,docs,index,stats,_lineage} + manifest.json."""
+    out_dir/{aliases,docs,index,stats,_lineage} + manifest.json."""
     man = BuildManifest(out_dir)
     if not resume:
         man.state = {"snapshots": [], "completed": {}}
@@ -386,6 +388,30 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # convention (flame/FlameContextImpl.java:62-67); empty strings stay
     # (doc_len 0, no postings)
     corpus = corpus.where(F.col("content").isNotNull())
+
+    # ---- stage: aliases (content dedup — the reference contentSeen analog,
+    # crawler/Crawler.java:177-190: pages with identical content share one
+    # canonical row). Computed on the pruned (doc_id, content_sha256)
+    # projection — one metadata-only shuffle on the sha key, content never
+    # moves. Duplicate-content docs alias to the min-doc_id canonical and
+    # are EXCLUDED from ordinals/postings; the alias map persists in the
+    # snapshot so serving can resolve an aliased doc_id. ----
+    if dedup_content and not man.is_complete("aliases"):
+        from pyspark.sql import Observation
+        t0 = man.begin("aliases")
+        sha_proj = with_doc_identity(corpus).select(
+            "doc_id", "content_sha256")
+        canon = sha_proj.groupBy("content_sha256").agg(
+            F.min("doc_id").alias("canonical_doc_id"))
+        alias_map = (sha_proj.join(canon, "content_sha256")
+                     .where(F.col("doc_id") != F.col("canonical_doc_id"))
+                     .select("doc_id", "canonical_doc_id"))
+        aobs = Observation("alias_rows")
+        alias_map = alias_map.observe(
+            aobs, F.count(F.lit(1)).alias("n_aliases"))
+        alias_map.write.mode("overwrite").parquet(man.stage_path("aliases"))
+        n_al = int(aobs.get["n_aliases"])
+        man.commit("aliases", t0, n_al, {"n_aliases": n_al})
 
     # ---- stage: docs (identity + dense ordinals + doc stats — the snapshot) --
     # Iceberg mindset: the source table is already durable and immutable, so
@@ -403,6 +429,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         from .tokenizer import spark_token_count_expr
         t0 = man.begin("docs")
         c = with_doc_identity(corpus)
+        if dedup_content:
+            aliases = (spark.read.parquet(man.stage_path("aliases"))
+                       .select("doc_id"))
+            # alias set is the duplicate minority -> explicit broadcast
+            # anti-join keeps the content branch map-only
+            c = c.join(F.broadcast(aliases), "doc_id", "left_anti")
+        # serving display fields (Searcher.java:186-207 returns url/title/
+        # body per hit): title = last path component, snippet = bounded
+        # leading content. Both JVM expressions, materialized into the
+        # metadata snapshot BEFORE content is dropped (~200 B/doc bound).
+        c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
+             .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
         shift = 63 - ORDINAL_BUCKET_BITS
         c = c.withColumn("bucket", F.shiftright("doc_id", shift).cast("int"))
         # duplicate doc_ids (same repo/path/commit twice, or a hash

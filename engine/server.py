@@ -1,0 +1,134 @@
+"""HTTP serving shim — the reference Searcher's query surface, rebuilt.
+
+The reference serves ``GET /search?query=...`` from a tiny embedded
+webserver and returns a JSON array of ``{url, rank_score, title, body}``
+objects with a CORS header (searchEngine/src/cis5550/search/
+Searcher.java:37-44,186-207; result-shape fixture
+frontEnd/search_engine/src/fakeData.js:1-20, fetch path
+frontEnd/search_engine/src/fetcher.js:3-9). This module is the Spark-side
+twin: the same route, same JSON field names, same CORS behavior, backed by
+the real BM25/TF-IDF engine instead of a KVS full scan.
+
+Display fields come from the docs snapshot (title = last path component,
+body = the bounded leading-content snippet the build materializes —
+~200 B/doc, the serving-tier analog of the reference's per-URL
+title/body columns in the `urls` table). The display map is a driver-side
+dict keyed by doc_id — the same "broadcast lookup table" regime as
+SearchEngine's doc-length arrays (fine to ~10^8 docs; past that the k-row
+display join belongs in search_big's broadcast-join tail).
+
+Scoring modes:
+- ``scoring=bm25`` (default): the north-rule BM25 engine (ranked or
+  conjunctive via ``mode=``);
+- ``scoring=tfidf``: the reference's actual formula + threshold semantics
+  (Searcher.java:108,113,139-159) via search_tfidf_reference, k<=300.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+REFERENCE_MAX_RESULTS = 300  # Searcher.java:203 caps the result list
+
+
+class SearchService:
+    """Query engine + display-field resolution for one built index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from .query import SearchEngine
+        self.engine = SearchEngine(spark, index_dir)
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        cols = set(docs.columns)
+        want = [c for c in ("doc_id", "repo", "path", "commit",
+                            "title", "snippet") if c in cols]
+        pdf = docs.select(*want).toPandas()
+        self._display: dict[int, tuple[str, str, str]] = {}
+        for r in pdf.itertuples(index=False):
+            d = r._asdict() if hasattr(r, "_asdict") else dict(zip(want, r))
+            doc_id = int(d["doc_id"])
+            if {"repo", "path", "commit"} <= d.keys():
+                url = f"{d['repo']}/{d['path']}@{d['commit']}"
+            else:  # compacted/merged snapshots carry stats only
+                url = str(doc_id)
+            self._display[doc_id] = (url, str(d.get("title", "") or ""),
+                                     str(d.get("snippet", "") or ""))
+        # aliased doc_ids (content dedup) resolve to their canonical doc
+        self._alias: dict[int, int] = {}
+        alias_path = os.path.join(index_dir, "aliases")
+        if os.path.exists(os.path.join(alias_path, "_SUCCESS")):
+            apdf = spark.read.parquet(alias_path).toPandas()
+            self._alias = {int(a): int(c) for a, c in
+                           zip(apdf["doc_id"], apdf["canonical_doc_id"])}
+
+    def resolve(self, doc_id: int) -> tuple[str, str, str]:
+        doc_id = self._alias.get(doc_id, doc_id)
+        return self._display.get(doc_id, (str(doc_id), "", ""))
+
+    def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
+                       scoring: str = "bm25") -> list[dict]:
+        """The reference's JSON result shape, field for field."""
+        if scoring == "tfidf":
+            rows = self.engine.search_tfidf_reference(
+                query, k=min(k, REFERENCE_MAX_RESULTS))
+        else:
+            rows = self.engine.search(query, k=k, mode=mode)
+        out = []
+        for _rank, doc_id, score in rows:
+            url, title, body = self.resolve(int(doc_id))
+            out.append({"url": url, "rank_score": score,
+                        "title": title, "body": body})
+        return out
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 -> ephemeral) and return the server; caller drives
+    serve_forever (tests run it on a thread, the CLI blocks on it)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            if u.path != "/search":
+                self.send_error(404, "only /search is served")
+                return
+            qs = parse_qs(u.query)
+            query = qs.get("query", [""])[0]
+            try:
+                k = int(qs.get("k", ["10"])[0])
+            except ValueError:
+                self.send_error(400, "k must be an integer")
+                return
+            mode = qs.get("mode", ["ranked"])[0]
+            scoring = qs.get("scoring", ["bm25"])[0]
+            if mode not in ("ranked", "conjunctive") or \
+                    scoring not in ("bm25", "tfidf"):
+                self.send_error(400, "bad mode/scoring")
+                return
+            body = json.dumps(service.search_payload(
+                query, k=k, mode=mode, scoring=scoring)).encode()
+            self.send_response(200)
+            # the reference pins its frontend origin (Searcher.java:201);
+            # a library default can't know the deployment origin -> '*'
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet under pytest
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, index_dir: str, host: str = "127.0.0.1",
+          port: int = 8080) -> None:
+    srv = make_server(SearchService(spark, index_dir), host, port)
+    print(json.dumps({"serving": f"http://{host}:{srv.server_address[1]}"
+                      "/search?query=..."}))
+    srv.serve_forever()

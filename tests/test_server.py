@@ -1,0 +1,79 @@
+"""HTTP serving shim — field-for-field parity with the reference Searcher
+(searchEngine/src/cis5550/search/Searcher.java:37-44,186-207): GET /search
+returns a JSON array of {url, rank_score, title, body}, CORS'd, backed by
+the real engine; tfidf scoring mode reproduces the reference formula +
+threshold path."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from engine.server import SearchService, make_server
+
+
+@pytest.fixture(scope="module")
+def served(spark, built_index):
+    out, _man = built_index
+    service = SearchService(spark, out)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield service, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp, json.loads(resp.read().decode())
+
+
+def test_search_result_shape_and_headers(served, fixture_corpus_pdf):
+    service, base = served
+    resp, hits = _get(f"{base}/search?query=def+return&k=5")
+    assert resp.headers["Content-Type"] == "application/json"
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+    assert 0 < len(hits) <= 5
+    by_id = {r.doc_id: r for r in fixture_corpus_pdf.itertuples()}
+    expected = service.engine.search("def return", k=5, mode="ranked")
+    assert len(hits) == len(expected)
+    for hit, (_rank, doc_id, score) in zip(hits, expected):
+        assert set(hit) == {"url", "rank_score", "title", "body"}
+        src = by_id[doc_id]
+        assert hit["url"] == f"{src.repo}/{src.path}@{src.commit}"
+        assert hit["title"] == src.path.split("/")[-1]
+        assert hit["body"] == src.content[:200]
+        assert hit["rank_score"] == score
+
+
+def test_conjunctive_mode_served(served):
+    service, base = served
+    _, hits = _get(f"{base}/search?query=def+return&k=10&mode=conjunctive")
+    expected = service.engine.search("def return", k=10, mode="conjunctive")
+    assert [h["rank_score"] for h in hits] == [s for _, _, s in expected]
+
+
+def test_tfidf_reference_scoring_served(served):
+    """scoring=tfidf reproduces Searcher.java's sum((1+log10 tf)*log10(N/df))
+    with the >0.3 threshold, k capped at the reference's 300."""
+    service, base = served
+    _, hits = _get(f"{base}/search?query=def+return&k=400&scoring=tfidf")
+    expected = service.engine.search_tfidf_reference("def return", k=300)
+    assert [h["rank_score"] for h in hits] == [s for _, _, s in expected]
+    assert all(h["rank_score"] > 0.3 for h in hits)
+
+
+def test_errors(served):
+    _service, base = served
+    for path, code in [("/nope", 404), ("/search?query=x&k=zz", 400),
+                       ("/search?query=x&mode=weird", 400)]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}{path}")
+        assert ei.value.code == code
+
+
+def test_empty_query_empty_list(served):
+    _service, base = served
+    _, hits = _get(f"{base}/search?query=&k=5")
+    assert hits == []
