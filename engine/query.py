@@ -163,44 +163,84 @@ class SearchEngine:
 
     # ------------------------------------------------- block-max pruned ranked
 
+    PRUNE_CHUNK = 1024  # exact-scoring batch size for the pruned traversal
+
     def _term_ub(self, tp: TermPostings) -> float:
         return self._idf(tp.df) * float(
             self._tfw(np.float64(tp.tfs.max()), np.float64(self._min_dl)))
 
+    def _block_ubs(self, terms: list[str],
+                   postings: dict[str, TermPostings],
+                   cands: np.ndarray) -> np.ndarray:
+        """Per-candidate score upper bound from per-BLOCK max tfs (+ global
+        min doc_len) — the block-max metadata the index stores. The bound
+        is membership-aware: a candidate absent from a term's posting list
+        contributes 0 for that term (its tf IS 0), and a present one is
+        bounded by the max tf of the exact block holding its posting —
+        without the membership test, a short posting list's single block
+        spans nearly the whole ordinal range and the bound collapses to
+        'everything might match everything' (no pruning ever fires)."""
+        from .codec import BLOCK_SIZE
+        ub = np.zeros(cands.size, dtype=np.float64)
+        for t in terms:
+            tp = postings.get(t)
+            if tp is None:
+                continue
+            pos = np.searchsorted(tp.doc_ids, cands)
+            pos_c = np.minimum(pos, tp.doc_ids.size - 1)
+            present = (pos < tp.doc_ids.size) & (tp.doc_ids[pos_c] == cands)
+            btf = tp.block_max_tfs[pos_c // BLOCK_SIZE].astype(np.float64)
+            ub[present] += (self._idf(tp.df)
+                            * self._tfw(btf,
+                                        np.float64(self._min_dl)))[present]
+        return ub
+
     def _ranked_pruned(self, terms: list[str],
                        postings: dict[str, TermPostings],
                        k: int) -> list[tuple[int, int, float]]:
-        # θ seed: exactly score the highest-upper-bound term's postings
-        seed_term = max(postings.values(), key=self._term_ub)
-        seed = seed_term.doc_ids
-        seed_scores = self._score(terms, postings, seed)
-        if k <= seed.size:  # k >= 1 guaranteed by search()
-            theta = np.partition(seed_scores, seed.size - k)[seed.size - k]
-        else:
-            theta = -np.inf
+        """Score-safe block-max traversal (block-max WAND/MaxScore family):
+        candidates are visited in DESCENDING block-upper-bound order and
+        exactly scored in chunks; θ = the k-th best exact score so far.
+        Once θ strictly exceeds the next candidate's upper bound, every
+        remaining candidate (the whole low-ub tail — entire blocks of the
+        hot terms) is skipped without scoring. Strict inequality keeps the
+        skip score-safe under the (score DESC, doc_id ASC) tie-break: a
+        skipped candidate has score <= ub < θ, so it cannot displace or tie
+        any top-k member. The old seed scheme exactly scored the ENTIRE
+        highest-impact term's posting list (O(df) for a stopword seed);
+        this one scores O(k + chunk) per θ refinement. last_prune_stats
+        records candidates/scored/skipped (tests assert real skipping on
+        the skewed corpus)."""
         union = self._union(postings)
-        rest = union[np.isin(union, seed, assume_unique=True, invert=True)]
-        if rest.size:
-            # block-max upper bound per candidate, per term
-            ub = np.zeros(rest.size, dtype=np.float64)
-            for t in terms:
-                tp = postings.get(t)
-                if tp is None:
-                    continue
-                j = np.searchsorted(tp.block_last_ids, rest, side="left")
-                inside = j < tp.block_last_ids.size
-                jj = np.minimum(j, tp.block_last_ids.size - 1)
-                btf = tp.block_max_tfs[jj].astype(np.float64)
-                ub[inside] += (self._idf(tp.df)
-                               * self._tfw(btf, np.float64(self._min_dl)))[inside]
-            survivors = rest[ub >= theta]
-            surv_scores = self._score(terms, postings, survivors)
-        else:
-            survivors = rest
-            surv_scores = np.empty(0, dtype=np.float64)
-        all_c = np.concatenate([seed, survivors])
-        all_s = np.concatenate([seed_scores, surv_scores])
-        return self._topk(all_c, all_s, k)
+        ub = self._block_ubs(terms, postings, union)
+        order = np.argsort(-ub, kind="stable")
+        sorted_c, sorted_ub = union[order], ub[order]
+        chunk = max(self.PRUNE_CHUNK, k)
+        scored_c: list[np.ndarray] = []
+        scored_s: list[np.ndarray] = []
+        theta = -np.inf
+        n_scored = 0
+        pos = 0
+        while pos < sorted_c.size:
+            if theta > sorted_ub[pos]:
+                break  # ub sorted desc -> everything left is prunable
+            end = min(pos + chunk, sorted_c.size)
+            c = sorted_c[pos:end]
+            s = self._score(terms, postings, c)
+            scored_c.append(c)
+            scored_s.append(s)
+            n_scored += c.size
+            if n_scored >= k:
+                alls = np.concatenate(scored_s)
+                theta = np.partition(alls, alls.size - k)[alls.size - k]
+            pos = end
+        self.last_prune_stats = {
+            "candidates": int(union.size), "scored": int(n_scored),
+            "skipped": int(union.size - n_scored)}
+        return self._topk(np.concatenate(scored_c) if scored_c
+                          else np.empty(0, dtype=np.int64),
+                          np.concatenate(scored_s) if scored_s
+                          else np.empty(0, dtype=np.float64), k)
 
     # --------------------------------------------------- distributed scoring
 

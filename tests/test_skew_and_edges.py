@@ -147,3 +147,20 @@ def test_duplicate_doc_ids_fail_fast(spark, tmp_path):
         "content string")
     with pytest.raises(ValueError, match="duplicate doc_id"):
         build_index(spark, corpus, str(tmp_path / "dup_idx"))
+
+
+def test_pruned_traversal_actually_skips(spark, skew_setup, monkeypatch):
+    """The block-max traversal must genuinely skip low-upper-bound
+    candidates on a skewed corpus (hot term in all 600 docs), while staying
+    identical to the exhaustive path."""
+    pdf, out = skew_setup
+    eng = SearchEngine(spark, out)
+    monkeypatch.setattr(SearchEngine, "PRUNE_CHUNK", 64)
+    q = "hot tail_7"
+    pruned = eng.search(q, k=5, mode="ranked", prune=True)
+    stats = eng.last_prune_stats
+    assert pruned == eng.search(q, k=5, mode="ranked", prune=False)
+    assert stats["skipped"] > 0, stats
+    assert stats["scored"] + stats["skipped"] == stats["candidates"]
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    assert pruned == oracle.topk(q, 5)
