@@ -5,20 +5,26 @@ reference's (missing) Indexer job, whose contract is fixed by its consumers
 Pipeline (all lazy DataFrame ops; shuffles marked):
 
   corpus(repo,path,commit,lang,content)   <- immutable source, never copied
-    ├── stage "docs": doc_id + content_sha256 (JVM-side sha2/conv), DENSE
-    │     ORDINALS, doc_len — the metadata-only snapshot (~50 B/doc; the
-    │     reference `urls` table analog). Postings that store raw 63-bit
-    │     hash doc_ids are incompressible (avg delta ~2^63/df → 8-9 varint
-    │     bytes); dense ordinals 0..N-1 assigned in doc_id order give avg
-    │     delta N/df → 1-2 bytes. Assignment is a deterministic
-    │     bucket-offset scheme, NOT a global sort: bucket = high bits of
-    │     the hash-uniform doc_id (fixed ranges, balanced), per-bucket
-    │     counts -> cumulative offsets (tiny driver array), ordinal =
-    │     offset[bucket] + rank within bucket — ranks computed on a pruned
-    │     (doc_id, bucket) projection and broadcast-joined back, so CONTENT
-    │     NEVER SHUFFLES and is never rewritten. Ordinals are monotone in
-    │     doc_id, so doc_id order == ordinal order everywhere downstream.
-    │                              [SHUFFLE 0: 16 B/row ordinal ranks only]
+    ├── stage "docs_raw": ONE map-only content scan -> per-doc metadata
+    │     (doc_id + content_sha256 via JVM sha2/conv, doc_len via the Arrow
+    │     RE2 tokenizer, serving title/snippet) written as a ~300 B/doc
+    │     parquet (the reference `urls` table analog). Content is read
+    │     exactly twice per build: here and in the index map.  [no shuffle]
+    ├── stage "aliases": content dedup (reference contentSeen analog) — a
+    │     window on content_sha256 over docs_raw; duplicate-content rows
+    │     alias the min-doc_id canonical and are excluded downstream.
+    │                                     [metadata-only shuffle on sha]
+    ├── stage "docs": DENSE ORDINALS over the deduped metadata. Postings
+    │     that store raw 63-bit hash doc_ids are incompressible (avg delta
+    │     ~2^63/df → 8-9 varint bytes); dense ordinals 0..N-1 assigned in
+    │     doc_id order give avg delta N/df → 1-2 bytes. Assignment is a
+    │     deterministic bucket-offset scheme, NOT a global sort: bucket =
+    │     high bits of the hash-uniform doc_id (fixed ranges, balanced),
+    │     per-bucket counts -> cumulative offsets (tiny driver array),
+    │     ordinal = offset[bucket] + rank within bucket. All on metadata:
+    │     CONTENT NEVER SHUFFLES at any corpus size. Ordinals are monotone
+    │     in doc_id, so doc_id order == ordinal order downstream.
+    │                              [SHUFFLE 0: ~300 B/row metadata only]
     ├── stage "index": source content + broadcast (doc_id -> ordinal) map,
     │     mapInPandas MAP-SIDE COMBINE: tokenize + factorize terms to int
     │     codes + one int64 np.unique for (term,doc) tf counts, then emit
@@ -389,21 +395,45 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # (doc_len 0, no postings)
     corpus = corpus.where(F.col("content").isNotNull())
 
+    # ---- stage: docs_raw (ONE content scan -> the full per-doc metadata
+    # snapshot, no ordinals yet). Iceberg mindset: the source table is
+    # already durable and immutable, so checkpoints store ONLY metadata
+    # (~300 B/doc with display fields) — never a copy of content. Identity
+    # (doc_id, content_sha256) is JVM sha2/conv; display fields (title =
+    # last path component, snippet = bounded leading content — what the
+    # HTTP shim serves as title/body, Searcher.java:186-207) are JVM
+    # expressions; doc_len comes from the Arrow RE2 tokenizer in the same
+    # map-only pass (pass-through mapInArrow; parity with the Python
+    # tokenizer is test-enforced). Everything downstream (dedup, ordinals,
+    # stats) reads THIS tiny table — content is never scanned again except
+    # by the index stage's posting map. ----
+    if not man.is_complete("docs_raw"):
+        from pyspark.sql import Observation
+        t0 = man.begin("docs_raw")
+        c = with_doc_identity(corpus)
+        c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
+             .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
+        meta_cols = [col for col in c.columns if col != "content"]
+        raw = _with_doclen_arrow(c, meta_cols)
+        robs = Observation("raw_rows")
+        raw = raw.observe(robs, F.count(F.lit(1)).alias("rows"))
+        raw.write.mode("overwrite").parquet(man.stage_path("docs_raw"))
+        man.commit("docs_raw", t0, int(robs.get["rows"]))
+    docs_raw = spark.read.parquet(man.stage_path("docs_raw"))
+
     # ---- stage: aliases (content dedup — the reference contentSeen analog,
     # crawler/Crawler.java:177-190: pages with identical content share one
-    # canonical row). Computed on the pruned (doc_id, content_sha256)
-    # projection — one metadata-only shuffle on the sha key, content never
-    # moves. Duplicate-content docs alias to the min-doc_id canonical and
-    # are EXCLUDED from ordinals/postings; the alias map persists in the
-    # snapshot so serving can resolve an aliased doc_id. ----
+    # canonical row). One metadata-only window on the sha key over the
+    # docs_raw snapshot — content never moves. Duplicate-content docs alias
+    # the min-doc_id canonical and are EXCLUDED from ordinals/postings; the
+    # alias map persists so serving can resolve an aliased doc_id. ----
     if dedup_content and not man.is_complete("aliases"):
-        from pyspark.sql import Observation
+        from pyspark.sql import Observation, Window
         t0 = man.begin("aliases")
-        sha_proj = with_doc_identity(corpus).select(
-            "doc_id", "content_sha256")
-        canon = sha_proj.groupBy("content_sha256").agg(
-            F.min("doc_id").alias("canonical_doc_id"))
-        alias_map = (sha_proj.join(canon, "content_sha256")
+        wsha = Window.partitionBy("content_sha256")
+        alias_map = (docs_raw.select("doc_id", "content_sha256")
+                     .withColumn("canonical_doc_id",
+                                 F.min("doc_id").over(wsha))
                      .where(F.col("doc_id") != F.col("canonical_doc_id"))
                      .select("doc_id", "canonical_doc_id"))
         aobs = Observation("alias_rows")
@@ -413,41 +443,31 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         n_al = int(aobs.get["n_aliases"])
         man.commit("aliases", t0, n_al, {"n_aliases": n_al})
 
-    # ---- stage: docs (identity + dense ordinals + doc stats — the snapshot) --
-    # Iceberg mindset: the source table is already durable and immutable, so
-    # the checkpoint stores ONLY metadata (doc_id, ordinal, doc_len, repo,
-    # path, commit, lang, content_sha256) — never a copy of content. At
-    # 100 TB the old design (rewrite the corpus to attach ordinals) would
-    # copy the entire dataset; this one writes ~50 B/doc.
-    # 100% JVM (whole-stage codegen): doc_len via regexp tokenizer expr,
-    # ordinal = bucket offset (broadcast tiny dim) + row_number within
-    # bucket ordered by doc_id; corpus-wide stats (N, total_len -> avgdl)
-    # ride along on the SAME write job via the Observation API.
+    # ---- stage: docs (dense ordinals + doc stats over metadata ONLY) ----
+    # ordinal = bucket offset (64 bucket counts on the driver) + row_number
+    # within bucket ordered by doc_id — computed on the metadata snapshot,
+    # so content NEVER shuffles at ANY corpus size and no broadcast budget
+    # applies here (the old design needed a content-avoiding broadcast
+    # branch; this one shuffles ~300 B/doc metadata once on bucket).
+    # Corpus-wide stats (N, total_len -> avgdl) ride the write via the
+    # Observation API.
     if not man.is_complete("docs"):
         from pyspark.sql import Observation, Window
-
-        from .tokenizer import spark_token_count_expr
         t0 = man.begin("docs")
-        c = with_doc_identity(corpus)
+        cm = docs_raw
         if dedup_content:
             aliases = (spark.read.parquet(man.stage_path("aliases"))
                        .select("doc_id"))
-            # alias set is the duplicate minority -> explicit broadcast
-            # anti-join keeps the content branch map-only
-            c = c.join(F.broadcast(aliases), "doc_id", "left_anti")
-        # serving display fields (Searcher.java:186-207 returns url/title/
-        # body per hit): title = last path component, snippet = bounded
-        # leading content. Both JVM expressions, materialized into the
-        # metadata snapshot BEFORE content is dropped (~200 B/doc bound).
-        c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
-             .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
+            cm = cm.join(F.broadcast(aliases), "doc_id", "left_anti")
         shift = 63 - ORDINAL_BUCKET_BITS
-        c = c.withColumn("bucket", F.shiftright("doc_id", shift).cast("int"))
+        cm = cm.withColumn("bucket",
+                           F.shiftright("doc_id", shift).cast("int"))
         # duplicate doc_ids (same repo/path/commit twice, or a hash
-        # collision) would k^2-fan-out through the ordinal joins below and
-        # silently corrupt the index — fail fast instead. Duplicates share a
-        # bucket, so per-bucket countDistinct rides the existing counts job.
-        brows = (c.groupBy("bucket")
+        # collision) would k^2-fan-out through the index stage's ordinal
+        # join and silently corrupt postings — fail fast. Duplicates share
+        # a bucket, so per-bucket countDistinct rides the counts job
+        # (metadata-only).
+        brows = (cm.groupBy("bucket")
                  .agg(F.count("*").alias("cnt"),
                       F.countDistinct("doc_id").alias("dcnt")).collect())
         dups = sum(int(r["cnt"]) - int(r["dcnt"]) for r in brows)
@@ -464,36 +484,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         off_df = F.broadcast(spark.createDataFrame(
             [(b, o) for b, o in offsets.items()], "bucket int, _boff long"))
         w = Window.partitionBy("bucket").orderBy("doc_id")
-        doc_len = spark_token_count_expr(F.col("content")).cast("long")
-        if acc <= BROADCAST_DOC_LIMIT:
-            # content NEVER shuffles: ranks are computed on a pruned
-            # (doc_id, bucket) projection (16 B/row through the exchange
-            # instead of the whole document), then broadcast-joined back, so
-            # the heavy branch is a map-only scan -> join -> doc_len -> drop
-            # content -> write. Past the broadcast budget the ordinal map is
-            # a big table too; fall through to the co-partitioned window
-            # (content shuffles once, on bucket, and is dropped at write).
-            ords = (c.select("doc_id", "bucket").join(off_df, "bucket")
-                    .withColumn("ordinal",
-                                (F.col("_boff") + F.row_number().over(w) - 1)
-                                .cast("long"))
-                    .select("doc_id", "ordinal"))
-            # doc_len via the Arrow RE2 tokenizer (pass-through mapInArrow:
-            # metadata columns flow through, content is consumed) — ~2x the
-            # Java-regex expression and identical by the tokenizer-parity
-            # tests. Still a map-only stage.
-            meta_cols = [col for col in c.columns
-                         if col not in ("content", "bucket")]
-            docs_df = (_with_doclen_arrow(c.drop("bucket"), meta_cols)
-                       .join(F.broadcast(ords), "doc_id"))
-        else:
-            docs_df = (
-                c.join(off_df, "bucket")
-                .withColumn("doc_len", doc_len)
-                .withColumn("ordinal",
-                            (F.col("_boff") + F.row_number().over(w) - 1)
-                            .cast("long"))
-                .drop("bucket", "_boff", "content"))
+        docs_df = (cm.join(off_df, "bucket")
+                   .withColumn("ordinal",
+                               (F.col("_boff") + F.row_number().over(w) - 1)
+                               .cast("long"))
+                   .drop("bucket", "_boff"))
         obs = Observation("doc_stats")
         docs_df = docs_df.observe(
             obs, F.count(F.lit(1)).alias("n_docs"),
@@ -502,7 +497,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         got = obs.get
         man.commit("docs", t0, int(got["n_docs"]),
                    {"n_docs": int(got["n_docs"]),
-                    "total_len": int(got["total_len"]),
+                    "total_len": int(got["total_len"] or 0),
                     "buckets": len(counts)})
     docs = spark.read.parquet(man.stage_path("docs"))
 
