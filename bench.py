@@ -30,7 +30,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# 400k docs: big enough that per-job fixed driver latency (~0.3-0.9 s per
+# Spark action, invariant in cluster size) stops dominating the efficiency
+# ratio the way it would on any real multi-hour build
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
 BENCH_QUERIES = [
@@ -290,9 +293,14 @@ def main():
         shutil.rmtree(idx_tmp, ignore_errors=True)
 
         # headline contract queries
+        # ivf_cells runs before ann_ivf_topk on purpose: it triggers the
+        # one-time IVF index build (train + assign + persist), so the two
+        # lines read as (index build, query latency) — same split as the
+        # inverted index's index_build vs bm25_query_*
         for name in ["term_counts", "term_df", "bm25_rank", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
-                     "ann_lsh_topk", "ann_ivf_topk", "neardup_embedding_pairs",
+                     "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
+                     "neardup_embedding_pairs",
                      "image_decode_features", "frame_sample", "langid_ngram",
                      "winnow_fingerprints", "fold_by_key",
                      "join_customer_orders", "window_top_order"]:

@@ -407,6 +407,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # tokenizer is test-enforced). Everything downstream (dedup, ordinals,
     # stats) reads THIS tiny table — content is never scanned again except
     # by the index stage's posting map. ----
+    shift = 63 - ORDINAL_BUCKET_BITS
+    n_buckets = 1 << ORDINAL_BUCKET_BITS
+
+    def _bucket_metrics(idcol):
+        # 64 conditional sums that ride a write job's Observation — this is
+        # how per-bucket counts reach the driver WITHOUT a dedicated count
+        # job (each extra Spark action costs ~0.3-0.9 s of fixed latency,
+        # the dominant term in small-build scaling efficiency)
+        b = F.shiftright(idcol, shift).cast("int")
+        return [F.sum(F.when(b == i, 1).otherwise(0)).alias(f"b{i}")
+                for i in range(n_buckets)]
+
     if not man.is_complete("docs_raw"):
         from pyspark.sql import Observation
         t0 = man.begin("docs_raw")
@@ -416,9 +428,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         meta_cols = [col for col in c.columns if col != "content"]
         raw = _with_doclen_arrow(c, meta_cols)
         robs = Observation("raw_rows")
-        raw = raw.observe(robs, F.count(F.lit(1)).alias("rows"))
+        raw = raw.observe(robs, F.count(F.lit(1)).alias("rows"),
+                          *_bucket_metrics(F.col("doc_id")))
         raw.write.mode("overwrite").parquet(man.stage_path("docs_raw"))
-        man.commit("docs_raw", t0, int(robs.get["rows"]))
+        rgot = robs.get
+        man.commit("docs_raw", t0, int(rgot["rows"]),
+                   {"bucket_counts": [int(rgot[f"b{i}"] or 0)
+                                      for i in range(n_buckets)]})
     docs_raw = spark.read.parquet(man.stage_path("docs_raw"))
 
     # ---- stage: aliases (content dedup — the reference contentSeen analog,
@@ -438,10 +454,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                      .select("doc_id", "canonical_doc_id"))
         aobs = Observation("alias_rows")
         alias_map = alias_map.observe(
-            aobs, F.count(F.lit(1)).alias("n_aliases"))
+            aobs, F.count(F.lit(1)).alias("n_aliases"),
+            *_bucket_metrics(F.col("doc_id")))
         alias_map.write.mode("overwrite").parquet(man.stage_path("aliases"))
-        n_al = int(aobs.get["n_aliases"])
-        man.commit("aliases", t0, n_al, {"n_aliases": n_al})
+        agot = aobs.get
+        n_al = int(agot["n_aliases"])
+        man.commit("aliases", t0, n_al,
+                   {"n_aliases": n_al,
+                    "bucket_counts": [int(agot[f"b{i}"] or 0)
+                                      for i in range(n_buckets)]})
 
     # ---- stage: docs (dense ordinals + doc stats over metadata ONLY) ----
     # ordinal = bucket offset (64 bucket counts on the driver) + row_number
@@ -459,42 +480,56 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             aliases = (spark.read.parquet(man.stage_path("aliases"))
                        .select("doc_id"))
             cm = cm.join(F.broadcast(aliases), "doc_id", "left_anti")
-        shift = 63 - ORDINAL_BUCKET_BITS
         cm = cm.withColumn("bucket",
                            F.shiftright("doc_id", shift).cast("int"))
-        # duplicate doc_ids (same repo/path/commit twice, or a hash
-        # collision) would k^2-fan-out through the index stage's ordinal
-        # join and silently corrupt postings — fail fast. Duplicates share
-        # a bucket, so per-bucket countDistinct rides the counts job
-        # (metadata-only).
-        brows = (cm.groupBy("bucket")
-                 .agg(F.count("*").alias("cnt"),
-                      F.countDistinct("doc_id").alias("dcnt")).collect())
-        dups = sum(int(r["cnt"]) - int(r["dcnt"]) for r in brows)
-        if dups:
-            raise ValueError(
-                f"corpus has {dups} duplicate doc_id row(s) "
-                "(repo/path/commit must be unique); dedup the corpus layer "
-                "first — see merge.py for the same contract")
-        counts = {int(r["bucket"]): int(r["cnt"]) for r in brows}
+        # canonical per-bucket counts = raw - alias counts, both observed on
+        # the writes above — ZERO extra jobs. (Older manifests resumed here
+        # without bucket metrics fall back to one count job.)
+        raw_m = man.state["completed"]["docs_raw"]["metrics"]
+        al_m = (man.state["completed"]["aliases"]["metrics"]
+                if dedup_content else {})
+        rc = raw_m.get("bucket_counts")
+        ac = al_m.get("bucket_counts") if dedup_content else [0] * n_buckets
+        if rc is None or ac is None:
+            counts = {int(r["bucket"]): int(r["cnt"]) for r in
+                      cm.groupBy("bucket").agg(F.count("*").alias("cnt"))
+                      .collect()}
+        else:
+            counts = {i: rc[i] - ac[i] for i in range(n_buckets)
+                      if rc[i] - ac[i] > 0}
         offsets, acc = {}, 0
         for b in sorted(counts):
             offsets[b] = acc
             acc += counts[b]
         off_df = F.broadcast(spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "bucket int, _boff long"))
+            [(b, o) for b, o in offsets.items()] or [(0, 0)],
+            "bucket int, _boff long"))
         w = Window.partitionBy("bucket").orderBy("doc_id")
+        # duplicate doc_ids (same repo/path/commit twice, or a hash
+        # collision) would k^2-fan-out through the index stage's ordinal
+        # join and silently corrupt postings — fail fast. Duplicates are
+        # adjacent in the ordinal window, so a lag comparison observed on
+        # the SAME write job detects them with zero extra jobs.
+        dup_flag = (F.col("doc_id") == F.lag("doc_id").over(w)).cast("long")
         docs_df = (cm.join(off_df, "bucket")
                    .withColumn("ordinal",
                                (F.col("_boff") + F.row_number().over(w) - 1)
                                .cast("long"))
+                   .withColumn("_dup", dup_flag)
                    .drop("bucket", "_boff"))
         obs = Observation("doc_stats")
         docs_df = docs_df.observe(
             obs, F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_len").alias("total_len"))
+            F.sum("doc_len").alias("total_len"),
+            F.sum("_dup").alias("n_dups"))
+        docs_df = docs_df.drop("_dup")
         docs_df.write.mode("overwrite").parquet(man.stage_path("docs"))
         got = obs.get
+        if int(got["n_dups"] or 0):
+            raise ValueError(
+                f"corpus has {int(got['n_dups'])} duplicate doc_id row(s) "
+                "(repo/path/commit must be unique); dedup the corpus layer "
+                "first — see merge.py for the same contract")
         man.commit("docs", t0, int(got["n_docs"]),
                    {"n_docs": int(got["n_docs"]),
                     "total_len": int(got["total_len"] or 0),

@@ -170,8 +170,43 @@ def with_ivf_cell(emb: DataFrame) -> DataFrame:
 
 
 def ivf_cells(spark, sf_dir) -> DataFrame:
-    return (with_ivf_cell(_emb(spark, sf_dir))
-            .groupBy("cell").agg(F.count("*").alias("n_vecs")))
+    assigned, _cents = ivf_index(spark, sf_dir)
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+
+
+def materialized_centroids(spark, emb: DataFrame) -> DataFrame:
+    """Collect the (tiny, deterministic) trained centroid table to the
+    driver and re-create it as a literal DataFrame. Every consumer of the
+    centroids (assignment, query probes, candidate joins) would otherwise
+    re-execute the whole training lineage — init crossJoin + Lloyd mean —
+    once PER reuse; K rows of literals cost one job total. This is exactly
+    how a trained model table ships on a real cluster (train once, persist,
+    broadcast)."""
+    rows = trained_centroids(emb).collect()
+    return F.broadcast(spark.createDataFrame(
+        [(int(r["cid"]), list(r["ce"]), float(r["cn"])) for r in rows],
+        "cid long, ce array<double>, cn double"))
+
+
+_IVF_INDEX: dict[str, tuple] = {}
+
+
+def ivf_index(spark, sf_dir) -> tuple:
+    """Build (once per process per sf_dir) the IVF index: trained centroid
+    literals + the PERSISTED cell-assignment table. An IVF index is a
+    built artifact exactly like the inverted index — train/assign once,
+    query many times; without the cache boundary every query's plan
+    re-contains (and Catalyst re-compiles, and Spark re-executes) the whole
+    training+assignment lineage. persist() here is the cluster-memory
+    analog of writing the index to storage (MEMORY_AND_DISK by default)."""
+    if sf_dir not in _IVF_INDEX:
+        emb = _emb(spark, sf_dir)
+        emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+        cents = materialized_centroids(spark, emb)
+        assigned = _assign(emb_n, cents).persist()
+        assigned.count()  # materialize the index
+        _IVF_INDEX[sf_dir] = (assigned, cents)
+    return _IVF_INDEX[sf_dir]
 
 
 def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
@@ -181,9 +216,11 @@ def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
     from pyspark.sql import Window
     emb = _emb(spark, sf_dir)
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    cents = trained_centroids(emb)
-    assigned = _assign(emb_n, cents)
-    q = (assigned.where(F.col("vec_id").isin(query_ids))
+    assigned, cents = ivf_index(spark, sf_dir)
+    # query vectors come straight from the source (their OWN cell is
+    # irrelevant to probing) so the NxK assignment pass runs exactly once —
+    # for the candidate join below — instead of three times
+    q = (emb_n.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn")))
     wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(),
