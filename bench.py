@@ -243,6 +243,14 @@ def main():
                 thr[16]["map_docs_per_sec"]
                 / (4 * thr[4]["map_docs_per_sec"]), 4),
             "hw_ceiling_efficiency_N_to_4N": hw,
+            # full-build efficiency normalized by what the BOX itself can
+            # do on this workload class with no framework at all (§0 of
+            # BENCH/BASELINE.md): single-machine 4x-CPU pinning does not
+            # multiply memory bandwidth the way 4x real nodes would
+            "ceiling_normalized_efficiency": (
+                round(thr[16]["docs_per_sec"]
+                      / (4 * thr[4]["docs_per_sec"]) / hw, 4)
+                if hw else None),
         }
 
     # ---------------- phase B: sf_dir workload ----------------

@@ -599,6 +599,11 @@ def q_ann_lsh_multiprobe_topk(spark, sf_dir):
     return ann_lsh_multiprobe_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
 
 
+def q_ann_lsh_multitable_topk(spark, sf_dir):
+    from .similarity import ann_lsh_multitable_topk
+    return ann_lsh_multitable_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
+
+
 def q_ivf_cells(spark, sf_dir):
     from .similarity import ivf_cells
     return ivf_cells(spark, sf_dir)
@@ -771,6 +776,7 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "neardup_embedding_pairs": q_neardup_embedding_pairs,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
+        "ann_lsh_multitable_topk": q_ann_lsh_multitable_topk,
         "ivf_cells": q_ivf_cells,
         "ann_ivf_topk": q_ann_ivf_topk,
         "langid_ngram": q_langid_ngram,
@@ -1063,11 +1069,27 @@ def _multimodal_oracles() -> dict[str, str]:
 
 def _similarity_oracles() -> dict[str, str]:
     from .similarity import (NEARDUP_MIN_SIM, ivf_assign_sql,
-                             lsh_signature_sql)
+                             lsh_multitable_sql, lsh_signature_sql)
     sig = lsh_signature_sql()
+    msig = lsh_multitable_sql()
     ivf = ivf_assign_sql()
     ann_ql = ",".join(str(i) for i in ANN_QUERY_IDS)
     return {
+        "ann_lsh_multitable_topk": f"""
+            with {msig},
+            q as (select vec_id as qid, emb as qe, nrm as qn, tbl, bucket
+                  from msig where vec_id in ({ann_ql})),
+            cand as (
+              select q.qid, s.vec_id,
+                     round(max(list_dot_product(q.qe, s.emb)
+                               / (q.qn * s.nrm)), 6) as sim
+              from q join msig s
+                on q.tbl = s.tbl and q.bucket = s.bucket
+              where s.vec_id <> q.qid
+              group by q.qid, s.vec_id)
+            select qid, row_number() over (partition by qid
+                     order by sim desc, vec_id) as rank, vec_id, sim
+            from cand qualify rank <= {ANN_K}""",
         "lsh_bucket_counts": f"""
             with {sig}
             select bucket, count(*) as n_vecs from sig group by bucket""",

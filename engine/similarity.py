@@ -328,3 +328,76 @@ def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int
                             F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("qid", "rank", "vec_id", "sim"))
+LSH_N_TABLES = 3
+
+
+def hyperplanes_table(t: int) -> list[list[float]]:
+    """Per-table deterministic hyperplanes; table 0 == hyperplanes()."""
+    rng = np.random.default_rng(LSH_SEED + 101 * t)
+    return [[round(float(x), 6) for x in rng.standard_normal(DIM)]
+            for _ in range(N_PLANES)]
+
+
+def _bucket_expr(planes) -> "F.Column":
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        harr = F.array(*[F.lit(v) for v in h])
+        bit = (_dot(F.col("e"), harr) >= 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << j)
+    return bucket
+
+
+def with_lsh_buckets_multi(emb: DataFrame,
+                           n_tables: int = LSH_N_TABLES) -> DataFrame:
+    """(vec_id, e, nrm, tbl, bucket): one row per (vector, table) — L
+    independent hyperplane tables in ONE scan (the standard recall lever:
+    P(candidate found) = 1-(1-p^P)^L instead of p^P). Candidates still
+    come from bucket equi-joins keyed (tbl, bucket); cost is L x the
+    single-table join, never a crossJoin."""
+    emb = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(hyperplanes_table(t)).alias("bucket"))
+        for t in range(n_tables)])
+    return (emb.select("vec_id", "e", "nrm",
+                       F.explode(entries).alias("p"))
+            .select("vec_id", "e", "nrm", "p.tbl", "p.bucket"))
+
+
+def ann_lsh_multitable_topk(spark, sf_dir, query_ids: list[int], k: int,
+                            n_tables: int = LSH_N_TABLES) -> DataFrame:
+    """Multi-table LSH ANN: union of same-bucket candidates over L
+    independent tables (deduped), exact cosine re-rank. Table 0 uses the
+    single-table planes, so the candidate set is a strict superset of
+    ann_lsh_topk's — recall can only go up (test-enforced)."""
+    from pyspark.sql import Window
+    sig = with_lsh_buckets_multi(_emb(spark, sf_dir), n_tables)
+    q = (sig.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn"), "tbl", "bucket"))
+    cand = (F.broadcast(q).join(sig, ["tbl", "bucket"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")   # dedup across tables
+            .agg(F.round(F.max(_dot("qe", "e") / (F.col("qn") * F.col("nrm"))),
+                         6).alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "sim"))
+
+
+def lsh_multitable_sql(n_tables: int = LSH_N_TABLES) -> str:
+    """DuckDB CTE `msig`: vec_id, emb, nrm, tbl, bucket — union over tables."""
+    parts = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(case when list_dot_product(emb, {_sql_lit(h)}) >= 0 "
+            f"then {1 << j} else 0 end)"
+            for j, h in enumerate(hyperplanes_table(t)))
+        parts.append(
+            f"select vec_id, embedding::DOUBLE[] as emb, "
+            f"sqrt(list_dot_product(embedding::DOUBLE[], "
+            f"embedding::DOUBLE[])) as nrm, {t} as tbl, ({bits}) as bucket "
+            f"from embeddings")
+    return "msig as (" + " union all ".join(parts) + ")"

@@ -242,3 +242,24 @@ def test_ivf_trained_centroids_beat_stride_init(spark):
     r_trained = recall(sim.trained_centroids(emb))
     assert r_trained > r_stride, (r_trained, r_stride)
     assert r_trained >= 0.40
+
+
+def test_lsh_multitable_recall_superset_of_single(spark):
+    """Table 0 of the multi-table scheme uses the single-table planes, so
+    the candidate set is a strict superset: every single-table hit must
+    reappear (same or better rank), and recall@5 vs brute force can only
+    go up."""
+    qids = [0, 1, 2]
+    single = sim.ann_lsh_topk(spark, SF, qids, 5).collect()
+    multi = sim.ann_lsh_multitable_topk(spark, SF, qids, 5).collect()
+    m_by_q = {}
+    for r in multi:
+        m_by_q.setdefault(r["qid"], {})[r["vec_id"]] = r["sim"]
+    s_best = {}
+    for r in single:
+        s_best.setdefault(r["qid"], []).append(r["sim"])
+    for qid, sims in s_best.items():
+        msims = sorted(m_by_q.get(qid, {}).values(), reverse=True)
+        # multi's k-th best sim >= single's k-th best sim at every depth
+        for i, s in enumerate(sorted(sims, reverse=True)):
+            assert i < len(msims) and msims[i] >= s, (qid, i, s, msims)
