@@ -407,7 +407,7 @@ def q_ann_cosine_topk(spark, sf_dir):
              .withColumn("sim", F.round(
                  _dots("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= ANN_K)
             .select("qid", "rank", "vec_id", "sim"))
 
@@ -463,6 +463,22 @@ def q_bm25_engine_topk(spark, sf_dir):
     # fetch ALL matches, then re-rank by ROUNDED score (the oracle ranks by
     # round(score,6), so ulp-close scores must tie-break by doc_id in both)
     rows = eng.search(" ".join(BM25_TERMS), k=2**31 - 1, mode="ranked")
+    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
+                     key=lambda x: (-x[0], x[1]))
+    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+def q_bm25_big_topk(spark, sf_dir):
+    """The ZERO-DRIVER-ARRAY cluster serving path (engine/query.py
+    search_big: stats scalars from the manifest, doc_len via join, per-doc
+    sum with oracle accumulation order, k-row broadcast id map) answering
+    the fixture query — verified against the same pure-SQL BM25 oracle as
+    the driver-array engine."""
+    from .query import search_big
+    out = _built_engine_dir(spark, sf_dir)
+    rows = search_big(spark, out, " ".join(BM25_TERMS), k=2**31 - 1,
+                      mode="ranked")
     rounded = sorted(((round(s, 6), d) for _, d, s in rows),
                      key=lambda x: (-x[0], x[1]))
     pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
@@ -763,6 +779,7 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
+        "bm25_big_topk": q_bm25_big_topk,
         "doc_display": q_doc_display,
         "dedup_aliases": q_dedup_aliases,
         "union_all_keys": q_union_all_keys,
@@ -956,6 +973,7 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "bm25_big_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
         "doc_display": """
             select doc_id, cast(doc_id as varchar) as title,
                    substr(text, 1, 200) as snippet
