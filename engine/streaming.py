@@ -41,7 +41,6 @@ from .index_build import (
 
 # backwards-compat alias (merge.py and older callers import it from here)
 _merge_sorting = _merge_runs_sorting
-DOCLEN_SCHEMA = "doc_id long, doc_len long"
 
 
 def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
@@ -65,10 +64,16 @@ def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
             .select("ordinal", "content")
             .mapInArrow(map_fn, schema=RUN_SCHEMA))
 
+    from .index_build import SNIPPET_LEN
     from .tokenizer import spark_token_count_expr
+    # full metadata row (identity + serving display fields), so a compacted
+    # index serves the same {url, title, body} surface as a batch build
     docs = stream.select(
-        "doc_id", spark_token_count_expr(F.col("content"))
-        .cast("long").alias("doc_len"))
+        "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+        F.element_at(F.split("path", "/"), -1).alias("title"),
+        F.substring("content", 1, SNIPPET_LEN).alias("snippet"),
+        spark_token_count_expr(F.col("content")).cast("long")
+        .alias("doc_len"))
 
     trigger = {"availableNow": True} if trigger_available_now else \
         {"processingTime": "10 seconds"}

@@ -48,3 +48,46 @@ def test_index_stage_join_is_broadcast(spark, built_index, fixture_corpus_pdf):
     for block in plan.split("\n\n"):
         if block.strip().startswith("(") and "Exchange" in block.split(")")[1][:20]:
             assert "content" not in block, block
+
+
+def test_langid_single_scan_no_shuffle(spark):
+    """langid_ngram must be ONE whole-stage-codegen scan: no Exchange, no
+    Window, one parquet read."""
+    from engine import contract_queries as cq
+    plan = _formatted(cq.q_langid_ngram(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("InMemoryFileIndex") == 1, plan
+
+
+def test_rank_topk_has_no_global_window(spark):
+    """bm25_rank's distributed part must contain no partition-less Window
+    (the single-partition sort was a 100x-scale killer); top-k arrives via
+    TakeOrderedAndProject."""
+    from engine import contract_queries as cq
+    cq._t(spark, "/root/testdata/sf0.001", "documents") \
+        .createOrReplaceTempView("documents")
+    scored = spark.sql(cq._bm25_spark_scored_sql(cq.BM25_TERMS))
+    topk = scored.orderBy(F.col("score_r").desc(), "doc_id").limit(cq.TOPK)
+    plan = _formatted(topk)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_assignment_is_partial_agg_not_window(spark):
+    """Cell assignment must be a partial-aggregating max_by (map-side
+    combine before the exchange), not an NxK window sort."""
+    from engine import similarity as sim
+    emb = sim._emb(spark, "/root/testdata/sf0.001")
+    emb_n = emb.withColumn("nrm", F.sqrt(sim._dot("e", "e")))
+    plan = _formatted(sim._assign(emb_n, sim._centroids0(emb)))
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan
+
+
+def test_ngram_shingle_df_cutoff_before_candidate_join(spark):
+    """The hot-shingle document-frequency filter must sit BELOW the
+    candidate self-join in the plan (the join never sees hot shingles)."""
+    from engine import contract_queries as cq
+    plan = _formatted(cq.q_ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"))
+    assert f"(sdf#" in plan or f"<= {cq.SHINGLE_MAX_DF}" in plan, plan

@@ -91,3 +91,27 @@ def test_compact_beyond_broadcast_limit_identical(spark, tmp_path,
     eng = SearchEngine(spark, out_stream)
     oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
     assert eng.search("def return", k=10) == oracle.topk("def return", 10)
+
+
+def test_compacted_index_serves_display_fields(spark, tmp_path):
+    """A compacted (streamed) index must serve the same {url, title, body}
+    surface as a batch build: the ingest carries the display metadata."""
+    from engine.server import SearchService
+    pdf = make_corpus(120, seed=21)
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    corpus_to_spark(spark, pdf).coalesce(2).write.mode("append").parquet(src)
+    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    out = str(tmp_path / "idx")
+    compact(spark, work, out, partitions=4)
+    svc = SearchService(spark, out)
+    hits = svc.search_payload("def return", k=3)
+    by_id = {f"{r.repo}/{r.path}@{r.commit}": r for r in pdf.itertuples()}
+    assert hits
+    for h in hits:
+        src_row = by_id[h["url"]]
+        assert h["title"] == src_row.path.split("/")[-1]
+        assert h["body"] == src_row.content[:200]
