@@ -331,19 +331,29 @@ class SearchEngine:
         postings = self._fetch(terms)
         if not postings:
             return []
-        acc: dict[int, float] = {}
+        # vectorized OR-accumulation: ordinals+weights concatenated in
+        # sorted-term order, np.unique inverse indices group per doc, and
+        # np.add.at preserves left-to-right (term-order) summation — same
+        # float64 accumulation order as the reference's per-posting loop
+        ord_parts, w_parts = [], []
         for t in terms:  # sorted order
             tp = postings.get(t)
             if tp is None:
                 continue
             idf = math.log10(self.n_docs / tp.df)
-            ws = (1.0 + np.log10(tp.tfs.astype(np.float64))) * idf
-            ext = self._ext_ids[tp.doc_ids]
-            for d, w in zip(ext.tolist(), ws.tolist()):
-                acc[d] = acc.get(d, 0.0) + w
-        scored = [(d, s) for d, s in acc.items() if s > threshold]
-        scored.sort(key=lambda x: (-x[1], x[0]))
-        return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+            ord_parts.append(tp.doc_ids)
+            w_parts.append((1.0 + np.log10(tp.tfs.astype(np.float64))) * idf)
+        ords = np.concatenate(ord_parts)
+        ws = np.concatenate(w_parts)
+        uniq, inv = np.unique(ords, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, ws)
+        keep = acc > threshold
+        docs = self._ext_ids[uniq[keep]]
+        scores = acc[keep]
+        order = np.lexsort((docs, -scores))[:k]
+        return [(i + 1, int(docs[j]), float(scores[j]))
+                for i, j in enumerate(order)]
 
 
 # ------------------------------------------------- fully-cluster query path
