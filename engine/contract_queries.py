@@ -701,6 +701,48 @@ def q_winnow_fingerprints(spark, sf_dir):
             .agg(F.countDistinct("wm").alias("n_fp")))
 
 
+# ---------------------------------------------------------------- pagerank
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def q_pagerank_dominant(spark, sf_dir):
+    """Iterative PageRank over a data-derived citation graph — the operator
+    family behind the reference's (dead) rank multiplier
+    (Searcher.java:48,155: `tf_idf = pageRankMap.get(...) * tf_idf`, and the
+    `urls.acc` column it loads). Edges: every doc cites the min-doc_id
+    exemplar of its dominant term (each node has out-degree 1; self-cites
+    dropped, dangling mass lost — both engines identical). Three Lloyd-style
+    power iterations as DataFrame join+groupBy rounds (the Pregel-lite
+    shape: messages shuffle on src then dst, which at scale is the standard
+    partition-by-vertex exchange); intermediate ranks rounded to 9 dp so
+    cross-engine float summation order cannot reach the final 6 dp."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    dom = (tf.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1).select("doc_id", "term"))
+    ex = dom.groupBy("term").agg(F.min("doc_id").alias("dst"))
+    edges = (dom.join(ex, "term")
+             .where(F.col("doc_id") != F.col("dst"))
+             .select(F.col("doc_id").alias("src"), "dst"))
+    pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - PR_DAMP) / n
+    for _ in range(PR_ITERS):
+        msgs = (edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
+                .groupBy("dst").agg(F.sum("pr").alias("m")))
+        pr = (docs.join(msgs.withColumnRenamed("dst", "doc_id"),
+                        "doc_id", "left")
+              .select("doc_id",
+                      F.round(F.lit(base) + PR_DAMP
+                              * F.coalesce("m", F.lit(0.0)), 9).alias("pr")))
+    return pr.select("doc_id", F.round("pr", 6).alias("pr"))
+
+
 # ---------------------------------------------------------------- simhash
 
 def q_simhash64(spark, sf_dir):
@@ -800,6 +842,7 @@ def queries():
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash64": q_simhash64,
+        "pagerank_dominant": q_pagerank_dominant,
     }
 
 
@@ -1026,6 +1069,7 @@ def oracle_sql():
               from bits group by doc_id)
             select d.doc_id, coalesce(s.simhash, 0) as simhash
             from documents d left join sh s on d.doc_id = s.doc_id""",
+        "pagerank_dominant": _pagerank_oracle(),
         **_multimodal_oracles(),
         **_similarity_oracles(),
         **_text_extra_oracles(),
@@ -1174,6 +1218,36 @@ def _similarity_oracles() -> dict[str, str]:
                      order by sim desc, vec_id) as rank, vec_id, sim
             from cand qualify rank <= {ANN_K}""",
     }
+
+
+def _pagerank_oracle() -> str:
+    iters = "".join(f""",
+            p{k} as (
+              select d.doc_id,
+                     round((1.0 - {PR_DAMP})/n.n
+                           + {PR_DAMP} * coalesce(s.m, 0), 9) as pr
+              from documents d cross join n
+              left join (select e.dst as doc_id, sum(p{k - 1}.pr) as m
+                         from edges e join p{k - 1}
+                           on e.src = p{k - 1}.doc_id
+                         group by e.dst) s on d.doc_id = s.doc_id)"""
+                    for k in range(1, PR_ITERS + 1))
+    return f"""
+            with tf as (select doc_id, term, count(*) as tf
+                        from ({_TOKENS_SQL}) group by doc_id, term),
+            dom as (
+              select doc_id, term from (
+                select *, row_number() over (partition by doc_id
+                    order by tf desc, term) as rn from tf)
+              where rn = 1),
+            ex as (select term, min(doc_id) as dst from dom group by term),
+            edges as (
+              select d.doc_id as src, e.dst from dom d join ex e
+                on d.term = e.term where d.doc_id <> e.dst),
+            n as (select count(*) as n from documents),
+            p0 as (select doc_id, 1.0/n.n as pr from documents cross join n)
+            {iters}
+            select doc_id, round(pr, 6) as pr from p{PR_ITERS}"""
 
 
 def _text_extra_oracles() -> dict[str, str]:
