@@ -51,13 +51,15 @@ def main(argv=None):
     pb.add_argument("--salts", type=int, default=None)
     pb.add_argument("--partitions", type=int, default=None)
     pb.add_argument("--no-resume", action="store_true")
+    pb.add_argument("--positions", action="store_true",
+                    help="also build the positional store (phrase search)")
 
     pq = sub.add_parser("query")
     pq.add_argument("--index", required=True)
     pq.add_argument("--query", required=True)
     pq.add_argument("--k", type=int, default=10)
     pq.add_argument("--mode", default="ranked",
-                    choices=["ranked", "conjunctive"])
+                    choices=["ranked", "conjunctive", "phrase"])
 
     pi = sub.add_parser("ingest")
     pi.add_argument("--source", required=True)
@@ -104,13 +106,27 @@ def main(argv=None):
         man = build_index(spark, corpus, args.out, n_salts=args.salts,
                           partitions=args.partitions,
                           resume=not args.no_resume)
+        if args.positions:
+            from engine.checkpoint import BuildManifest
+            from engine.positions import build_positions
+            build_positions(spark, corpus, args.out,
+                            n_salts=args.salts or 8,
+                            partitions=args.partitions)
+            man = BuildManifest(args.out)
         print(json.dumps(man.metrics(), indent=1))
     elif args.cmd == "query":
-        from engine.query import SearchEngine
-        eng = SearchEngine(spark, args.index)
-        res = eng.search(args.query, k=args.k, mode=args.mode)
-        print(json.dumps([
-            {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+        if args.mode == "phrase":
+            from engine.positions import PhraseEngine
+            res = PhraseEngine(spark, args.index).search_phrase(
+                args.query, k=args.k)
+            print(json.dumps([
+                {"rank": r, "doc_id": d, "n_occ": n} for r, d, n in res]))
+        else:
+            from engine.query import SearchEngine
+            eng = SearchEngine(spark, args.index)
+            res = eng.search(args.query, k=args.k, mode=args.mode)
+            print(json.dumps([
+                {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
     elif args.cmd == "ingest":
         from engine.corpus import corpus_spark_schema
         from engine.streaming import start_ingest

@@ -701,7 +701,28 @@ def q_winnow_fingerprints(spark, sf_dir):
             .agg(F.countDistinct("wm").alias("n_fp")))
 
 
-# ---------------------------------------------------------------- pagerank
+# ---------------------------------------------------------------- phrase
+
+PHRASE_TERMS = ["part", "filter"]  # a bigram present at every sf
+
+
+def q_phrase_docs(spark, sf_dir):
+    """Exact-phrase (adjacent-bigram) match over whitespace tokens — the
+    contract twin of the positional engine (engine/positions.py, which is
+    pytest-verified under the full code tokenizer). ONE scan, zero
+    shuffles: adjacency is a filtered index sequence over the token array,
+    all whole-stage codegen."""
+    w1, w2 = PHRASE_TERMS
+    docs = _t(spark, sf_dir, "documents")
+    n_occ = F.expr(f"""
+      case when size(filter(split(text, '\\\\s+'), x -> x != '')) >= 2 then
+        size(filter(sequence(1,
+               size(filter(split(text, '\\\\s+'), x -> x != '')) - 1),
+             i -> filter(split(text, '\\\\s+'), x -> x != '')[i-1] = '{w1}'
+              and filter(split(text, '\\\\s+'), x -> x != '')[i] = '{w2}'))
+      else 0 end""").cast("long")
+    return (docs.select("doc_id", n_occ.alias("n_occ"))
+            .where(F.col("n_occ") > 0))
 
 PR_DAMP = 0.85
 PR_ITERS = 3
@@ -843,6 +864,7 @@ def queries():
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash64": q_simhash64,
         "pagerank_dominant": q_pagerank_dominant,
+        "phrase_docs": q_phrase_docs,
     }
 
 
@@ -1070,6 +1092,19 @@ def oracle_sql():
             select d.doc_id, coalesce(s.simhash, 0) as simhash
             from documents d left join sh s on d.doc_id = s.doc_id""",
         "pagerank_dominant": _pagerank_oracle(),
+        "phrase_docs": f"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') as ts
+              from documents)
+            select doc_id, n_occ from (
+              select doc_id,
+                     len(list_filter(range(1, greatest(len(ts), 1)),
+                         i -> ts[i] = '{PHRASE_TERMS[0]}'
+                          and ts[i+1] = '{PHRASE_TERMS[1]}')) as n_occ
+              from toks)
+            where n_occ > 0""",
         **_multimodal_oracles(),
         **_similarity_oracles(),
         **_text_extra_oracles(),

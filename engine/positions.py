@@ -1,0 +1,297 @@
+"""Positional postings + exact-phrase search.
+
+Neither the reference nor the base index can answer phrase queries — the
+reference's postings carry only ``doc:tf`` (Searcher.java:80-101), so
+"window join" matches any doc containing both words anywhere. This module
+adds the standard IR answer: a positional index, built with the SAME
+salted two-phase shape as the tf index (map-side combine into packed
+per-(term, range-salt) runs; shuffle packed runs, not rows), stored as one
+row per term:
+
+    positions(term, df, ords, counts, pos)
+      ords   = varint(delta-encoded sorted ordinals)
+      counts = varint(occurrences per ordinal)
+      pos    = varint(within-doc delta positions, concatenated in ord order)
+
+All three decode independently and vectorized (no sequential record walk).
+Phrase matching is pure NumPy set algebra: each occurrence of phrase term
+j becomes the composite key ordinal*2^32 + (pos - j); a doc position
+starts the phrase iff the key survives intersection across all terms.
+
+Scale notes: build volume ~= total token occurrences (inherently — it IS
+the positional index); the packed-run shuffle keeps rows ~terms x salts x
+partitions like the tf build. Query fetch is parquet predicate pushdown on
+``term`` exactly like the tf index.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import varint_decode, varint_encode
+from .index_build import ordinal_content_pairs
+from .tokenizer import tokenize, tokenize_arrow
+
+POS_RUN_SCHEMA = ("term string, salt int, ids binary, counts binary, "
+                  "pos binary")
+POS_SCHEMA = "term string, df long, ords binary, counts binary, pos binary"
+_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _reorder_segments(flat: np.ndarray, starts: np.ndarray,
+                      counts: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Gather variable-length segments of `flat` into `order` — fully
+    vectorized (np.repeat index arithmetic, no per-segment Python)."""
+    c = counts[order]
+    total = int(c.sum())
+    if total == 0:
+        return flat[:0]
+    out_starts = np.concatenate(([0], np.cumsum(c)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, c)
+    return flat[np.repeat(starts[order], c) + within]
+
+
+def _map_pos_runs_factory(n_docs: int, n_salts: int):
+    """(ordinal, content) partition -> packed per-(term, salt) position
+    runs: sorted ordinals + per-doc occurrence counts + flattened
+    in-doc-order positions, all as raw little-endian bytes."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        code_parts, ord_parts, pos_parts, dict_parts, bases = [], [], [], [], []
+        base = 0
+        for rb in batches:
+            content = rb.column("content")
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            toks = tokenize_arrow(content)
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            enc = pc.list_flatten(toks).dictionary_encode()
+            code_parts.append(enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            dict_parts.append(enc.dictionary)
+            bases.append(base)
+            base += len(enc.dictionary)
+            ords = rb.column("ordinal").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ord_parts.append(np.repeat(ords, lens))
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_parts.append(np.arange(total, dtype=np.int64)
+                             - np.repeat(doc_starts, lens))
+        if not code_parts:
+            return
+        gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
+        genc = gdict.dictionary_encode()
+        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.concatenate(
+            [gidx[b + c] for b, c in zip(bases, code_parts)])
+        ordinals = np.concatenate(ord_parts)
+        positions = np.concatenate(pos_parts).astype(np.int32)
+        order = np.lexsort((positions, ordinals, codes))
+        codes, ordinals = codes[order], ordinals[order]
+        positions = positions[order]
+        # (code, ordinal) group boundaries -> per-doc occurrence counts
+        newdoc = np.empty(codes.size, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = (np.diff(codes) != 0) | (np.diff(ordinals) != 0)
+        dstarts = np.flatnonzero(newdoc)
+        dcounts = np.diff(np.concatenate((dstarts, [codes.size]))) \
+            .astype(np.int32)
+        d_code = codes[dstarts]
+        d_ord = ordinals[dstarts]
+        salt_div = max(1, (max(n_docs, 1) + n_salts - 1) // n_salts)
+        d_salt = (d_ord // salt_div).astype(np.int32)
+        # (code, salt) run boundaries over the doc-level arrays
+        change = np.flatnonzero(
+            (np.diff(d_code) != 0) | (np.diff(d_salt) != 0)) + 1
+        rstarts = np.concatenate(([0], change))
+        rends = np.concatenate((change, [d_code.size]))
+        vocab = genc.dictionary
+        run_terms = vocab.take(
+            pa.array(d_code[rstarts], pa.int64())).cast(pa.string())
+        tok_starts = dstarts  # flat-position segment start per doc group
+        ids_col, cnt_col, pos_col = [], [], []
+        for s, e in zip(rstarts, rends):
+            ids_col.append(d_ord[s:e].tobytes())
+            cnt_col.append(dcounts[s:e].tobytes())
+            pos_col.append(
+                positions[tok_starts[s]:tok_starts[e - 1]
+                          + dcounts[e - 1]].tobytes())
+        yield pa.RecordBatch.from_arrays(
+            [run_terms, pa.array(d_salt[rstarts], pa.int32()),
+             pa.array(ids_col, pa.binary()),
+             pa.array(cnt_col, pa.binary()),
+             pa.array(pos_col, pa.binary())],
+            names=["term", "salt", "ids", "counts", "pos"])
+    return run
+
+
+def _reduce_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per (term, salt): merge map-partition runs into one ordinal-sorted
+    run (segment reorder is vectorized)."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        counts = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["counts"]])
+        pos = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["pos"]])
+        order = np.argsort(ids, kind="stable")
+        starts = np.concatenate(
+            ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+        rows.append((term, int(salt), ids[order].tobytes(),
+                     counts[order].tobytes(),
+                     _reorder_segments(pos, starts, counts,
+                                       order).tobytes()))
+    yield pd.DataFrame(rows,
+                       columns=["term", "salt", "ids", "counts", "pos"])
+
+
+def _merge_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per term: concat salt-ordered runs (range salts -> already globally
+    sorted) and varint/delta encode the three streams."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for term, g in pdf.groupby("term", sort=True):
+        g = g.sort_values("salt", kind="stable")
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        counts = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["counts"]])
+        pos = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["pos"]]) \
+            .astype(np.int64)
+        deltas = np.empty_like(ids)
+        deltas[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+        seg_starts = np.concatenate(
+            ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+        prev = np.empty_like(pos)
+        prev[1:] = pos[:-1]
+        prev[seg_starts] = 0  # first position of each doc stays absolute
+        rows.append((term, len(ids),
+                     varint_encode(deltas.astype(np.uint64)),
+                     varint_encode(counts.astype(np.uint64)),
+                     varint_encode((pos - prev).astype(np.uint64))))
+    yield pd.DataFrame(rows,
+                       columns=["term", "df", "ords", "counts", "pos"])
+
+
+def build_positions(spark: SparkSession, corpus: DataFrame, index_dir: str,
+                    *, n_salts: int = 8,
+                    partitions: int | None = None) -> None:
+    """Build the positional store next to an existing built index (its docs
+    snapshot supplies the ordinals). Same two-phase salted shape as the tf
+    index; writes <index_dir>/positions."""
+    from .checkpoint import BuildManifest
+    man = BuildManifest(index_dir)
+    if man.is_complete("positions"):
+        return
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
+    docs = spark.read.parquet(man.stage_path("docs"))
+    corpus = corpus.where(F.col("content").isNotNull())
+    t0 = man.begin("positions")
+    pair = ordinal_content_pairs(corpus, docs, n_docs)
+    runs = pair.mapInArrow(
+        _map_pos_runs_factory(n_docs, n_salts), schema=POS_RUN_SCHEMA)
+    partials = (runs.repartition(partitions, "term", "salt")
+                .mapInPandas(_reduce_pos_runs, schema=POS_RUN_SCHEMA))
+    posidx = (partials.repartition(partitions, "term")
+              .sortWithinPartitions("term", "salt")
+              .mapInPandas(_merge_pos_runs, schema=POS_SCHEMA))
+    from pyspark.sql import Observation
+    obs = Observation("pos_stats")
+    posidx = posidx.observe(obs, F.count(F.lit(1)).alias("n_terms"),
+                            F.sum("df").alias("postings"))
+    posidx.write.mode("overwrite").parquet(man.stage_path("positions"))
+    got = obs.get
+    man.commit("positions", t0, int(got["n_terms"]),
+               {"postings_emitted": int(got["postings"] or 0),
+                "n_salts": n_salts, "partitions": partitions})
+
+
+def decode_position_row(ords_b: bytes, counts_b: bytes, pos_b: bytes
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (ordinals asc, per-ordinal counts, absolute positions flat)."""
+    ords = np.cumsum(varint_decode(ords_b), dtype=np.uint64).astype(np.int64)
+    counts = varint_decode(counts_b).astype(np.int64)
+    deltas = varint_decode(pos_b).astype(np.int64)
+    if deltas.size == 0:
+        return ords, counts, deltas
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    base = cs[starts] - deltas[starts]  # cumulative sum before each segment
+    return ords, counts, cs - np.repeat(base, counts)
+
+
+class PhraseEngine:
+    """Exact-phrase search over the positional store. Matching is NumPy
+    set algebra on composite (ordinal, position) keys — no per-doc loops."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.pos_df = spark.read.parquet(
+            os.path.join(index_dir, "positions"))
+        docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
+                .select("ordinal", "doc_id").orderBy("ordinal").toPandas())
+        self._ext_ids = docs["doc_id"].to_numpy(np.int64)
+        self._cache: dict[str, tuple | None] = {}
+
+    def _fetch(self, terms: list[str]) -> dict[str, tuple]:
+        missing = [t for t in set(terms) if t not in self._cache]
+        if missing:
+            rows = (self.pos_df.where(F.col("term").isin(missing))
+                    .collect())  # parquet pushdown on term
+            got = {r["term"]: decode_position_row(
+                bytes(r["ords"]), bytes(r["counts"]), bytes(r["pos"]))
+                for r in rows}
+            for t in missing:
+                self._cache[t] = got.get(t)
+        return {t: v for t in terms
+                if (v := self._cache.get(t)) is not None}
+
+    def search_phrase(self, phrase: str, k: int = 10
+                      ) -> list[tuple[int, int, int]]:
+        """[(rank, doc_id, n_occurrences)] of docs containing the EXACT
+        token sequence (engine tokenizer semantics), ranked by occurrence
+        count desc then doc_id asc."""
+        terms = tokenize(phrase)  # order + duplicates preserved
+        if not terms or k <= 0:
+            return []
+        data = self._fetch(terms)
+        if len(data) < len(set(terms)):
+            return []  # some phrase term absent anywhere
+        match: np.ndarray | None = None
+        for j, t in enumerate(terms):
+            ords, counts, pos = data[t]
+            keys = np.repeat(ords, counts) * _SHIFT + pos - np.int64(j)
+            if j:
+                keys = keys[pos >= j]  # phrase can't start before doc pos 0
+            match = keys if match is None else np.intersect1d(
+                match, keys, assume_unique=True)
+            if match.size == 0:
+                return []
+        doc_ords = (match // _SHIFT).astype(np.int64)
+        uniq, n_occ = np.unique(doc_ords, return_counts=True)
+        order = np.lexsort((uniq, -n_occ))[:k]
+        return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
+                for i, j in enumerate(order)]

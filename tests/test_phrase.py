@@ -1,0 +1,78 @@
+"""Positional index + exact-phrase search: results must equal a sequential
+Python oracle (tokenize each doc, scan for the exact token subsequence),
+ranked by occurrence count desc then doc_id asc."""
+
+import numpy as np
+import pytest
+
+from engine.positions import PhraseEngine, build_positions
+from engine.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def phrase_engine(spark, built_index, fixture_corpus_pdf):
+    out, _man = built_index
+    from engine.corpus import corpus_to_spark
+    build_positions(spark, corpus_to_spark(spark, fixture_corpus_pdf),
+                    out, n_salts=4, partitions=4)
+    return PhraseEngine(spark, out)
+
+
+def _oracle(pdf, phrase, k=10):
+    terms = tokenize(phrase)
+    hits = []
+    for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+        toks = tokenize(content)
+        n = sum(1 for i in range(len(toks) - len(terms) + 1)
+                if toks[i:i + len(terms)] == terms)
+        if n:
+            hits.append((int(doc_id), n))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, n) for i, (d, n) in enumerate(hits[:k])]
+
+
+def test_phrases_match_oracle(phrase_engine, fixture_corpus_pdf):
+    checked = 0
+    for phrase in ["def return", "class self", "value index",
+                   "return return", "import def value"]:
+        got = phrase_engine.search_phrase(phrase, k=10)
+        want = _oracle(fixture_corpus_pdf, phrase, k=10)
+        assert got == want, phrase
+        checked += len(want)
+    assert checked > 0  # the fixture corpus must actually contain phrases
+
+
+def test_single_term_phrase_counts_occurrences(phrase_engine,
+                                               fixture_corpus_pdf):
+    got = phrase_engine.search_phrase("def", k=5)
+    assert got == _oracle(fixture_corpus_pdf, "def", k=5)
+    assert got and all(n >= 1 for _, _, n in got)
+
+
+def test_absent_term_empty(phrase_engine):
+    assert phrase_engine.search_phrase("zzz_not_a_token def", k=5) == []
+    assert phrase_engine.search_phrase("", k=5) == []
+
+
+def test_phrase_tokenizer_consistency(phrase_engine, fixture_corpus_pdf):
+    """camelCase/punctuation normalize identically on both sides."""
+    got = phrase_engine.search_phrase("defReturn", k=10)  # -> "def return"
+    assert got == _oracle(fixture_corpus_pdf, "def return", k=10)
+
+
+def test_positions_decode_roundtrip(spark, phrase_engine):
+    """Every stored row decodes to sorted ordinals, counts matching the
+    position segment lengths, and in-doc ascending positions."""
+    from engine.positions import decode_position_row
+    rows = phrase_engine.pos_df.limit(50).collect()
+    assert rows
+    for r in rows:
+        ords, counts, pos = decode_position_row(
+            bytes(r["ords"]), bytes(r["counts"]), bytes(r["pos"]))
+        assert len(ords) == r["df"] == len(counts)
+        assert (np.diff(ords) > 0).all() if len(ords) > 1 else True
+        assert counts.sum() == len(pos)
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        for s, c in zip(starts, counts):  # test-only loop
+            seg = pos[s:s + c]
+            assert (np.diff(seg) > 0).all() if c > 1 else True
