@@ -143,12 +143,16 @@ def _rank_topk(spark, scored: DataFrame, k: int) -> DataFrame:
 
 def _bm25_duck_sql(terms: list[str], k: int) -> str:
     tl = ",".join(f"'{t}'" for t in terms)
+    return _bm25_duck_sql_pred(f"term in ({tl})", k)
+
+
+def _bm25_duck_sql_pred(pred: str, k: int) -> str:
     return f"""
 with tok as ({_TOKENS_SQL}),
 dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
 stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
 tf as (select doc_id, term, count(*) as tf from tok
-       where term in ({tl}) group by doc_id, term),
+       where {pred} group by doc_id, term),
 dfs as (select term, count(*) as df from tf group by term),
 scored as (
   select tf.doc_id,
@@ -463,6 +467,24 @@ def q_bm25_engine_topk(spark, sf_dir):
     # fetch ALL matches, then re-rank by ROUNDED score (the oracle ranks by
     # round(score,6), so ulp-close scores must tie-break by doc_id in both)
     rows = eng.search(" ".join(BM25_TERMS), k=2**31 - 1, mode="ranked")
+    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
+                     key=lambda x: (-x[0], x[1]))
+    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+PREFIX_QUERY = "s"  # expands to spark/scan/slow/small/sort/stream
+
+
+def q_prefix_bm25_topk(spark, sf_dir):
+    """Wildcard query `s*` through the REAL engine: prefix expansion via a
+    pushdown StringStartsWith scan of the term dictionary, then ranked OR
+    BM25 over the expanded set — verified against the same pure-SQL BM25
+    oracle with a LIKE predicate."""
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    eng = SearchEngine(spark, out)
+    rows = eng.search_prefix(PREFIX_QUERY, k=2**31 - 1)
     rounded = sorted(((round(s, 6), d) for _, d, s in rows),
                      key=lambda x: (-x[0], x[1]))
     pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
@@ -843,6 +865,7 @@ def queries():
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
         "bm25_big_topk": q_bm25_big_topk,
+        "prefix_bm25_topk": q_prefix_bm25_topk,
         "doc_display": q_doc_display,
         "dedup_aliases": q_dedup_aliases,
         "union_all_keys": q_union_all_keys,
@@ -1039,6 +1062,8 @@ def oracle_sql():
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
         "bm25_big_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "prefix_bm25_topk": _bm25_duck_sql_pred(
+            f"term like '{PREFIX_QUERY}%'", TOPK),
         "doc_display": """
             select doc_id, cast(doc_id as varchar) as title,
                    substr(text, 1, 200) as snippet

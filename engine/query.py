@@ -256,6 +256,33 @@ class SearchEngine:
                           np.concatenate(scored_s) if scored_s
                           else np.empty(0, dtype=np.float64), k)
 
+    # ---------------------------------------------------------- prefix query
+
+    PREFIX_EXPANSION_CAP = 64  # max terms a wildcard may expand to
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Terms starting with `prefix`, via a pushdown scan of the term
+        dictionary (StringStartsWith reaches the parquet scan; the index is
+        term-sorted so at scale this touches the prefix's row groups
+        only). Sorted; capped at PREFIX_EXPANSION_CAP (a one-letter prefix
+        over a 10^7-term vocabulary is a user error, not a query plan)."""
+        rows = (self.index_df
+                .where(F.col("term").startswith(prefix))
+                .select("term").collect())
+        return sorted(r["term"] for r in rows)[:self.PREFIX_EXPANSION_CAP]
+
+    def search_prefix(self, prefix: str, k: int = 10
+                      ) -> list[tuple[int, int, float]]:
+        """Ranked (OR) BM25 over every term matching the prefix — the
+        wildcard query `prefix*`. Same scoring/tie-break as search()."""
+        terms = self.expand_prefix(prefix)
+        if not terms or k <= 0:
+            return []
+        postings = self._fetch(terms)
+        if not postings:
+            return []
+        return self._ranked_pruned(terms, postings, k)
+
     # --------------------------------------------------- distributed scoring
 
     def search_distributed(self, query: str, k: int = 10,

@@ -98,3 +98,18 @@ def test_search_big_bitwise_equal(spark, built_index):
             want = eng.search(q, k=7, mode=mode)
             got = search_big(spark, out, q, k=7, mode=mode)
             assert got == want, (q, mode, got, want)
+
+
+def test_prefix_search_equals_expanded_or_query(engine, fixture_corpus_pdf):
+    """search_prefix == ranked OR over the manually-expanded term set, and
+    expansion matches the corpus vocabulary."""
+    from engine.tokenizer import tokenize
+    vocab = set()
+    for c in fixture_corpus_pdf["content"]:
+        vocab.update(tokenize(c))
+    prefix = "de"
+    expected_terms = sorted(t for t in vocab if t.startswith(prefix))
+    assert engine.expand_prefix(prefix) == expected_terms[:64]
+    got = engine.search_prefix(prefix, k=10)
+    manual = engine.search(" ".join(expected_terms), k=10, mode="ranked")
+    assert got == manual

@@ -91,3 +91,17 @@ def test_ngram_shingle_df_cutoff_before_candidate_join(spark):
     from engine import contract_queries as cq
     plan = _formatted(cq.q_ngram_jaccard_pairs(spark, "/root/testdata/sf0.001"))
     assert f"(sdf#" in plan or f"<= {cq.SHINGLE_MAX_DF}" in plan, plan
+
+
+def test_prefix_expansion_pushes_down(spark, built_index):
+    """The wildcard expansion scan must push StringStartsWith into the
+    parquet source and read only the term column."""
+    from engine.query import SearchEngine
+    out, _ = built_index
+    eng = SearchEngine(spark, out)
+    scan = eng.index_df.where(F.col("term").startswith("de")).select("term")
+    plan = _formatted(scan)
+    assert "StringStartsWith(term,de)" in plan.replace(" ", "").replace(
+        "'", "") or "StartsWith" in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "postings" not in rs[0], plan
