@@ -47,6 +47,10 @@ def main(argv=None):
 
     pb = sub.add_parser("build")
     pb.add_argument("--input", required=True)
+    pb.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "csv"],
+                    help="source format of the corpus table (json = JSONL; "
+                         "csv = header + quoted multiline content)")
     pb.add_argument("--out", required=True)
     pb.add_argument("--salts", type=int, default=None)
     pb.add_argument("--partitions", type=int, default=None)
@@ -101,8 +105,20 @@ def main(argv=None):
             from engine.corpus import corpus_to_spark, make_corpus
             corpus = corpus_to_spark(
                 spark, make_corpus(int(args.input.split(":", 1)[1])))
-        else:
+        elif args.format == "parquet":
             corpus = spark.read.parquet(args.input)
+        else:
+            # input_hint shape; doc_id/content_sha256 are derived
+            from pyspark.sql import types as T
+            schema = T.StructType([
+                T.StructField(f, T.StringType(), True)
+                for f in ("repo", "path", "commit", "lang", "content")])
+            if args.format == "json":
+                corpus = spark.read.schema(schema).json(args.input)
+            else:
+                corpus = (spark.read.schema(schema)
+                          .option("header", True).option("multiLine", True)
+                          .option("escape", '"').csv(args.input))
         man = build_index(spark, corpus, args.out, n_salts=args.salts,
                           partitions=args.partitions,
                           resume=not args.no_resume)

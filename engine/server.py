@@ -41,6 +41,9 @@ class SearchService:
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from .query import SearchEngine
+        self.spark = spark
+        self.index_dir = index_dir
+        self._phrase = None
         self.engine = SearchEngine(spark, index_dir)
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         cols = set(docs.columns)
@@ -69,12 +72,31 @@ class SearchService:
         doc_id = self._alias.get(doc_id, doc_id)
         return self._display.get(doc_id, (str(doc_id), "", ""))
 
+    def _phrase_engine(self):
+        if self._phrase is None:
+            marker = os.path.join(self.index_dir, "positions", "_SUCCESS")
+            if not os.path.exists(marker):
+                raise ValueError(
+                    "this index has no positional store "
+                    "(build with --positions for phrase search)")
+            from .positions import PhraseEngine
+            self._phrase = PhraseEngine(self.spark, self.index_dir)
+        return self._phrase
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25") -> list[dict]:
-        """The reference's JSON result shape, field for field."""
-        if scoring == "tfidf":
+        """The reference's JSON result shape, field for field. Extensions
+        beyond the reference: mode=phrase (positional store; rank_score is
+        the occurrence count) and a trailing `*` wildcard (prefix
+        expansion + ranked OR)."""
+        if mode == "phrase":
+            rows = self._phrase_engine().search_phrase(query, k=k)
+        elif scoring == "tfidf":
             rows = self.engine.search_tfidf_reference(
                 query, k=min(k, REFERENCE_MAX_RESULTS))
+        elif query.rstrip().endswith("*"):
+            rows = self.engine.search_prefix(
+                query.rstrip()[:-1].strip().lower(), k=k)
         else:
             rows = self.engine.search(query, k=k, mode=mode)
         out = []
@@ -105,12 +127,16 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 return
             mode = qs.get("mode", ["ranked"])[0]
             scoring = qs.get("scoring", ["bm25"])[0]
-            if mode not in ("ranked", "conjunctive") or \
+            if mode not in ("ranked", "conjunctive", "phrase") or \
                     scoring not in ("bm25", "tfidf"):
                 self.send_error(400, "bad mode/scoring")
                 return
-            body = json.dumps(service.search_payload(
-                query, k=k, mode=mode, scoring=scoring)).encode()
+            try:
+                body = json.dumps(service.search_payload(
+                    query, k=k, mode=mode, scoring=scoring)).encode()
+            except ValueError as e:
+                self.send_error(400, str(e))
+                return
             self.send_response(200)
             # the reference pins its frontend origin (Searcher.java:201);
             # a library default can't know the deployment origin -> '*'

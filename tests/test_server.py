@@ -77,3 +77,36 @@ def test_empty_query_empty_list(served):
     _service, base = served
     _, hits = _get(f"{base}/search?query=&k=5")
     assert hits == []
+
+
+def test_phrase_without_positions_is_400(served):
+    _service, base = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{base}/search?query=def+return&mode=phrase")
+    assert ei.value.code == 400
+
+
+def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
+    import threading
+
+    from engine.corpus import corpus_to_spark
+    from engine.positions import PhraseEngine, build_positions
+    out, _man = built_index
+    build_positions(spark, corpus_to_spark(spark, fixture_corpus_pdf),
+                    out, n_salts=4, partitions=4)
+    service = SearchService(spark, out)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, hits = _get(f"{base}/search?query=def+return&mode=phrase&k=5")
+        expected = PhraseEngine(spark, out).search_phrase("def return", k=5)
+        assert [h["rank_score"] for h in hits] == [n for _, _, n in expected]
+        assert hits and all(set(h) == {"url", "rank_score", "title", "body"}
+                            for h in hits)
+        _, whits = _get(f"{base}/search?query=de*&k=5")
+        wexp = service.engine.search_prefix("de", k=5)
+        assert [h["rank_score"] for h in whits] == [s for _, _, s in wexp]
+    finally:
+        srv.shutdown()
