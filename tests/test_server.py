@@ -79,11 +79,26 @@ def test_empty_query_empty_list(served):
     assert hits == []
 
 
-def test_phrase_without_positions_is_400(served):
-    _service, base = served
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        _get(f"{base}/search?query=def+return&mode=phrase")
-    assert ei.value.code == 400
+def test_phrase_without_positions_is_400(spark, tmp_path):
+    # a fresh index WITHOUT --positions (the shared session index may have
+    # had its positional store built by other test modules)
+    import threading
+
+    from engine.corpus import corpus_to_spark, make_corpus
+    from engine.index_build import build_index
+    out = str(tmp_path / "np_idx")
+    build_index(spark, corpus_to_spark(spark, make_corpus(60, seed=51)),
+                out, n_salts=2, partitions=2)
+    srv = make_server(SearchService(spark, out), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"http://127.0.0.1:{srv.server_address[1]}"
+                 "/search?query=def+return&mode=phrase")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
 
 
 def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
