@@ -735,13 +735,13 @@ def q_phrase_docs(spark, sf_dir):
     shuffles: adjacency is a filtered index sequence over the token array,
     all whole-stage codegen."""
     w1, w2 = PHRASE_TERMS
-    docs = _t(spark, sf_dir, "documents")
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("ts", F.filter(F.split("text", r"\s+"),
+                                       lambda x: x != F.lit(""))))
     n_occ = F.expr(f"""
-      case when size(filter(split(text, '\\\\s+'), x -> x != '')) >= 2 then
-        size(filter(sequence(1,
-               size(filter(split(text, '\\\\s+'), x -> x != '')) - 1),
-             i -> filter(split(text, '\\\\s+'), x -> x != '')[i-1] = '{w1}'
-              and filter(split(text, '\\\\s+'), x -> x != '')[i] = '{w2}'))
+      case when size(ts) >= 2 then
+        size(filter(sequence(1, size(ts) - 1),
+             i -> ts[i-1] = '{w1}' and ts[i] = '{w2}'))
       else 0 end""").cast("long")
     return (docs.select("doc_id", n_occ.alias("n_occ"))
             .where(F.col("n_occ") > 0))
