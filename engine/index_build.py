@@ -99,6 +99,56 @@ def with_doc_identity(corpus: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ pandas UDF bodies
 
+def partition_token_arrays(batches: Iterator[pa.RecordBatch],
+                           with_positions: bool = False):
+    """Consume an (ordinal, content) partition's record batches into flat
+    token arrays: (codes, ordinals[, positions], vocab), or None when the
+    partition holds no tokens. Arrow-native: tokens live only in Arrow
+    buffers (tokenize_arrow) and are dictionary-encoded to int codes in
+    C++; batch-local codes remap to partition-global via one more
+    dictionary_encode. No Python object is ever created per token —
+    per-token Python allocation was the dominant cost and destroyed
+    multi-worker scaling. Shared by the tf-index map kernel and the
+    positional-index map kernel (engine/positions.py) so the two can
+    never diverge on tokenization/encoding."""
+    code_parts, ord_parts, pos_parts, dict_parts, bases = [], [], [], [], []
+    base = 0
+    for rb in batches:
+        content = rb.column("content")
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        toks = tokenize_arrow(content)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        enc = pc.list_flatten(toks).dictionary_encode()
+        code_parts.append(enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        dict_parts.append(enc.dictionary)
+        bases.append(base)
+        base += len(enc.dictionary)
+        ord_parts.append(np.repeat(
+            rb.column("ordinal").to_numpy(zero_copy_only=False)
+            .astype(np.int64), lens))
+        if with_positions:
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_parts.append(np.arange(total, dtype=np.int64)
+                             - np.repeat(doc_starts, lens))
+    if not code_parts:
+        return None
+    gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
+    genc = gdict.dictionary_encode()
+    gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = np.concatenate(
+        [gidx[b + c] for b, c in zip(bases, code_parts)])
+    ordinals = np.concatenate(ord_parts)
+    if with_positions:
+        return codes, ordinals, np.concatenate(pos_parts), genc.dictionary
+    return codes, ordinals, genc.dictionary
+
+
 def _map_partial_runs_factory(n_docs: int, n_salts: int):
     """MAP-SIDE COMBINE: (ordinal, content) partition -> one packed row per
     (term, salt) seen in this partition: sorted ordinal run + tfs as raw
@@ -106,41 +156,10 @@ def _map_partial_runs_factory(n_docs: int, n_salts: int):
     instead of one row per (term, doc) posting cuts shuffle row count ~30-50×
     — the per-row JVM/Arrow serialization was the scalability bottleneck."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # Arrow-native hot path (mapInArrow): tokens live only in Arrow
-        # buffers (tokenize_arrow) and are dictionary-encoded to int codes in
-        # C++; per-(term,doc) tf counting is one int64 np.unique. No Python
-        # object is ever created per token — per-token Python allocation was
-        # the dominant cost and destroyed multi-worker scaling.
-        code_parts, ord_parts, dict_parts, bases = [], [], [], []
-        base = 0
-        for rb in batches:
-            content = rb.column("content")
-            if isinstance(content, pa.ChunkedArray):
-                content = content.combine_chunks()
-            toks = tokenize_arrow(content)
-            lens = pc.list_value_length(toks).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            if lens.sum() == 0:
-                continue
-            enc = pc.list_flatten(toks).dictionary_encode()
-            code_parts.append(enc.indices.to_numpy(
-                zero_copy_only=False).astype(np.int64))
-            dict_parts.append(enc.dictionary)
-            bases.append(base)
-            base += len(enc.dictionary)
-            ord_parts.append(np.repeat(
-                rb.column("ordinal").to_numpy(zero_copy_only=False)
-                .astype(np.int64), lens))
-        if not code_parts:
+        got = partition_token_arrays(batches)
+        if got is None:
             return
-        # batch-local codes -> partition-global codes, still C-level
-        gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
-        genc = gdict.dictionary_encode()
-        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = np.concatenate(
-            [gidx[b + c] for b, c in zip(bases, code_parts)])
-        ordinals = np.concatenate(ord_parts)
-        vocab_arr = genc.dictionary
+        codes, ordinals, vocab_arr = got
         # composite key (term_code, ordinal) -> tf via one sorted unique
         nd = max(n_docs, 1)
         if len(vocab_arr) * nd < 2**62:
@@ -387,7 +406,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     out_dir/{aliases,docs,index,stats,_lineage} + manifest.json."""
     man = BuildManifest(out_dir)
     if not resume:
+        # a FRESH build must also physically clear every stage output a
+        # previous build left behind (incl. optional ones this invocation
+        # will not rewrite, like positions/ or aliases/): serving checks
+        # stage markers, so a stale survivor would silently serve data from
+        # a different corpus
+        import shutil
         man.state = {"snapshots": [], "completed": {}}
+        for stage in ("docs_raw", "aliases", "docs", "index",
+                      "_lineage", "positions"):
+            shutil.rmtree(man.stage_path(stage), ignore_errors=True)
+        # persist the cleared manifest (atomic), so a crash mid-rebuild
+        # cannot resurrect the old stage entries
+        import json
+        tmp = man.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man.state, f)
+        os.replace(tmp, man.path)
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
     n_salts = n_salts or DEFAULT_N_SALTS
     # null rows are dropped, like the reference's fromTable lambda-null
@@ -419,7 +454,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         return [F.sum(F.when(b == i, 1).otherwise(0)).alias(f"b{i}")
                 for i in range(n_buckets)]
 
-    if not man.is_complete("docs_raw"):
+    # docs_raw/aliases feed ONLY the docs stage; when docs is already
+    # complete (resume, incl. dirs created by older layouts that never had
+    # a docs_raw stage) they must not run — a freshly computed alias map
+    # over an already-built index would disagree with its postings
+    need_docs = not man.is_complete("docs")
+    if need_docs and not man.is_complete("docs_raw"):
         from pyspark.sql import Observation
         t0 = man.begin("docs_raw")
         c = with_doc_identity(corpus)
@@ -435,7 +475,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         man.commit("docs_raw", t0, int(rgot["rows"]),
                    {"bucket_counts": [int(rgot[f"b{i}"] or 0)
                                       for i in range(n_buckets)]})
-    docs_raw = spark.read.parquet(man.stage_path("docs_raw"))
+    docs_raw = (spark.read.parquet(man.stage_path("docs_raw"))
+                if need_docs else None)
 
     # ---- stage: aliases (content dedup — the reference contentSeen analog,
     # crawler/Crawler.java:177-190: pages with identical content share one
@@ -443,7 +484,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # docs_raw snapshot — content never moves. Duplicate-content docs alias
     # the min-doc_id canonical and are EXCLUDED from ordinals/postings; the
     # alias map persists so serving can resolve an aliased doc_id. ----
-    if dedup_content and not man.is_complete("aliases"):
+    if need_docs and dedup_content and not man.is_complete("aliases"):
         from pyspark.sql import Observation, Window
         t0 = man.begin("aliases")
         wsha = Window.partitionBy("content_sha256")
@@ -548,13 +589,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # ---- stage: index (salted two-phase posting build) ----
     if not man.is_complete("index"):
         t0 = man.begin("index")
-        run_schema = ("term string, salt int, n long, ids binary, tfs binary")
         pair = ordinal_content_pairs(corpus, docs, n_docs)
         map_runs = pair.mapInArrow(
-            _map_partial_runs_factory(n_docs, n_salts), schema=run_schema)
+            _map_partial_runs_factory(n_docs, n_salts), schema=RUN_SCHEMA)
         partials = (
             map_runs.repartition(partitions, "term", "salt")
-            .mapInPandas(_reduce_partial_runs, schema=run_schema)
+            .mapInPandas(_reduce_partial_runs, schema=RUN_SCHEMA)
         )
         index = (
             partials.repartition(partitions, "term")

@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import varint_decode, varint_encode
-from .index_build import ordinal_content_pairs
-from .tokenizer import tokenize, tokenize_arrow
+from .index_build import ordinal_content_pairs, partition_token_arrays
+from .tokenizer import tokenize
 
 POS_RUN_SCHEMA = ("term string, salt int, ids binary, counts binary, "
                   "pos binary")
@@ -68,39 +68,11 @@ def _map_pos_runs_factory(n_docs: int, n_salts: int):
     runs: sorted ordinals + per-doc occurrence counts + flattened
     in-doc-order positions, all as raw little-endian bytes."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        code_parts, ord_parts, pos_parts, dict_parts, bases = [], [], [], [], []
-        base = 0
-        for rb in batches:
-            content = rb.column("content")
-            if isinstance(content, pa.ChunkedArray):
-                content = content.combine_chunks()
-            toks = tokenize_arrow(content)
-            lens = pc.list_value_length(toks).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            enc = pc.list_flatten(toks).dictionary_encode()
-            code_parts.append(enc.indices.to_numpy(
-                zero_copy_only=False).astype(np.int64))
-            dict_parts.append(enc.dictionary)
-            bases.append(base)
-            base += len(enc.dictionary)
-            ords = rb.column("ordinal").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ord_parts.append(np.repeat(ords, lens))
-            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            pos_parts.append(np.arange(total, dtype=np.int64)
-                             - np.repeat(doc_starts, lens))
-        if not code_parts:
+        got = partition_token_arrays(batches, with_positions=True)
+        if got is None:
             return
-        gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
-        genc = gdict.dictionary_encode()
-        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = np.concatenate(
-            [gidx[b + c] for b, c in zip(bases, code_parts)])
-        ordinals = np.concatenate(ord_parts)
-        positions = np.concatenate(pos_parts).astype(np.int32)
+        codes, ordinals, positions, vocab = got
+        positions = positions.astype(np.int32)
         order = np.lexsort((positions, ordinals, codes))
         codes, ordinals = codes[order], ordinals[order]
         positions = positions[order]
@@ -120,7 +92,6 @@ def _map_pos_runs_factory(n_docs: int, n_salts: int):
             (np.diff(d_code) != 0) | (np.diff(d_salt) != 0)) + 1
         rstarts = np.concatenate(([0], change))
         rends = np.concatenate((change, [d_code.size]))
-        vocab = genc.dictionary
         run_terms = vocab.take(
             pa.array(d_code[rstarts], pa.int64())).cast(pa.string())
         tok_starts = dstarts  # flat-position segment start per doc group

@@ -17,10 +17,13 @@ arithmetic (+,*,/) which is IEEE-deterministic. The result is bitwise equal
 to engine.oracle.Bm25Oracle — tests assert exact float equality.
 
 Pruning: score-safe block-max pruning (a block-max WAND/MaxScore variant):
-per-term upper bounds from (max_tf per block, min doc_len); candidates whose
-summed block upper bounds fall below a θ lower-bounded by seeding the
-highest-impact term are never scored. Tests assert identical top-k vs the
-exhaustive path on every fixture.
+candidates are visited in descending block-upper-bound order (per-term
+bounds from the max tf of the exact block holding the candidate's posting,
+membership-aware) and exactly scored in geometrically-growing chunks; once
+the k-th best exact score strictly exceeds the next candidate's bound, the
+whole low-bound tail is skipped unscored. Tests assert identical top-k vs
+the exhaustive path on every fixture, and that skipping actually fires on
+skewed corpora.
 """
 
 from __future__ import annotations
@@ -263,13 +266,22 @@ class SearchEngine:
     def expand_prefix(self, prefix: str) -> list[str]:
         """Terms starting with `prefix`, via a pushdown scan of the term
         dictionary (StringStartsWith reaches the parquet scan; the index is
-        term-sorted so at scale this touches the prefix's row groups
-        only). Sorted; capped at PREFIX_EXPANSION_CAP (a one-letter prefix
-        over a 10^7-term vocabulary is a user error, not a query plan)."""
+        term-sorted so at scale this touches the prefix's row groups only).
+        A limit(cap+1) bounds what ever reaches the driver; a prefix
+        expanding past PREFIX_EXPANSION_CAP raises (silent truncation
+        would return BM25 over an arbitrary term subset), and ValueError
+        surfaces as HTTP 400 through the serving shim."""
+        if not prefix:
+            raise ValueError("empty wildcard prefix")
+        cap = self.PREFIX_EXPANSION_CAP
         rows = (self.index_df
                 .where(F.col("term").startswith(prefix))
-                .select("term").collect())
-        return sorted(r["term"] for r in rows)[:self.PREFIX_EXPANSION_CAP]
+                .select("term").limit(cap + 1).collect())
+        if len(rows) > cap:
+            raise ValueError(
+                f"prefix '{prefix}*' matches more than {cap} terms; "
+                "use a longer prefix")
+        return sorted(r["term"] for r in rows)
 
     def search_prefix(self, prefix: str, k: int = 10
                       ) -> list[tuple[int, int, float]]:

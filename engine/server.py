@@ -36,6 +36,17 @@ from pyspark.sql import SparkSession
 REFERENCE_MAX_RESULTS = 300  # Searcher.java:203 caps the result list
 
 
+def _stage_complete(index_dir: str, stage: str) -> bool:
+    """The manifest's word on a stage, not just a leftover _SUCCESS file."""
+    from .checkpoint import BuildManifest
+    return BuildManifest(index_dir).is_complete(stage)
+
+
+def pd_series_empty(n: int):
+    import pandas as pd
+    return pd.Series([""] * n)
+
+
 class SearchService:
     """Query engine + display-field resolution for one built index."""
 
@@ -50,23 +61,32 @@ class SearchService:
         want = [c for c in ("doc_id", "repo", "path", "commit",
                             "title", "snippet") if c in cols]
         pdf = docs.select(*want).toPandas()
-        self._display: dict[int, tuple[str, str, str]] = {}
-        for r in pdf.itertuples(index=False):
-            d = r._asdict() if hasattr(r, "_asdict") else dict(zip(want, r))
-            doc_id = int(d["doc_id"])
-            if {"repo", "path", "commit"} <= d.keys():
-                url = f"{d['repo']}/{d['path']}@{d['commit']}"
-            else:  # compacted/merged snapshots carry stats only
-                url = str(doc_id)
-            self._display[doc_id] = (url, str(d.get("title", "") or ""),
-                                     str(d.get("snippet", "") or ""))
-        # aliased doc_ids (content dedup) resolve to their canonical doc
+        # vectorized display-map build (pandas C string ops + dict(zip)):
+        # a per-row Python loop here would be minutes of driver CPU at the
+        # upper end of the driver-map regime
+        ids = pdf["doc_id"].astype("int64")
+        if {"repo", "path", "commit"} <= cols:
+            urls = (pdf["repo"].astype(str) + "/" + pdf["path"].astype(str)
+                    + "@" + pdf["commit"].astype(str))
+        else:  # compacted/merged snapshots carry stats only
+            urls = ids.astype(str)
+        titles = (pdf["title"].fillna("").astype(str)
+                  if "title" in cols else pd_series_empty(len(pdf)))
+        snippets = (pdf["snippet"].fillna("").astype(str)
+                    if "snippet" in cols else pd_series_empty(len(pdf)))
+        self._display: dict[int, tuple[str, str, str]] = dict(
+            zip(ids.tolist(), zip(urls.tolist(), titles.tolist(),
+                                  snippets.tolist())))
+        # aliased doc_ids (content dedup) resolve to their canonical doc.
+        # Gate on the MANIFEST, not a bare _SUCCESS marker: a stage dir left
+        # behind by an older build of this directory must not be trusted.
         self._alias: dict[int, int] = {}
-        alias_path = os.path.join(index_dir, "aliases")
-        if os.path.exists(os.path.join(alias_path, "_SUCCESS")):
-            apdf = spark.read.parquet(alias_path).toPandas()
-            self._alias = {int(a): int(c) for a, c in
-                           zip(apdf["doc_id"], apdf["canonical_doc_id"])}
+        if _stage_complete(index_dir, "aliases"):
+            apdf = spark.read.parquet(
+                os.path.join(index_dir, "aliases")).toPandas()
+            self._alias = dict(zip(apdf["doc_id"].astype("int64").tolist(),
+                                   apdf["canonical_doc_id"]
+                                   .astype("int64").tolist()))
 
     def resolve(self, doc_id: int) -> tuple[str, str, str]:
         doc_id = self._alias.get(doc_id, doc_id)
@@ -74,8 +94,7 @@ class SearchService:
 
     def _phrase_engine(self):
         if self._phrase is None:
-            marker = os.path.join(self.index_dir, "positions", "_SUCCESS")
-            if not os.path.exists(marker):
+            if not _stage_complete(self.index_dir, "positions"):
                 raise ValueError(
                     "this index has no positional store "
                     "(build with --positions for phrase search)")
@@ -89,14 +108,18 @@ class SearchService:
         beyond the reference: mode=phrase (positional store; rank_score is
         the occurrence count) and a trailing `*` wildcard (prefix
         expansion + ranked OR)."""
+        q = query.strip()
         if mode == "phrase":
             rows = self._phrase_engine().search_phrase(query, k=k)
         elif scoring == "tfidf":
             rows = self.engine.search_tfidf_reference(
                 query, k=min(k, REFERENCE_MAX_RESULTS))
-        elif query.rstrip().endswith("*"):
-            rows = self.engine.search_prefix(
-                query.rstrip()[:-1].strip().lower(), k=k)
+        elif (mode == "ranked" and q.endswith("*") and len(q) > 1
+              and " " not in q):
+            # single-token trailing-* wildcard only; a multi-term query
+            # with a '*' falls through to normal search (the tokenizer
+            # strips punctuation), and conjunctive mode is never hijacked
+            rows = self.engine.search_prefix(q[:-1].lower(), k=k)
         else:
             rows = self.engine.search(query, k=k, mode=mode)
         out = []

@@ -188,7 +188,7 @@ def materialized_centroids(spark, emb: DataFrame) -> DataFrame:
         "cid long, ce array<double>, cn double"))
 
 
-_IVF_INDEX: dict[str, tuple] = {}
+_IVF_INDEX: dict[str, tuple] = {}  # sf_dir -> (spark, assigned, cents)
 
 
 def ivf_index(spark, sf_dir) -> tuple:
@@ -199,14 +199,18 @@ def ivf_index(spark, sf_dir) -> tuple:
     re-contains (and Catalyst re-compiles, and Spark re-executes) the whole
     training+assignment lineage. persist() here is the cluster-memory
     analog of writing the index to storage (MEMORY_AND_DISK by default)."""
-    if sf_dir not in _IVF_INDEX:
+    ent = _IVF_INDEX.get(sf_dir)
+    if ent is None or ent[0] is not spark:
+        # cache entries are bound to the SparkSession that persisted them;
+        # a new session (e.g. after spark.stop()) must rebuild, not hand
+        # out DataFrames referencing a dead JVM gateway
         emb = _emb(spark, sf_dir)
         emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
         cents = materialized_centroids(spark, emb)
         assigned = _assign(emb_n, cents).persist()
         assigned.count()  # materialize the index
-        _IVF_INDEX[sf_dir] = (assigned, cents)
-    return _IVF_INDEX[sf_dir]
+        _IVF_INDEX[sf_dir] = (spark, assigned, cents)
+    return _IVF_INDEX[sf_dir][1:]
 
 
 def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,

@@ -94,3 +94,60 @@ def test_beyond_broadcast_limit_fallback_identical(spark, fixture_corpus_pdf,
     b = spark.read.parquet(f"{out_b}/docs").orderBy("ordinal").collect()
     cols = sorted(a[0].asDict())
     assert [[r[c] for c in cols] for r in a] == [[r[c] for c in cols] for r in b]
+
+
+def test_fresh_rebuild_clears_stale_optional_stages(spark, tmp_path):
+    """resume=False must physically remove EVERY previous stage output —
+    a surviving positions/ or aliases/ dir from the old corpus would be
+    served against the new ordinals (stale-read corruption)."""
+    import pytest
+
+    from engine.checkpoint import BuildManifest
+    from engine.corpus import corpus_to_spark, make_corpus
+    from engine.positions import build_positions
+    from engine.server import SearchService
+    out = str(tmp_path / "idx")
+    pdf1 = make_corpus(80, seed=61)
+    build_index(spark, corpus_to_spark(spark, pdf1), out,
+                n_salts=2, partitions=2)
+    build_positions(spark, corpus_to_spark(spark, pdf1), out,
+                    n_salts=2, partitions=2)
+    assert os.path.exists(os.path.join(out, "positions", "_SUCCESS"))
+
+    pdf2 = make_corpus(50, seed=62)
+    build_index(spark, corpus_to_spark(spark, pdf2), out,
+                n_salts=2, partitions=2, resume=False)
+    assert not os.path.exists(os.path.join(out, "positions"))
+    assert not BuildManifest(out).is_complete("positions")
+    with pytest.raises(ValueError, match="positional store"):
+        SearchService(spark, out)._phrase_engine()
+
+
+def test_resume_on_legacy_layout_is_noop(spark, fixture_corpus_pdf,
+                                         tmp_path):
+    """An index dir whose manifest predates the docs_raw/aliases stages
+    (docs complete, no docs_raw) must resume as a NO-OP: recomputing an
+    alias map the completed postings never saw would corrupt serving."""
+    import shutil
+
+    out = str(tmp_path / "legacy")
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(120))
+    build_index(spark, corpus, out, n_salts=2, partitions=2)
+    fp = _index_fingerprint(spark, out)
+    # simulate the legacy layout
+    man_path = os.path.join(out, "manifest.json")
+    with open(man_path) as f:
+        state = json.load(f)
+    for stage in ("docs_raw", "aliases"):
+        state["completed"].pop(stage, None)
+        shutil.rmtree(os.path.join(out, stage), ignore_errors=True)
+    state["snapshots"] = [s for s in state["snapshots"]
+                          if s["stage"] not in ("docs_raw", "aliases")]
+    with open(man_path, "w") as f:
+        json.dump(state, f)
+
+    man2 = build_index(spark, corpus, out, n_salts=2, partitions=2)
+    assert not os.path.exists(os.path.join(out, "docs_raw"))
+    assert not os.path.exists(os.path.join(out, "aliases"))
+    assert "docs_raw" not in man2.state["completed"]
+    assert _index_fingerprint(spark, out) == fp
