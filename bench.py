@@ -317,9 +317,10 @@ def main():
                      "neardup_embedding_pairs",
                      "image_decode_features", "frame_sample", "langid_ngram",
                      "winnow_fingerprints", "simhash64", "phrase_docs",
-                     "pagerank_dominant", "fold_by_key",
+                     "phrase_slop_docs", "pagerank_dominant", "fold_by_key",
                      "join_customer_orders", "window_top_order"]:
-            fn = cq.queries()[name]
+            # bm25_rank lives in the consolidated (pytest-verified) set now
+            fn = {**cq.queries(), **cq.consolidated_queries()}[name]
             t, _ = _timed(lambda: fn(spark, SF_DIR).collect())
             queries[name] = round(t, 4)
     finally:

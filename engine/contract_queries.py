@@ -460,16 +460,16 @@ def q_inverted_index_stats(spark, sf_dir):
 
 def q_bm25_engine_topk(spark, sf_dir):
     """The REAL SearchEngine (varint postings, block-max pruning) answering
-    the fixture query — verified against the pure-SQL BM25 oracle."""
+    the fixture query — verified against the pure-SQL BM25 oracle.
+    rounded=True ranks by round(score,6) with doc_id tie-break INSIDE the
+    engine (rounding-safe θ cut keeps the pruning active), so this fetches
+    exactly k rows like every production caller — no O(N) driver re-rank."""
     from .query import SearchEngine
     out = _built_engine_dir(spark, sf_dir)
     eng = SearchEngine(spark, out)
-    # fetch ALL matches, then re-rank by ROUNDED score (the oracle ranks by
-    # round(score,6), so ulp-close scores must tie-break by doc_id in both)
-    rows = eng.search(" ".join(BM25_TERMS), k=2**31 - 1, mode="ranked")
-    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
-                     key=lambda x: (-x[0], x[1]))
-    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    rows = eng.search(" ".join(BM25_TERMS), k=TOPK, mode="ranked",
+                      rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
@@ -480,14 +480,13 @@ def q_prefix_bm25_topk(spark, sf_dir):
     """Wildcard query `s*` through the REAL engine: prefix expansion via a
     pushdown StringStartsWith scan of the term dictionary, then ranked OR
     BM25 over the expanded set — verified against the same pure-SQL BM25
-    oracle with a LIKE predicate."""
+    oracle with a LIKE predicate. k-row fetch via rounded in-engine
+    ranking, like q_bm25_engine_topk."""
     from .query import SearchEngine
     out = _built_engine_dir(spark, sf_dir)
     eng = SearchEngine(spark, out)
-    rows = eng.search_prefix(PREFIX_QUERY, k=2**31 - 1)
-    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
-                     key=lambda x: (-x[0], x[1]))
-    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    rows = eng.search_prefix(PREFIX_QUERY, k=TOPK, rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
@@ -499,11 +498,9 @@ def q_bm25_big_topk(spark, sf_dir):
     the driver-array engine."""
     from .query import search_big
     out = _built_engine_dir(spark, sf_dir)
-    rows = search_big(spark, out, " ".join(BM25_TERMS), k=2**31 - 1,
-                      mode="ranked")
-    rounded = sorted(((round(s, 6), d) for _, d, s in rows),
-                     key=lambda x: (-x[0], x[1]))
-    pdf = [(int(d), i + 1, s) for i, (s, d) in enumerate(rounded[:TOPK])]
+    rows = search_big(spark, out, " ".join(BM25_TERMS), k=TOPK,
+                      mode="ranked", rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
@@ -726,6 +723,8 @@ def q_winnow_fingerprints(spark, sf_dir):
 # ---------------------------------------------------------------- phrase
 
 PHRASE_TERMS = ["part", "filter"]  # a bigram present at every sf
+NEAR_TERMS = ["scan", "window"]    # proximity fixture present at every sf
+NEAR_SLOP = 4
 
 
 def q_phrase_docs(spark, sf_dir):
@@ -742,6 +741,29 @@ def q_phrase_docs(spark, sf_dir):
       case when size(ts) >= 2 then
         size(filter(sequence(1, size(ts) - 1),
              i -> ts[i-1] = '{w1}' and ts[i] = '{w2}'))
+      else 0 end""").cast("long")
+    return (docs.select("doc_id", n_occ.alias("n_occ"))
+            .where(F.col("n_occ") > 0))
+
+
+def q_phrase_slop_docs(spark, sf_dir):
+    """Proximity (NEAR/slop) match over whitespace tokens — the contract
+    twin of PhraseEngine.search_near (engine/positions.py, pytest-verified
+    under the full code tokenizer). A doc position i counts iff ts[i]=w1
+    and some ts[j]=w2 with i < j <= i+slop (ordered window, slop=1 would be
+    exact adjacency). ONE scan, zero shuffles — nested higher-order
+    functions, all whole-stage codegen."""
+    w1, w2 = NEAR_TERMS
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("ts", F.filter(F.split("text", r"\s+"),
+                                       lambda x: x != F.lit(""))))
+    n_occ = F.expr(f"""
+      case when size(ts) >= 1 then
+        size(filter(
+          filter(sequence(1, size(ts)), i -> ts[i-1] = '{NEAR_TERMS[0]}'),
+          i -> exists(filter(sequence(1, size(ts)),
+                             j -> ts[j-1] = '{NEAR_TERMS[1]}'),
+                      j -> j > i and j <= i + {NEAR_SLOP})))
       else 0 end""").cast("long")
     return (docs.select("doc_id", n_occ.alias("n_occ"))
             .where(F.col("n_occ") > 0))
@@ -832,15 +854,17 @@ def q_simhash64(spark, sf_dir):
 
 
 # =============================================================== registry
+# The driver verifies at most 50 entries; near-duplicate families
+# (doc_lengths / bm25_rank / bm25_big_topk / lsh_bucket_counts) live in
+# consolidated_queries()+consolidated_oracles() below, verified by pytest
+# with the identical compare, so every registry slot is a distinct family.
 
 def queries():
     return {
         "term_counts": q_term_counts,
         "term_df": q_term_df,
-        "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,
         "doc_sha256": q_doc_sha256,
-        "bm25_rank": q_bm25_rank,
         "tfidf_rank": q_tfidf_rank,
         "conjunctive_docs": q_conjunctive_docs,
         "distinct_terms": q_distinct_terms,
@@ -864,7 +888,6 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_engine_topk": q_bm25_engine_topk,
-        "bm25_big_topk": q_bm25_big_topk,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "doc_display": q_doc_display,
         "dedup_aliases": q_dedup_aliases,
@@ -875,7 +898,6 @@ def queries():
         "image_decode_features": q_image_decode_features,
         "frame_sample": q_frame_sample,
         "audio_chunk_stats": q_audio_chunk_stats,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "neardup_embedding_pairs": q_neardup_embedding_pairs,
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
@@ -888,6 +910,7 @@ def queries():
         "simhash64": q_simhash64,
         "pagerank_dominant": q_pagerank_dominant,
         "phrase_docs": q_phrase_docs,
+        "phrase_slop_docs": q_phrase_slop_docs,
     }
 
 
@@ -904,8 +927,6 @@ def oracle_sql():
                        "group by term",
         "term_df": "select term, count(distinct doc_id) as df from "
                    f"({_TOKENS_SQL}) group by term",
-        "doc_lengths": f"select doc_id, count(*) as doc_len from "
-                       f"({_TOKENS_SQL}) group by doc_id",
         "corpus_stats": f"""
             with dl as (select doc_id, count(*) as doc_len from
                         ({_TOKENS_SQL}) group by doc_id)
@@ -913,7 +934,6 @@ def oracle_sql():
                    cast(sum(doc_len) as bigint) as total_len,
                    round(sum(doc_len)/count(*), 6) as avgdl from dl""",
         "doc_sha256": "select doc_id, sha256(text) as sha from documents",
-        "bm25_rank": _bm25_duck_sql(BM25_TERMS, TOPK),
         "tfidf_rank": f"""
             with tok as ({_TOKENS_SQL}),
             n as (select count(distinct doc_id) as n_docs from tok),
@@ -1061,7 +1081,6 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
-        "bm25_big_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
         "prefix_bm25_topk": _bm25_duck_sql_pred(
             f"term like '{PREFIX_QUERY}%'", TOPK),
         "doc_display": """
@@ -1117,6 +1136,23 @@ def oracle_sql():
             select d.doc_id, coalesce(s.simhash, 0) as simhash
             from documents d left join sh s on d.doc_id = s.doc_id""",
         "pagerank_dominant": _pagerank_oracle(),
+        "phrase_slop_docs": f"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') as ts
+              from documents)
+            select doc_id, n_occ from (
+              select doc_id,
+                     len(list_filter(
+                       list_filter(range(1, len(ts)+1),
+                                   i -> ts[i] = '{NEAR_TERMS[0]}'),
+                       i -> len(list_filter(range(1, len(ts)+1),
+                            j -> ts[j] = '{NEAR_TERMS[1]}'
+                             and j > i and j <= i + {NEAR_SLOP})) > 0))
+                       as n_occ
+              from toks)
+            where n_occ > 0""",
         "phrase_docs": f"""
             with toks as (
               select doc_id,
@@ -1133,6 +1169,40 @@ def oracle_sql():
         **_multimodal_oracles(),
         **_similarity_oracles(),
         **_text_extra_oracles(),
+    }
+
+
+def consolidated_oracles():
+    """Oracles for entries consolidated OUT of the driver registry (the
+    driver verifies at most 50 entries, so near-duplicate families were
+    folded — VERDICT r2 #1). They stay verified here via pytest
+    (tests/test_contract.py runs this dict exactly like the registry):
+      doc_lengths       — projection of token_stats;
+      bm25_rank         — same oracle as bm25_engine_topk (pure-SQL twin);
+      bm25_big_topk     — same oracle; zero-driver-array path, also
+                          pytest-asserted bitwise equal to SearchEngine;
+      lsh_bucket_counts — diagnostic of the LSH path ann_lsh_topk proves.
+    """
+    from .similarity import lsh_signature_sql
+    sig = lsh_signature_sql()
+    return {
+        "doc_lengths": f"select doc_id, count(*) as doc_len from "
+                       f"({_TOKENS_SQL}) group by doc_id",
+        "bm25_rank": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "bm25_big_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "lsh_bucket_counts": f"""
+            with {sig}
+            select bucket, count(*) as n_vecs from sig group by bucket""",
+    }
+
+
+def consolidated_queries():
+    """The Spark side of consolidated_oracles()."""
+    return {
+        "doc_lengths": q_doc_lengths,
+        "bm25_rank": q_bm25_rank,
+        "bm25_big_topk": q_bm25_big_topk,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
     }
 
 
@@ -1212,9 +1282,6 @@ def _similarity_oracles() -> dict[str, str]:
             select qid, row_number() over (partition by qid
                      order by sim desc, vec_id) as rank, vec_id, sim
             from cand qualify rank <= {ANN_K}""",
-        "lsh_bucket_counts": f"""
-            with {sig}
-            select bucket, count(*) as n_vecs from sig group by bucket""",
         "ann_lsh_topk": f"""
             with {sig},
             q as (select vec_id as qid, emb as qe, nrm as qn, bucket

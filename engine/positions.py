@@ -233,6 +233,20 @@ def decode_position_row(ords_b: bytes, counts_b: bytes, pos_b: bytes
     return ords, counts, cs - np.repeat(base, counts)
 
 
+def _near_match(k1: np.ndarray, k2: np.ndarray, p2: np.ndarray,
+                slop: int) -> np.ndarray:
+    """Composite keys of term1 occurrences that have a term2 occurrence
+    within (pos, pos+slop]. k1/k2 are ordinal*2^32+pos keys; p2 the raw
+    positions of k2's occurrences (to mask shifts that would cross into the
+    previous doc's key space). Result keys are unique (each term1 position
+    counts once)."""
+    if k1.size == 0 or k2.size == 0:
+        return k1[:0]
+    shifted = [ (k2 - np.int64(d))[p2 >= d] for d in range(1, slop + 1) ]
+    window = np.unique(np.concatenate(shifted)) if shifted else k2[:0]
+    return np.intersect1d(k1, window, assume_unique=True)
+
+
 class PhraseEngine:
     """Exact-phrase search over the positional store. Matching is NumPy
     set algebra on composite (ordinal, position) keys — no per-doc loops.
@@ -243,16 +257,44 @@ class PhraseEngine:
     pushdown on (term, block)) — a stopword in the phrase costs a few
     blocks, not its whole position stream."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    #: decoded-block cache budget — LRU-evicted past this many (term, block)
+    #: entries, so a long-lived serve process holds bounded driver memory
+    #: no matter how many distinct phrase queries it answers
+    CACHE_MAX_BLOCKS = 4096
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_max_blocks: int | None = None):
+        from collections import OrderedDict
         self.spark = spark
         self.pos_df = spark.read.parquet(
             os.path.join(index_dir, "positions"))
         docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
                 .select("ordinal", "doc_id").orderBy("ordinal").toPandas())
         self._ext_ids = docs["doc_id"].to_numpy(np.int64)
-        # (term, block) -> decoded triple; None marks a fetched-empty block
-        self._cache: dict[tuple[str, int], tuple | None] = {}
+        # (term, block) -> decoded triple; None marks a fetched-empty block.
+        # LRU-bounded (ADVICE r2: the unbounded dict accumulated every
+        # decoded block forever in a serving process).
+        self._cache: "OrderedDict[tuple[str, int], tuple | None]" = \
+            OrderedDict()
+        self._cache_max = (cache_max_blocks if cache_max_blocks is not None
+                           else self.CACHE_MAX_BLOCKS)
         self._occ: dict[str, int] = {}  # total occurrences per term
+
+    def _cache_put(self, key: tuple[str, int], val) -> None:
+        self._cache[key] = val
+        self._cache.move_to_end(key)
+        while len(self._cache) > self._cache_max:
+            self._cache.popitem(last=False)
+
+    def _cache_hit(self, key: tuple[str, int]):
+        """Fetch + mark recently-used (None stays a valid 'empty' marker)."""
+        val = self._cache.get(key)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+        return val
+
+    def clear_cache(self) -> None:
+        self._cache.clear()
 
     def _term_occ(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in set(terms) if t not in self._occ]
@@ -268,12 +310,19 @@ class PhraseEngine:
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (ords, counts, positions) of `term`, restricted to
         `blocks` (None = all). Block-granular cache."""
+        # `have` holds this call's working set directly — the LRU cache is
+        # an accelerator only; eviction can never drop a needed block
+        have: dict[int, tuple | None] = {}
         if blocks is None:
             cond = F.col("term") == term
             wanted = None
         else:
-            wanted = [int(b) for b in blocks
-                      if (term, int(b)) not in self._cache]
+            wanted = []
+            for b in (int(x) for x in blocks):
+                if (term, b) in self._cache:
+                    have[b] = self._cache_hit((term, b))
+                else:
+                    wanted.append(b)
             cond = (F.col("term") == term) & F.col("block").isin(wanted)
         if blocks is None or wanted:
             rows = (self.pos_df.where(cond)
@@ -282,15 +331,18 @@ class PhraseEngine:
                 bytes(r["ords"]), bytes(r["counts"]), bytes(r["pos"]))
                 for r in rows}
             if blocks is None:
-                self._cache.update({(term, b): v for b, v in got.items()})
-                use = sorted(got)
+                have = got
             else:
                 for b in wanted:
-                    self._cache[(term, b)] = got.get(b)
-                use = sorted(int(b) for b in blocks)
-        else:
-            use = sorted(int(b) for b in blocks)
-        parts = [v for b in use if (v := self._cache.get((term, b)))]
+                    have[b] = got.get(b)
+            for b, v in got.items():
+                self._cache_put((term, b), v)
+            if blocks is not None:
+                for b in wanted:
+                    if b not in got:
+                        self._cache_put((term, b), None)
+        use = sorted(have)
+        parts = [v for b in use if (v := have.get(b))]
         if not parts:
             z = np.empty(0, dtype=np.int64)
             return z, z, z
@@ -332,6 +384,89 @@ class PhraseEngine:
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
+
+    def search_near(self, term1: str, term2: str, slop: int = 1,
+                    k: int = 10) -> list[tuple[int, int, int]]:
+        """Proximity search `term1 NEAR/slop term2` (ordered): ranks docs
+        where an occurrence of term2 follows term1 within `slop` positions
+        (slop=1 == exact adjacency). n_occ counts the matching term1
+        positions. Same composite-key set algebra as search_phrase — the
+        slop window is the union of `slop` shifted copies of term2's keys
+        (deduplicated, so each term1 position counts once no matter how
+        many term2 occurrences land in its window). Rarest term decodes
+        first; the other fetches only candidate blocks."""
+        t1 = tokenize(term1)
+        t2 = tokenize(term2)
+        if len(t1) != 1 or len(t2) != 1 or slop < 1 or k <= 0:
+            return []
+        t1, t2 = t1[0], t2[0]
+        occ = self._term_occ([t1, t2])
+        if occ[t1] == 0 or occ[t2] == 0:
+            return []
+        if occ[t2] <= occ[t1]:  # decode the rarer side fully
+            o2, c2, p2 = self._fetch_blocks(t2, None)
+            k2 = np.repeat(o2, c2) * _SHIFT + p2
+            cand = np.unique(k2 // _SHIFT) >> np.int64(POS_BLOCK_BITS)
+            o1, c1, p1 = self._fetch_blocks(t1, np.unique(cand))
+            k1 = np.repeat(o1, c1) * _SHIFT + p1
+        else:
+            o1, c1, p1 = self._fetch_blocks(t1, None)
+            k1 = np.repeat(o1, c1) * _SHIFT + p1
+            cand = np.unique(k1 // _SHIFT) >> np.int64(POS_BLOCK_BITS)
+            o2, c2, p2 = self._fetch_blocks(t2, np.unique(cand))
+            k2 = np.repeat(o2, c2) * _SHIFT + p2
+        matched = _near_match(k1, k2, p2, slop)
+        if matched.size == 0:
+            return []
+        uniq, n_occ = np.unique(matched // _SHIFT, return_counts=True)
+        order = np.lexsort((uniq, -n_occ))[:k]
+        return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
+                for i, j in enumerate(order)]
+
+    def search_near_distributed(self, term1: str, term2: str, slop: int = 1,
+                                k: int = 10) -> list[tuple[int, int, int]]:
+        """search_near as a Spark job (same result — tests assert it):
+        per-storage-block applyInPandas groups intersect locally, only
+        (ordinal, n_occ) hit rows leave the executors — the hot-term NEAR
+        path at scale, mirroring search_phrase_distributed."""
+        import pandas as pd
+
+        t1l, t2l = tokenize(term1), tokenize(term2)
+        if len(t1l) != 1 or len(t2l) != 1 or slop < 1 or k <= 0:
+            return []
+        t1, t2 = t1l[0], t2l[0]
+        shift = int(_SHIFT)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {}
+            for r in pdf.itertuples(index=False):
+                by_term[r.term] = decode_position_row(
+                    bytes(r.ords), bytes(r.counts), bytes(r.pos))
+            empty = pd.DataFrame({"ordinal": np.empty(0, np.int64),
+                                  "n_occ": np.empty(0, np.int64)})
+            if t1 not in by_term or t2 not in by_term:
+                return empty
+            o1, c1, p1 = by_term[t1]
+            o2, c2, p2 = by_term[t2]
+            k1 = np.repeat(o1, c1) * np.int64(shift) + p1
+            k2 = np.repeat(o2, c2) * np.int64(shift) + p2
+            matched = _near_match(k1, k2, p2, slop)
+            if matched.size == 0:
+                return empty
+            uniq, n_occ = np.unique(matched // np.int64(shift),
+                                    return_counts=True)
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+                                 "n_occ": n_occ.astype(np.int64)})
+
+        tset = [t1] if t1 == t2 else [t1, t2]
+        hits = (self.pos_df.where(F.col("term").isin(tset))
+                .select("term", "block", "ords", "counts", "pos")
+                .groupBy("block")
+                .applyInPandas(kern, schema="ordinal long, n_occ long"))
+        rows = (hits.orderBy(F.col("n_occ").desc(), "ordinal")
+                .limit(k).collect())
+        return [(i + 1, int(self._ext_ids[r["ordinal"]]), int(r["n_occ"]))
+                for i, r in enumerate(rows)]
 
     def search_phrase_distributed(self, phrase: str, k: int = 10
                                   ) -> list[tuple[int, int, int]]:

@@ -121,9 +121,13 @@ class SearchEngine:
         return scores
 
     def _topk(self, candidates: np.ndarray, scores: np.ndarray,
-              k: int) -> list[tuple[int, int, float]]:
+              k: int, rounded: bool = False) -> list[tuple[int, int, float]]:
         # candidates are ordinals; ordinal asc == external doc_id asc, so the
-        # lexsort tie-break matches the oracle's (score DESC, doc_id ASC)
+        # lexsort tie-break matches the oracle's (score DESC, doc_id ASC).
+        # rounded mode ranks by round(score, 6) — the cross-engine contract
+        # ordering, where ulp-close scores must tie-break by doc_id.
+        if rounded:
+            scores = np.round(scores, 6)
         order = np.lexsort((candidates, -scores))[:k]
         return [(i + 1, int(self._ext_ids[candidates[j]]), float(scores[j]))
                 for i, j in enumerate(order)]
@@ -131,8 +135,14 @@ class SearchEngine:
     # --------------------------------------------------------------- search API
 
     def search(self, query: str, k: int = 10, mode: str = "ranked",
-               prune: bool = True) -> list[tuple[int, int, float]]:
-        """Return [(rank, doc_id, score)]; rank-identical to Bm25Oracle."""
+               prune: bool = True, rounded: bool = False
+               ) -> list[tuple[int, int, float]]:
+        """Return [(rank, doc_id, score)]; rank-identical to Bm25Oracle.
+        rounded=True ranks by round(score, 6) with doc_id tie-break (the
+        cross-engine contract ordering) and returns rounded scores — the
+        pruned traversal stays active with a rounding-safe θ cut, so a
+        contract caller fetches k rows like every other caller instead of
+        re-ranking all matches on the driver."""
         terms = query_terms(query)
         if not terms or k <= 0:
             return []
@@ -148,15 +158,16 @@ class SearchEngine:
                 if cands.size == 0:
                     return []
             scores = self._score(terms, postings, cands)
-            return self._topk(cands, scores, k)
+            return self._topk(cands, scores, k, rounded)
         if mode != "ranked":
             raise ValueError(f"unknown mode {mode!r}")
         if not postings:
             return []
         if prune:
-            return self._ranked_pruned(terms, postings, k)
+            return self._ranked_pruned(terms, postings, k, rounded)
         cands = self._union(postings)
-        return self._topk(cands, self._score(terms, postings, cands), k)
+        return self._topk(cands, self._score(terms, postings, cands), k,
+                          rounded)
 
     @staticmethod
     def _union(postings: dict[str, TermPostings]) -> np.ndarray:
@@ -200,7 +211,8 @@ class SearchEngine:
 
     def _ranked_pruned(self, terms: list[str],
                        postings: dict[str, TermPostings],
-                       k: int) -> list[tuple[int, int, float]]:
+                       k: int, rounded: bool = False
+                       ) -> list[tuple[int, int, float]]:
         """Score-safe block-max traversal (block-max WAND/MaxScore family):
         candidates are visited in DESCENDING block-upper-bound order and
         exactly scored in chunks; θ = the k-th best exact score so far.
@@ -244,6 +256,14 @@ class SearchEngine:
                 top = merged
             if top.size >= k:
                 theta = float(top.min())
+                if rounded:
+                    # rounding-safe cut: a skipped candidate must not even
+                    # be able to ROUND to the k-th best's rounded score —
+                    # s < round(θ,6) - 5e-7 ⟹ round(s,6) < round(θ,6),
+                    # while ≥k scored docs have s ≥ θ ⟹ round(s) ≥ round(θ)
+                    # (round is monotone), so no skipped doc can enter the
+                    # rounded top-k even on a doc_id tie
+                    theta = round(theta, 6) - 5e-7
                 # every candidate with ub STRICTLY below θ can never enter
                 # the top-k (even on ties) — chop the tail in one binary
                 # search on the descending-ub array
@@ -257,7 +277,7 @@ class SearchEngine:
         return self._topk(np.concatenate(scored_c) if scored_c
                           else np.empty(0, dtype=np.int64),
                           np.concatenate(scored_s) if scored_s
-                          else np.empty(0, dtype=np.float64), k)
+                          else np.empty(0, dtype=np.float64), k, rounded)
 
     # ---------------------------------------------------------- prefix query
 
@@ -283,7 +303,7 @@ class SearchEngine:
                 "use a longer prefix")
         return sorted(r["term"] for r in rows)
 
-    def search_prefix(self, prefix: str, k: int = 10
+    def search_prefix(self, prefix: str, k: int = 10, rounded: bool = False
                       ) -> list[tuple[int, int, float]]:
         """Ranked (OR) BM25 over every term matching the prefix — the
         wildcard query `prefix*`. Same scoring/tie-break as search()."""
@@ -293,7 +313,7 @@ class SearchEngine:
         postings = self._fetch(terms)
         if not postings:
             return []
-        return self._ranked_pruned(terms, postings, k)
+        return self._ranked_pruned(terms, postings, k, rounded)
 
     # --------------------------------------------------- distributed scoring
 
@@ -366,6 +386,8 @@ class SearchEngine:
                                ) -> list[tuple[int, int, float]]:
         """The reference's actual scoring (Searcher.java:108,113,139-159,196):
         Σ (1+log10 tf)·log10(N/df), OR semantics, score>threshold, top-k."""
+        if k <= 0:
+            return []  # order[:k] below would negative-slice
         terms = query_terms(query)
         postings = self._fetch(terms)
         if not postings:
@@ -398,7 +420,8 @@ class SearchEngine:
 # ------------------------------------------------- fully-cluster query path
 
 def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
-               mode: str = "ranked") -> list[tuple[int, int, float]]:
+               mode: str = "ranked", rounded: bool = False
+               ) -> list[tuple[int, int, float]]:
     """Query WITHOUT any driver-side doc arrays — the 10^12-doc serving
     path. ``SearchEngine`` keeps doc_len/doc_id as driver arrays (the
     "broadcast lookup tables" — fine up to ~10^8 docs); past that they
@@ -474,6 +497,10 @@ def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
                        F.lit(0.0),
                        lambda acc, x: acc + x["contrib"]).alias("score"))
               .where(F.col("nt") >= n_required))
+    if rounded:
+        # contract ordering: rank by round(score, 6), doc_id tie-break —
+        # still a distributed sort+limit, k rows to the driver
+        scored = scored.withColumn("score", F.round("score", 6))
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)

@@ -103,14 +103,23 @@ class SearchService:
         return self._phrase
 
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
-                       scoring: str = "bm25") -> list[dict]:
+                       scoring: str = "bm25", slop: int = 1) -> list[dict]:
         """The reference's JSON result shape, field for field. Extensions
         beyond the reference: mode=phrase (positional store; rank_score is
-        the occurrence count) and a trailing `*` wildcard (prefix
+        the occurrence count), mode=near (two terms within `slop`
+        positions, ordered) and a trailing `*` wildcard (prefix
         expansion + ranked OR)."""
         q = query.strip()
+        k = max(0, k)  # a negative k would negative-slice inside the
+        # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
         if mode == "phrase":
             rows = self._phrase_engine().search_phrase(query, k=k)
+        elif mode == "near":
+            parts = q.split()
+            if len(parts) != 2:
+                raise ValueError("mode=near needs exactly two terms")
+            rows = self._phrase_engine().search_near(
+                parts[0], parts[1], slop=slop, k=k)
         elif scoring == "tfidf":
             rows = self.engine.search_tfidf_reference(
                 query, k=min(k, REFERENCE_MAX_RESULTS))
@@ -150,13 +159,19 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 return
             mode = qs.get("mode", ["ranked"])[0]
             scoring = qs.get("scoring", ["bm25"])[0]
-            if mode not in ("ranked", "conjunctive", "phrase") or \
-                    scoring not in ("bm25", "tfidf"):
-                self.send_error(400, "bad mode/scoring")
+            try:
+                slop = int(qs.get("slop", ["1"])[0])
+            except ValueError:
+                self.send_error(400, "slop must be an integer")
+                return
+            if mode not in ("ranked", "conjunctive", "phrase", "near") or \
+                    scoring not in ("bm25", "tfidf") or slop < 1:
+                self.send_error(400, "bad mode/scoring/slop")
                 return
             try:
                 body = json.dumps(service.search_payload(
-                    query, k=k, mode=mode, scoring=scoring)).encode()
+                    query, k=k, mode=mode, scoring=scoring,
+                    slop=slop)).encode()
             except ValueError as e:
                 self.send_error(400, str(e))
                 return

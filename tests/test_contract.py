@@ -43,8 +43,13 @@ def _canon(df):
 
 def _entries():
     import __spark_entry__ as se
-    qs = se.queries()
-    oracles = se.oracle_sql()
+    from engine import contract_queries as cq
+    qs = dict(se.queries())
+    oracles = dict(se.oracle_sql())
+    # entries consolidated out of the <=50-slot driver registry keep the
+    # exact same oracle compare here
+    qs.update(cq.consolidated_queries())
+    oracles.update(cq.consolidated_oracles())
     return [(name, fn, oracles.get(name)) for name, fn in qs.items()]
 
 

@@ -49,6 +49,38 @@ def test_pruned_equals_exhaustive(engine, golden):
         assert pruned == full, f"pruning changed top-k for {q}"
 
 
+def test_rounded_topk_equals_full_rerank(engine, golden):
+    """rounded=True (rank by round(score,6), doc_id tie-break, inside the
+    engine with the rounding-safe pruned θ cut) must equal the old contract
+    path: fetch ALL matches unpruned, round, re-rank on the driver."""
+    queries, _ = golden
+    checked = 0
+    for q in queries:
+        if q["mode"] != "ranked":
+            continue
+        got = engine.search(q["query"], k=q["k"], mode="ranked",
+                            rounded=True)
+        full = engine.search(q["query"], k=2**31 - 1, mode="ranked",
+                             prune=False)
+        want = sorted(((round(s, 6), d) for _, d, s in full),
+                      key=lambda x: (-x[0], x[1]))[:q["k"]]
+        assert got == [(i + 1, d, s) for i, (s, d) in enumerate(want)], q
+        # and pruning must not change the rounded answer either way
+        assert got == engine.search(q["query"], k=q["k"], mode="ranked",
+                                    prune=False, rounded=True), q
+        checked += 1
+    assert checked
+
+
+def test_search_big_rounded_equals_engine_rounded(spark, built_index,
+                                                  engine):
+    from engine.query import search_big
+    out, _ = built_index
+    for q in ["def return", "def", "class self import"]:
+        assert search_big(spark, out, q, k=7, rounded=True) == \
+            engine.search(q, k=7, mode="ranked", rounded=True), q
+
+
 def test_conjunctive_subset_of_ranked(engine):
     conj = engine.search("def return", k=1000, mode="conjunctive")
     ranked = engine.search("def return", k=100000, mode="ranked")

@@ -83,3 +83,77 @@ def test_distributed_phrase_equals_driver(phrase_engine, fixture_corpus_pdf):
         assert phrase_engine.search_phrase_distributed(phrase, k=10) == \
             phrase_engine.search_phrase(phrase, k=10), phrase
     assert phrase_engine.search_phrase_distributed("zzz_nope def", k=5) == []
+
+
+# ------------------------------------------------------- NEAR/slop queries
+
+def _near_oracle(pdf, t1, t2, slop, k=10):
+    """Sequential oracle: count positions i with toks[i]==t1 and some
+    toks[j]==t2, i < j <= i+slop."""
+    hits = []
+    for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+        toks = tokenize(content)
+        n = sum(1 for i, t in enumerate(toks) if t == t1
+                and any(toks[j] == t2
+                        for j in range(i + 1, min(i + slop, len(toks) - 1)
+                                       + 1)))
+        if n:
+            hits.append((int(doc_id), n))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, n) for i, (d, n) in enumerate(hits[:k])]
+
+
+def test_near_matches_oracle(phrase_engine, fixture_corpus_pdf):
+    checked = 0
+    for t1, t2, slop in [("def", "return", 3), ("class", "self", 2),
+                         ("value", "index", 4), ("return", "return", 2),
+                         ("def", "def", 5)]:
+        got = phrase_engine.search_near(t1, t2, slop=slop, k=10)
+        want = _near_oracle(fixture_corpus_pdf, t1, t2, slop, k=10)
+        assert got == want, (t1, t2, slop)
+        checked += len(want)
+    assert checked > 0
+
+
+def test_near_slop1_equals_exact_bigram(phrase_engine):
+    """NEAR/1 is exact adjacency — must agree with the phrase path."""
+    for t1, t2 in [("def", "return"), ("class", "self")]:
+        assert phrase_engine.search_near(t1, t2, slop=1, k=10) == \
+            phrase_engine.search_phrase(f"{t1} {t2}", k=10), (t1, t2)
+
+
+def test_near_distributed_equals_driver(phrase_engine):
+    for t1, t2, slop in [("def", "return", 3), ("return", "return", 2),
+                         ("value", "index", 4)]:
+        assert phrase_engine.search_near_distributed(t1, t2, slop=slop,
+                                                     k=10) == \
+            phrase_engine.search_near(t1, t2, slop=slop, k=10), (t1, t2)
+    assert phrase_engine.search_near_distributed("zzz_nope", "def",
+                                                 slop=3, k=5) == []
+
+
+def test_near_edge_cases(phrase_engine):
+    assert phrase_engine.search_near("def", "return", slop=0, k=5) == []
+    assert phrase_engine.search_near("def", "return", slop=1, k=0) == []
+    assert phrase_engine.search_near("zzz_nope", "def", slop=2, k=5) == []
+    assert phrase_engine.search_near("def return", "self", slop=2,
+                                     k=5) == []  # multi-token side rejected
+
+
+def test_lru_cache_bound_preserves_results(spark, built_index,
+                                           phrase_engine):
+    """A pathologically tiny cache budget (forcing constant eviction) must
+    not change any result — the cache is an accelerator, never a
+    correctness dependency (ADVICE r2: unbounded growth in serving)."""
+    out, _man = built_index
+    tiny = PhraseEngine(spark, out, cache_max_blocks=1)
+    full = phrase_engine
+    for phrase in ["def return", "class self", "def"]:
+        assert tiny.search_phrase(phrase, k=10) == \
+            full.search_phrase(phrase, k=10), phrase
+    for t1, t2, slop in [("def", "return", 3), ("value", "index", 4)]:
+        assert tiny.search_near(t1, t2, slop=slop, k=10) == \
+            full.search_near(t1, t2, slop=slop, k=10)
+    assert len(tiny._cache) <= 1
+    tiny.clear_cache()
+    assert len(tiny._cache) == 0

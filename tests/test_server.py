@@ -67,10 +67,21 @@ def test_tfidf_reference_scoring_served(served):
 def test_errors(served):
     _service, base = served
     for path, code in [("/nope", 404), ("/search?query=x&k=zz", 400),
-                       ("/search?query=x&mode=weird", 400)]:
+                       ("/search?query=x&mode=weird", 400),
+                       ("/search?query=x&slop=zz", 400),
+                       ("/search?query=x&mode=near&slop=0", 400)]:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(f"{base}{path}")
         assert ei.value.code == code
+
+
+def test_negative_k_is_empty_not_everything(served):
+    """ADVICE r2: k=-1 with scoring=tfidf used to negative-slice into
+    'nearly every matching doc in one response'. All paths clamp now."""
+    _service, base = served
+    for extra in ["&scoring=tfidf", "", "&mode=conjunctive"]:
+        _, hits = _get(f"{base}/search?query=def+return&k=-1{extra}")
+        assert hits == [], extra
 
 
 def test_empty_query_empty_list(served):
@@ -123,5 +134,14 @@ def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
         _, whits = _get(f"{base}/search?query=de*&k=5")
         wexp = service.engine.search_prefix("de", k=5)
         assert [h["rank_score"] for h in whits] == [s for _, _, s in wexp]
+        _, nhits = _get(f"{base}/search?query=def+return&mode=near"
+                        "&slop=3&k=5")
+        nexp = PhraseEngine(spark, out).search_near("def", "return",
+                                                    slop=3, k=5)
+        assert [h["rank_score"] for h in nhits] == [n for _, _, n in nexp]
+        assert nhits  # slop=3 supersets the exact bigram -> non-empty
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/search?query=def+return+self&mode=near&slop=2")
+        assert ei.value.code == 400  # near needs exactly two terms
     finally:
         srv.shutdown()
