@@ -346,6 +346,21 @@ def assign_ordinals(spark: SparkSession, df: DataFrame,
             .drop("_bkt", "_boff"))
 
 
+def alias_map_of(doc_meta: DataFrame) -> DataFrame:
+    """Duplicate-content rows -> (doc_id, canonical_doc_id) where canonical
+    = min doc_id per content_sha256 — the reference contentSeen analog
+    (crawler/Crawler.java:177-190) as one metadata-only window on the sha
+    key. Shared by the batch build's aliases stage, streaming compaction,
+    and segment merge so the three paths can never diverge on dedup
+    semantics (they are byte-identity-tested against each other)."""
+    from pyspark.sql import Window
+    wsha = Window.partitionBy("content_sha256")
+    return (doc_meta.select("doc_id", "content_sha256")
+            .withColumn("canonical_doc_id", F.min("doc_id").over(wsha))
+            .where(F.col("doc_id") != F.col("canonical_doc_id"))
+            .select("doc_id", "canonical_doc_id"))
+
+
 INDEX_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("df", T.LongType(), False),
@@ -485,14 +500,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # the min-doc_id canonical and are EXCLUDED from ordinals/postings; the
     # alias map persists so serving can resolve an aliased doc_id. ----
     if need_docs and dedup_content and not man.is_complete("aliases"):
-        from pyspark.sql import Observation, Window
+        from pyspark.sql import Observation
         t0 = man.begin("aliases")
-        wsha = Window.partitionBy("content_sha256")
-        alias_map = (docs_raw.select("doc_id", "content_sha256")
-                     .withColumn("canonical_doc_id",
-                                 F.min("doc_id").over(wsha))
-                     .where(F.col("doc_id") != F.col("canonical_doc_id"))
-                     .select("doc_id", "canonical_doc_id"))
+        alias_map = alias_map_of(docs_raw)
         aobs = Observation("alias_rows")
         alias_map = alias_map.observe(
             aobs, F.count(F.lit(1)).alias("n_aliases"),

@@ -20,8 +20,11 @@ external ids + union ids) ride to executors as closure captures (Spark
 broadcast); past it postings decode to rows and JOIN the partitioned
 ordinal maps (index_build.posting_rows_to_index) — no driver array
 anywhere, test-enforced byte-identical either way. Inputs must have
-disjoint doc_id sets (rejected) — dedup belongs to the corpus layer
-(content_sha256), not the merger.
+disjoint doc_id sets (rejected — the same repo/path/commit in two segments
+is an ingest error); duplicate CONTENT under distinct doc_ids is handled:
+the same sha-window aliases stage as the batch build runs over the union
+metadata, so cross-segment duplicates collapse exactly as a monolithic
+build would collapse them.
 """
 
 from __future__ import annotations
@@ -43,7 +46,11 @@ DEFAULT_N_SALTS = 8
 
 def _decode_to_runs_factory(ext_of_old: np.ndarray, union_sorted: np.ndarray,
                             n_docs: int, n_salts: int):
-    """index rows (term, postings) of ONE input -> remapped packed runs."""
+    """index rows (term, postings) of ONE input -> remapped packed runs.
+    union_sorted holds the DEDUPED union doc set: external ids absent from
+    it (duplicate-content docs aliased out cross-segment) drop from the
+    run — their canonical twin in another segment carries the identical
+    postings, keeping the merge byte-identical to a monolithic build."""
     from .codec import decode_postings
     salt_div = max(1, (n_docs + n_salts - 1) // n_salts)
 
@@ -53,8 +60,16 @@ def _decode_to_runs_factory(ext_of_old: np.ndarray, union_sorted: np.ndarray,
             for term, blob in zip(rb.column("term").to_pylist(),
                                   rb.column("postings").to_pylist()):
                 old_ords, tfs = decode_postings(bytes(blob))
-                new_ords = np.searchsorted(
-                    union_sorted, ext_of_old[old_ords]).astype(np.int64)
+                ext = ext_of_old[old_ords]
+                idx = np.searchsorted(union_sorted, ext)
+                idxc = np.minimum(idx, max(union_sorted.size - 1, 0))
+                keep = ((idx < union_sorted.size)
+                        & (union_sorted[idxc] == ext)) \
+                    if union_sorted.size else np.zeros(ext.size, dtype=bool)
+                if not keep.any():
+                    continue
+                new_ords = idx[keep].astype(np.int64)
+                tfs = tfs[keep]
                 # both maps monotone -> new_ords sorted; runs may span salt
                 # ranges, the final per-term argsort handles overlap
                 terms.append(term)
@@ -90,21 +105,74 @@ def _decode_to_rows(batches):
 
 def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
                   *, n_salts: int = DEFAULT_N_SALTS,
-                  partitions: int = 16) -> BuildManifest:
+                  partitions: int = 16,
+                  dedup_content: bool = True) -> BuildManifest:
     """Merge built indexes (each an index_build/compact output dir) into a
-    new index dir with the same layout, loadable by SearchEngine."""
+    new index dir with the same layout, loadable by SearchEngine.
+
+    Content dedup ACROSS segments runs the same aliases stage as the batch
+    build (index_build.alias_map_of over the union doc metadata): when the
+    same content appears in two segments, the higher-doc_id copy aliases
+    the global min-doc_id canonical, is excluded from ordinals, and its
+    postings drop at remap — so the merge stays byte-identical to a
+    monolithic build over the union corpus even with cross-segment
+    duplicates (test-enforced). The inputs' own alias maps are re-pointed
+    at the global canonicals and unioned into the output's aliases stage,
+    so serving resolves every historical alias."""
     from . import index_build as ib
     man = BuildManifest(out_dir)
 
     # ---- docs stage: union snapshots, re-assign dense ordinals (the
     # distributed bucket-offset scheme; duplicate ids across inputs fail) --
-    t0 = man.begin("docs")
     from pyspark.sql import Observation
     docs_parts = [spark.read.parquet(os.path.join(d, "docs"))
                   .drop("ordinal") for d in index_dirs]
     union = docs_parts[0]
     for p in docs_parts[1:]:
         union = union.unionByName(p, allowMissingColumns=True)
+
+    if dedup_content and "content_sha256" not in union.columns:
+        raise ValueError(
+            "merge_indexes(dedup_content=True) needs content_sha256 in the "
+            "input docs snapshots; pass dedup_content=False for legacy "
+            "indexes")
+    if dedup_content:
+        t0 = man.begin("aliases")
+        cross = ib.alias_map_of(union)
+        # inputs' own alias maps, re-pointed: an input canonical that is
+        # itself aliased cross-segment chains to the global canonical
+        # (chains have length <= 2 because inputs are internally deduped)
+        parts = []
+        for d in index_dirs:
+            if BuildManifest(d).is_complete("aliases"):
+                parts.append(spark.read.parquet(os.path.join(d, "aliases"))
+                             .select("doc_id", "canonical_doc_id"))
+        if parts:
+            ia = parts[0]
+            for p in parts[1:]:
+                ia = ia.unionByName(p)
+            repoint = cross.select(
+                F.col("doc_id").alias("canonical_doc_id"),
+                F.col("canonical_doc_id").alias("_global"))
+            ia = (ia.join(F.broadcast(repoint), "canonical_doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("_global", "canonical_doc_id")
+                          .alias("canonical_doc_id")))
+            combined = ia.unionByName(
+                cross.select("doc_id", "canonical_doc_id"))
+        else:
+            combined = cross
+        aobs = Observation("merge_alias_rows")
+        combined = combined.observe(
+            aobs, F.count(F.lit(1)).alias("n_aliases"))
+        combined.write.mode("overwrite").parquet(man.stage_path("aliases"))
+        n_al = int(aobs.get["n_aliases"] or 0)
+        man.commit("aliases", t0, n_al, {"n_aliases": n_al})
+        drop = (spark.read.parquet(man.stage_path("aliases"))
+                .select("doc_id"))
+        union = union.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    t0 = man.begin("docs")
     docs_df = ib.assign_ordinals(
         spark, union,
         on_duplicate="merge inputs must have disjoint doc_id sets "

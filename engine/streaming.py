@@ -90,28 +90,45 @@ def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
 
 def _remap_runs_factory(ext_sorted: np.ndarray, n_docs: int, n_salts: int):
     """Remap partial runs from external doc_ids to dense ordinals.
-    ext_sorted is the sorted external-id array (ordinal == index)."""
+    ext_sorted is the sorted external-id array (ordinal == index) of the
+    DEDUPED doc set: external ids absent from it (duplicate-content docs
+    aliased out at compaction) are dropped from the run — their canonical
+    twin carries the identical postings, so the result stays byte-identical
+    to a batch build over the same corpus (test-enforced)."""
     def remap(batches):
         for rb in batches:
-            terms = rb.column("term")
-            salts_old = rb.column("salt")
+            terms = rb.column("term").to_pylist()
             ids_col = rb.column("ids").to_pylist()
             tfs_col = rb.column("tfs").to_pylist()
-            out_ids, out_tfs, out_salt, out_n = [], [], [], []
-            for ids_b, tfs_b in zip(ids_col, tfs_col):
+            o_terms, out_ids, out_tfs, out_salt, out_n = [], [], [], [], []
+            for term, ids_b, tfs_b in zip(terms, ids_col, tfs_col):
                 ext = np.frombuffer(ids_b, dtype=np.int64)
-                ords = np.searchsorted(ext_sorted, ext).astype(np.int64)
+                idx = np.searchsorted(ext_sorted, ext)
+                idxc = np.minimum(idx, max(ext_sorted.size - 1, 0))
+                keep = ((idx < ext_sorted.size)
+                        & (ext_sorted[idxc] == ext)) \
+                    if ext_sorted.size else np.zeros(ext.size, dtype=bool)
+                if not keep.any():
+                    continue
+                if not keep.all():
+                    idx = idx[keep]
+                    tfs_b = np.frombuffer(
+                        tfs_b, dtype=np.int32)[keep].tobytes()
+                ords = idx.astype(np.int64)
                 # runs were sorted by ext id -> ordinals are sorted too
+                o_terms.append(term)
                 out_ids.append(ords.tobytes())
                 out_tfs.append(tfs_b)
                 out_salt.append(int(ords[0] * n_salts // max(n_docs, 1)))
                 out_n.append(len(ords))
-            yield pa.RecordBatch.from_arrays(
-                [terms, pa.array(out_salt, pa.int32()),
-                 pa.array(out_n, pa.int64()),
-                 pa.array(out_ids, pa.binary()),
-                 pa.array(out_tfs, pa.binary())],
-                names=["term", "salt", "n", "ids", "tfs"])
+            if o_terms:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_terms, pa.string()),
+                     pa.array(out_salt, pa.int32()),
+                     pa.array(out_n, pa.int64()),
+                     pa.array(out_ids, pa.binary()),
+                     pa.array(out_tfs, pa.binary())],
+                    names=["term", "salt", "n", "ids", "tfs"])
     return remap
 
 
@@ -131,11 +148,22 @@ def _unpack_runs(batches):
 
 
 def compact(spark: SparkSession, work_dir: str, out_dir: str,
-            n_salts: int = 8, partitions: int = 16) -> None:
+            n_salts: int = 8, partitions: int = 16,
+            dedup_content: bool = True) -> None:
     """Merge all streamed partial runs into a final index + docs + stats —
     same layout as engine.index_build.build_index output, loadable by
     SearchEngine. Byte-identical postings vs a batch build of the same
-    corpus (tests enforce, including the beyond-broadcast-limit path).
+    corpus (tests enforce, including the beyond-broadcast-limit path AND
+    corpora with duplicate content across micro-batches).
+
+    Content dedup (reference contentSeen analog) runs the SAME aliases
+    stage as the batch build (index_build.alias_map_of over the compacted
+    doc metadata — a metadata-only sha window): duplicate-content docs
+    alias the min-doc_id canonical, are excluded from ordinals, and their
+    postings drop out of the runs at remap (the canonical's identical
+    postings survive), so a streamed+compacted corpus matches the batch
+    build byte-for-byte even when content repeats. The alias map persists
+    so serving resolves aliases exactly like a batch index.
 
     Ordinals come from the build's distributed bucket-offset scheme
     (assign_ordinals) — only 64 bucket counts touch the driver, vs the old
@@ -151,8 +179,27 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     doc_stats = (spark.read.parquet(os.path.join(work_dir, "doc_stats"))
                  .dropDuplicates(["doc_id"]))
 
-    t0 = man.begin("docs")
     from pyspark.sql import Observation
+    if dedup_content and "content_sha256" not in doc_stats.columns:
+        raise ValueError(
+            "compact(dedup_content=True) needs content_sha256 in the "
+            "streamed doc_stats (present since start_ingest emits full "
+            "metadata); pass dedup_content=False for legacy partials")
+    if dedup_content:
+        t0 = man.begin("aliases")
+        alias_map = ib.alias_map_of(doc_stats)
+        aobs = Observation("compact_alias_rows")
+        alias_map = alias_map.observe(
+            aobs, F.count(F.lit(1)).alias("n_aliases"))
+        alias_map.write.mode("overwrite").parquet(man.stage_path("aliases"))
+        n_al = int(aobs.get["n_aliases"] or 0)
+        man.commit("aliases", t0, n_al, {"n_aliases": n_al})
+        aliases = (spark.read.parquet(man.stage_path("aliases"))
+                   .select("doc_id"))
+        doc_stats = doc_stats.join(F.broadcast(aliases), "doc_id",
+                                   "left_anti")
+
+    t0 = man.begin("docs")
     docs_df = ib.assign_ordinals(spark, doc_stats)
     obs = Observation("compact_doc_stats")
     docs_df = docs_df.observe(obs, F.count(F.lit(1)).alias("n_docs"),

@@ -45,6 +45,80 @@ def test_merge_equals_monolithic_build(spark, tmp_path):
             oracle.topk(q, 10, "conjunctive"), q
 
 
+def _dup_rows(rows, tag):
+    """Duplicate-content copies of `rows` under new paths chosen so each
+    copy's doc_id hashes HIGHER than its original's (canonical = min)."""
+    from engine.corpus import doc_id_of
+    dups = rows.copy()
+    paths, ids = [], []
+    for r in dups.itertuples():
+        k = 0
+        while True:
+            p = f"{r.path}.{tag}{k}"
+            did = doc_id_of(r.repo, p, r.commit)
+            if did > r.doc_id:
+                break
+            k += 1
+        paths.append(p)
+        ids.append(did)
+    dups["path"] = paths
+    dups["doc_id"] = ids
+    return dups
+
+
+def test_merge_cross_segment_duplicate_content(spark, tmp_path, monkeypatch):
+    """Content-dedup parity for segment merge (VERDICT r2 #2 / ADVICE r2):
+    duplicate content SPANNING segments must collapse exactly as a
+    monolithic build over the union corpus collapses it — byte-identical
+    postings, identical alias map (including re-pointing an input's own
+    internal canonical at the global one), on BOTH remap regimes."""
+    import pandas as pd
+
+    pdf = make_corpus(250, seed=29)
+    a = pdf.iloc[:150].reset_index(drop=True)
+    b_orig = pdf.iloc[150:].reset_index(drop=True)
+    d1 = _dup_rows(a.iloc[:10], "dA")   # cross-segment dups of A's docs
+    d2 = _dup_rows(a.iloc[:5], "dB")    # 5 docs get TWO copies in B ->
+    # B's internal canonical min(d1,d2) must re-point to A's original
+    b = pd.concat([b_orig, d1, d2], ignore_index=True)
+    union = pd.concat([a, b], ignore_index=True)
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, corpus_to_spark(spark, a), out_a,
+                n_salts=4, partitions=4)
+    build_index(spark, corpus_to_spark(spark, b), out_b,
+                n_salts=4, partitions=4)
+    out_full = str(tmp_path / "full")
+    build_index(spark, corpus_to_spark(spark, union), out_full,
+                n_salts=4, partitions=4)
+
+    def aliases_of(out):
+        return {r["doc_id"]: r["canonical_doc_id"] for r in
+                spark.read.parquet(f"{out}/aliases").collect()}
+
+    out_m = str(tmp_path / "merged")
+    merge_indexes(spark, [out_a, out_b], out_m, n_salts=4, partitions=4)
+    assert _fingerprint(spark, out_m) == _fingerprint(spark, out_full)
+    assert spark.read.parquet(f"{out_m}/docs").count() == len(pdf)
+    assert aliases_of(out_m) == aliases_of(out_full)
+
+    # the over-BROADCAST_DOC_LIMIT regime must dedup identically
+    import engine.index_build as ib
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_m2 = str(tmp_path / "merged_fallback")
+    merge_indexes(spark, [out_a, out_b], out_m2, n_salts=4, partitions=4)
+    assert _fingerprint(spark, out_m2) == _fingerprint(spark, out_full)
+    assert aliases_of(out_m2) == aliases_of(out_full)
+
+    # serving resolves a cross-segment alias to the canonical display row
+    from engine.server import SearchService
+    svc = SearchService(spark, out_m)
+    assert svc.resolve(int(d1.iloc[0]["doc_id"])) == \
+        svc.resolve(int(a.iloc[0]["doc_id"]))
+    assert svc.resolve(int(d2.iloc[0]["doc_id"])) == \
+        svc.resolve(int(a.iloc[0]["doc_id"]))
+
+
 def test_merge_rejects_overlapping_doc_ids(spark, tmp_path):
     pdf = make_corpus(100, seed=19)
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")

@@ -75,7 +75,10 @@ def test_compact_beyond_broadcast_limit_identical(spark, tmp_path,
      .mapInArrow(_map_partial_runs_factory(1 << 62, 8), schema=RUN_SCHEMA)
      .write.parquet(os.path.join(work, "run_partials")))
     (stream_like.select(
-        "doc_id", spark_token_count_expr(F.col("content"))
+        "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+        F.element_at(F.split("path", "/"), -1).alias("title"),
+        F.substring("content", 1, 200).alias("snippet"),
+        spark_token_count_expr(F.col("content"))
         .cast("long").alias("doc_len"))
      .write.parquet(os.path.join(work, "doc_stats")))
 
@@ -91,6 +94,49 @@ def test_compact_beyond_broadcast_limit_identical(spark, tmp_path,
     eng = SearchEngine(spark, out_stream)
     oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
     assert eng.search("def return", k=10) == oracle.topk("def return", 10)
+
+
+def test_streamed_duplicate_content_matches_batch(spark, tmp_path):
+    """Content-dedup parity (VERDICT r2 #2): a corpus with duplicate
+    content arriving via the stream must compact to an index
+    BYTE-IDENTICAL to a batch build over the same (duplicate-carrying)
+    corpus — the batch build collapses the dups via the aliases stage, so
+    the compactor must too — and the compacted alias map must resolve
+    through the server exactly like a batch one."""
+    from tests.test_dedup import _with_duplicates
+
+    pdf = make_corpus(200, seed=17)
+    big, expected_alias = _with_duplicates(pdf, 25)
+    # split so duplicates and originals land in DIFFERENT micro-batches
+    wave1, wave2 = big.iloc[:200], big.iloc[200:]
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    corpus_to_spark(spark, wave1).coalesce(2).write.mode("append").parquet(src)
+    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
+    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+
+    out_stream = str(tmp_path / "idx_stream")
+    compact(spark, work, out_stream, partitions=4)
+    out_batch = str(tmp_path / "idx_batch")
+    build_index(spark, corpus_to_spark(spark, big), out_batch,
+                n_salts=8, partitions=4)
+
+    assert _fingerprint(spark, out_stream) == _fingerprint(spark, out_batch)
+    assert spark.read.parquet(f"{out_stream}/docs").count() == len(pdf)
+    got = {r["doc_id"]: r["canonical_doc_id"] for r in
+           spark.read.parquet(f"{out_stream}/aliases").collect()}
+    assert got == {int(k): int(v) for k, v in expected_alias.items()}
+
+    from engine.server import SearchService
+    svc = SearchService(spark, out_stream)
+    alias_id, canon_id = next(iter(expected_alias.items()))
+    assert svc.resolve(int(alias_id)) == svc.resolve(int(canon_id))
 
 
 def test_compacted_index_serves_display_fields(spark, tmp_path):
