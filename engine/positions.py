@@ -137,14 +137,43 @@ def _reduce_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                        columns=["term", "salt", "ids", "counts", "pos"])
 
 
+def _emit_pos_blocks(term: str, ids: np.ndarray, counts: np.ndarray,
+                     pos: np.ndarray, rows: list) -> None:
+    """Globally-sorted per-term arrays -> ONE ROW PER (term, ordinal block)
+    with varint/delta encoded streams, appended to `rows`. Blocking
+    (ordinal >> POS_BLOCK_BITS) is the skip structure: a phrase query
+    decodes a hot term's positions ONLY for the blocks its candidate docs
+    live in — without it, a stopword's entire multi-GB position stream
+    decodes on every query (measured 17-42 s per phrase at 1M adversarial
+    docs; blocked: milliseconds-per-block). Single kernel shared by the
+    batch merger and the streaming compactor so blobs can never diverge."""
+    seg_starts = np.concatenate(
+        ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+    blocks = ids >> POS_BLOCK_BITS  # non-decreasing (ids sorted)
+    bchange = np.concatenate(
+        ([0], np.flatnonzero(np.diff(blocks) != 0) + 1, [ids.size]))
+    for s, e in zip(bchange[:-1], bchange[1:]):
+        bids = ids[s:e]
+        bcounts = counts[s:e]
+        ps, pe = seg_starts[s], seg_starts[e - 1] + bcounts[-1]
+        bpos = pos[ps:pe]
+        deltas = np.empty_like(bids)
+        deltas[0] = bids[0]
+        np.subtract(bids[1:], bids[:-1], out=deltas[1:])
+        bstarts = np.concatenate(
+            ([0], np.cumsum(bcounts[:-1], dtype=np.int64)))
+        prev = np.empty_like(bpos)
+        prev[1:] = bpos[:-1]
+        prev[bstarts] = 0  # first position of each doc stays absolute
+        rows.append((term, int(blocks[s]), len(bids), int(bcounts.sum()),
+                     varint_encode(deltas.astype(np.uint64)),
+                     varint_encode(bcounts.astype(np.uint64)),
+                     varint_encode((bpos - prev).astype(np.uint64))))
+
+
 def _merge_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per term: concat salt-ordered runs (range salts -> already globally
-    sorted), then emit ONE ROW PER (term, ordinal block) with varint/delta
-    encoded streams. Blocking (ordinal >> POS_BLOCK_BITS) is the skip
-    structure: a phrase query decodes a hot term's positions ONLY for the
-    blocks its candidate docs live in — without it, a stopword's entire
-    multi-GB position stream decodes on every query (measured 17-42 s per
-    phrase at 1M adversarial docs; blocked: milliseconds-per-block)."""
+    sorted) and block-emit. The batch build's concat-only fast path."""
     parts = [p for p in batches if len(p)]
     if not parts:
         return
@@ -159,30 +188,199 @@ def _merge_pos_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos = np.concatenate(
             [np.frombuffer(b, dtype=np.int32) for b in g["pos"]]) \
             .astype(np.int64)
-        seg_starts = np.concatenate(
-            ([0], np.cumsum(counts[:-1], dtype=np.int64)))
-        blocks = ids >> POS_BLOCK_BITS  # non-decreasing (ids sorted)
-        bchange = np.concatenate(
-            ([0], np.flatnonzero(np.diff(blocks) != 0) + 1, [ids.size]))
-        for s, e in zip(bchange[:-1], bchange[1:]):
-            bids = ids[s:e]
-            bcounts = counts[s:e]
-            ps, pe = seg_starts[s], seg_starts[e - 1] + bcounts[-1]
-            bpos = pos[ps:pe]
-            deltas = np.empty_like(bids)
-            deltas[0] = bids[0]
-            np.subtract(bids[1:], bids[:-1], out=deltas[1:])
-            bstarts = np.concatenate(
-                ([0], np.cumsum(bcounts[:-1], dtype=np.int64)))
-            prev = np.empty_like(bpos)
-            prev[1:] = bpos[:-1]
-            prev[bstarts] = 0  # first position of each doc stays absolute
-            rows.append((term, int(blocks[s]), len(bids), int(bcounts.sum()),
-                         varint_encode(deltas.astype(np.uint64)),
-                         varint_encode(bcounts.astype(np.uint64)),
-                         varint_encode((bpos - prev).astype(np.uint64))))
+        _emit_pos_blocks(term, ids, counts, pos, rows)
     yield pd.DataFrame(rows, columns=[
         "term", "block", "df", "n", "ords", "counts", "pos"])
+
+
+def _merge_pos_runs_sorting(batches: Iterator[pd.DataFrame]
+                            ) -> Iterator[pd.DataFrame]:
+    """Per term: full stable argsort over run ordinals (with vectorized
+    segment reorder of the flattened positions) then block-emit — the
+    general path for runs whose ordinal ranges OVERLAP (streamed
+    micro-batches remapped at compaction, where a run's recomputed salt is
+    its first ordinal's and may span salt boundaries). Twin of
+    index_build._merge_runs_sorting for the tf index."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for term, g in pdf.groupby("term", sort=True):
+        g = g.sort_values("salt", kind="stable")
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+        counts = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["counts"]])
+        pos = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in g["pos"]]) \
+            .astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        starts = np.concatenate(
+            ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+        pos = _reorder_segments(pos, starts, counts, order)
+        _emit_pos_blocks(term, ids[order], counts[order], pos, rows)
+    yield pd.DataFrame(rows, columns=[
+        "term", "block", "df", "n", "ords", "counts", "pos"])
+
+
+def _remap_pos_runs_factory(ext_sorted: np.ndarray, n_docs: int,
+                            n_salts: int):
+    """Remap streamed position runs from external doc_ids to dense
+    ordinals. External ids absent from ext_sorted (duplicate-content docs
+    aliased out at compaction) drop segment-wise — the canonical twin
+    carries identical positions, keeping the store byte-identical to a
+    batch build_positions (test-enforced)."""
+    def remap(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            terms = rb.column("term").to_pylist()
+            ids_col = rb.column("ids").to_pylist()
+            cnt_col = rb.column("counts").to_pylist()
+            pos_col = rb.column("pos").to_pylist()
+            o_t, o_s, o_i, o_c, o_p = [], [], [], [], []
+            for term, ids_b, cnt_b, pos_b in zip(terms, ids_col, cnt_col,
+                                                 pos_col):
+                ext = np.frombuffer(ids_b, dtype=np.int64)
+                counts = np.frombuffer(cnt_b, dtype=np.int32)
+                idx = np.searchsorted(ext_sorted, ext)
+                idxc = np.minimum(idx, max(ext_sorted.size - 1, 0))
+                keep = ((idx < ext_sorted.size)
+                        & (ext_sorted[idxc] == ext)) \
+                    if ext_sorted.size else np.zeros(ext.size, dtype=bool)
+                if not keep.any():
+                    continue
+                if not keep.all():
+                    pos = np.frombuffer(pos_b, dtype=np.int32)
+                    starts = np.concatenate(
+                        ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+                    kept = np.flatnonzero(keep)
+                    pos_b = _reorder_segments(pos, starts, counts,
+                                              kept).tobytes()
+                    idx, counts = idx[keep], counts[keep]
+                    cnt_b = counts.tobytes()
+                ords = idx.astype(np.int64)
+                o_t.append(term)
+                o_s.append(int(ords[0] * n_salts // max(n_docs, 1)))
+                o_i.append(ords.tobytes())
+                o_c.append(cnt_b)
+                o_p.append(pos_b)
+            if o_t:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(o_t, pa.string()),
+                     pa.array(o_s, pa.int32()),
+                     pa.array(o_i, pa.binary()),
+                     pa.array(o_c, pa.binary()),
+                     pa.array(o_p, pa.binary())],
+                    names=["term", "salt", "ids", "counts", "pos"])
+    return remap
+
+
+def _unpack_pos_runs(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+    """Packed external-id position runs -> (term, doc_id, position) rows,
+    for the beyond-broadcast-limit compaction path."""
+    for pdf in batches:
+        outs = []
+        for term, ids_b, cnt_b, pos_b in zip(pdf["term"], pdf["ids"],
+                                             pdf["counts"], pdf["pos"]):
+            ids = np.frombuffer(ids_b, dtype=np.int64)
+            counts = np.frombuffer(cnt_b, dtype=np.int32)
+            pos = np.frombuffer(pos_b, dtype=np.int32)
+            outs.append(pd.DataFrame({
+                "term": term,
+                "doc_id": np.repeat(ids, counts),
+                "position": pos}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+def _pack_pos_rows(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+    """(term, salt, ordinal, position) rows of one shuffle partition ->
+    one packed sorted run per (term, salt)."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = []
+    for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        ords = g["ordinal"].to_numpy(np.int64)
+        pos = g["position"].to_numpy(np.int32)
+        order = np.lexsort((pos, ords))
+        ords, pos = ords[order], pos[order]
+        newdoc = np.empty(ords.size, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = np.diff(ords) != 0
+        dstarts = np.flatnonzero(newdoc)
+        counts = np.diff(np.concatenate((dstarts, [ords.size]))) \
+            .astype(np.int32)
+        rows.append((term, int(salt), ords[dstarts].tobytes(),
+                     counts.tobytes(), pos.tobytes()))
+    yield pd.DataFrame(rows,
+                       columns=["term", "salt", "ids", "counts", "pos"])
+
+
+def _pos_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
+                       partitions: int) -> DataFrame:
+    """(term, ordinal, position) rows -> positional store rows via the same
+    salted two-phase shape as the batch build — the beyond-broadcast path
+    for streamed compaction (position rows join the partitioned ordinal
+    map upstream; nothing needs the whole doc set on one machine)."""
+    salt_div = max(1, (n_docs + n_salts - 1) // n_salts)
+    salted = rows.withColumn(
+        "salt", F.floor(F.col("ordinal") / F.lit(salt_div)).cast("int"))
+    packed = (salted.repartition(partitions, "term", "salt")
+              .mapInPandas(_pack_pos_rows, schema=POS_RUN_SCHEMA))
+    return (packed.repartition(partitions, "term")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_merge_pos_runs_sorting, schema=POS_SCHEMA))
+
+
+def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
+                      *, n_salts: int = 8,
+                      partitions: int | None = None) -> None:
+    """Build the positional store of a compacted (streamed) index from the
+    pos_partials the ingest emitted — byte-identical to batch
+    build_positions over the same corpus (tests enforce, incl. duplicate
+    content and the beyond-broadcast regime). Requires the compacted
+    docs/stats stages (ordinals) to exist in out_dir."""
+    from . import index_build as ib
+    from .checkpoint import BuildManifest
+    man = BuildManifest(out_dir)
+    if man.is_complete("positions"):
+        return
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
+    docs = spark.read.parquet(man.stage_path("docs"))
+    t0 = man.begin("positions")
+    runs = spark.read.parquet(os.path.join(work_dir, "pos_partials"))
+    if n_docs <= ib.BROADCAST_DOC_LIMIT:
+        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
+                      .toPandas()["doc_id"].to_numpy(np.int64))
+        remapped = runs.mapInArrow(
+            _remap_pos_runs_factory(ext_sorted, n_docs, n_salts),
+            schema=POS_RUN_SCHEMA)
+        partials = (remapped.repartition(partitions, "term", "salt")
+                    .mapInPandas(_reduce_pos_runs, schema=POS_RUN_SCHEMA))
+        posidx = (partials.repartition(partitions, "term")
+                  .sortWithinPartitions("term", "salt")
+                  .mapInPandas(_merge_pos_runs_sorting, schema=POS_SCHEMA))
+    else:
+        rows = (runs.mapInPandas(
+                    _unpack_pos_runs,
+                    schema="term string, doc_id long, position int")
+                .join(docs.select("doc_id", "ordinal"), "doc_id")
+                .select("term", "ordinal", "position"))
+        posidx = _pos_rows_to_index(rows, n_docs, n_salts, partitions)
+    from pyspark.sql import Observation
+    obs = Observation("compact_pos_stats")
+    posidx = posidx.observe(obs, F.count(F.lit(1)).alias("n_terms"),
+                            F.sum("df").alias("postings"))
+    posidx.write.mode("overwrite").parquet(man.stage_path("positions"))
+    got = obs.get
+    man.commit("positions", t0, int(got["n_terms"] or 0),
+               {"postings_emitted": int(got["postings"] or 0),
+                "n_salts": n_salts, "partitions": partitions})
 
 
 def build_positions(spark: SparkSession, corpus: DataFrame, index_dir: str,

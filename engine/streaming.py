@@ -45,10 +45,13 @@ _merge_sorting = _merge_runs_sorting
 
 def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
                  corpus_schema, n_salts: int = 8,
-                 trigger_available_now: bool = True):
+                 trigger_available_now: bool = True,
+                 with_positions: bool = False):
     """Start the streaming ingest of corpus parquet files landing in
-    source_dir. Emits posting partial-runs and doc stats under work_dir.
-    Returns the two StreamingQuery handles."""
+    source_dir. Emits posting partial-runs and doc stats under work_dir
+    (plus position partial-runs when with_positions — compacted into a
+    phrase-searchable positional store by compact()). Returns the
+    StreamingQuery handles (two, or three with positions)."""
     stream = (spark.readStream.schema(corpus_schema)
               .parquet(source_dir))
     stream = with_doc_identity(stream)
@@ -85,7 +88,23 @@ def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
           .option("path", os.path.join(work_dir, "doc_stats"))
           .option("checkpointLocation", os.path.join(work_dir, "_ckpt_docs"))
           .outputMode("append").trigger(**trigger).start())
-    return q1, q2
+    if not with_positions:
+        return q1, q2
+    # position runs ride the SAME shared tokenize kernel
+    # (partition_token_arrays with_positions=True) keyed by external
+    # doc_id, exactly like the tf runs — compacted by compact_positions
+    from .positions import POS_RUN_SCHEMA, _map_pos_runs_factory
+    pos_runs = (stream
+                .withColumnRenamed("doc_id", "_ext_id")
+                .withColumn("ordinal", F.col("_ext_id"))
+                .select("ordinal", "content")
+                .mapInArrow(_map_pos_runs_factory(1 << 62, n_salts),
+                            schema=POS_RUN_SCHEMA))
+    q3 = (pos_runs.writeStream.format("parquet")
+          .option("path", os.path.join(work_dir, "pos_partials"))
+          .option("checkpointLocation", os.path.join(work_dir, "_ckpt_pos"))
+          .outputMode("append").trigger(**trigger).start())
+    return q1, q2, q3
 
 
 def _remap_runs_factory(ext_sorted: np.ndarray, n_docs: int, n_salts: int):
@@ -257,5 +276,11 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
                    "postings_emitted", "bytes_compressed"))
     lin.write.mode("overwrite").parquet(man.stage_path("_lineage"))
     man.commit("_lineage", t0, lin.count())
+
+    # ---- positional store (present iff the ingest ran with_positions) ----
+    if os.path.exists(os.path.join(work_dir, "pos_partials")):
+        from .positions import compact_positions
+        compact_positions(spark, work_dir, out_dir,
+                          n_salts=n_salts, partitions=partitions)
 
 

@@ -139,6 +139,67 @@ def test_streamed_duplicate_content_matches_batch(spark, tmp_path):
     assert svc.resolve(int(alias_id)) == svc.resolve(int(canon_id))
 
 
+def _pos_fingerprint(spark, out):
+    rows = spark.read.parquet(f"{out}/positions").collect()
+    return sorted((r["term"], r["block"], r["df"], r["n"],
+                   bytes(r["ords"]), bytes(r["counts"]), bytes(r["pos"]))
+                  for r in rows)
+
+
+def test_streamed_positions_match_batch(spark, tmp_path, monkeypatch):
+    """Streamed positional ingest (VERDICT r2 #7): position runs emitted by
+    start_ingest(with_positions=True) and compacted must yield a positional
+    store BYTE-IDENTICAL to batch build_positions over the same corpus —
+    including duplicate content aliased out at compaction, and on the
+    beyond-broadcast-limit regime — and phrase/NEAR queries must agree."""
+    from tests.test_dedup import _with_duplicates
+
+    from engine.positions import PhraseEngine, build_positions
+
+    pdf = make_corpus(220, seed=43)
+    big, _alias = _with_duplicates(pdf, 20)
+    wave1, wave2 = big.iloc[:150], big.iloc[150:]
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    for wave in (wave1, wave2):
+        corpus_to_spark(spark, wave).coalesce(2).write.mode("append") \
+            .parquet(src)
+        qs = start_ingest(spark, src, work, corpus_spark_schema(),
+                          with_positions=True)
+        for q in qs:
+            q.awaitTermination(300)
+
+    out_stream = str(tmp_path / "idx_stream")
+    compact(spark, work, out_stream, partitions=4)
+
+    out_batch = str(tmp_path / "idx_batch")
+    build_index(spark, corpus_to_spark(spark, big), out_batch,
+                n_salts=8, partitions=4)
+    build_positions(spark, corpus_to_spark(spark, big), out_batch,
+                    n_salts=8, partitions=4)
+
+    assert _pos_fingerprint(spark, out_stream) == \
+        _pos_fingerprint(spark, out_batch)
+
+    pe_s = PhraseEngine(spark, out_stream)
+    pe_b = PhraseEngine(spark, out_batch)
+    for phrase in ["def return", "class self", "def"]:
+        assert pe_s.search_phrase(phrase, k=10) == \
+            pe_b.search_phrase(phrase, k=10), phrase
+    assert pe_s.search_near("def", "return", slop=3, k=10) == \
+        pe_b.search_near("def", "return", slop=3, k=10)
+
+    # beyond-broadcast regime: position rows join the partitioned ordinal
+    # map — identical store
+    import engine.index_build as ib
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_fb = str(tmp_path / "idx_stream_fb")
+    compact(spark, work, out_fb, partitions=4)
+    assert _pos_fingerprint(spark, out_fb) == \
+        _pos_fingerprint(spark, out_batch)
+
+
 def test_compacted_index_serves_display_fields(spark, tmp_path):
     """A compacted (streamed) index must serve the same {url, title, body}
     surface as a batch build: the ingest carries the display metadata."""
