@@ -10,12 +10,14 @@ equi-joins instead of cross joins):
   same-bucket equi-join (a shuffle-on-bucket hash join; at scale the bucket
   key is the partitioner, so each candidate set is partition-local).
   Also powers embedding-cosine near-dup pair mining.
-- **IVF**: K deterministic centroids (broadcast), one assignment pass
-  (argmax cosine), probe the nprobe nearest cells at query time; exact
-  re-rank inside probed cells only.
+- **IVF**: K FIXED centroids trained by Lloyd iterations over a
+  deterministic md5-hash sample (training volume O(sample x K), never
+  O(N x K) — plan-tested), broadcast; one assignment pass over all
+  vectors (argmax cosine via max_by partial agg); probe the nprobe
+  nearest cells at query time; exact re-rank inside probed cells only.
 
-Everything is deterministic (hyperplanes from a fixed seed, centroids = a
-fixed vec_id stride) and arithmetic is double-precision with a fixed fold
+Everything is deterministic (hyperplanes from a fixed seed, the training
+sample + init from the md5 hash rule) and arithmetic is double-precision with a fixed fold
 order, so the DuckDB oracles replicate results bit-for-bit (sims rounded to
 6 dp, ranks ordered by the rounded value, ties by vec_id).
 
@@ -34,7 +36,10 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 DIM = 64
 LSH_SEED = 42
-IVF_STRIDE = 50          # centroids = vec_id % IVF_STRIDE == 0
+IVF_K = 8                # number of IVF cells — FIXED, decoupled from N
+IVF_LLOYD_ITERS = 2      # Lloyd refinements, over the training sample only
+IVF_SAMPLE_MOD = 2       # deterministic md5 training sample:
+IVF_SAMPLE_TAKE = 1      #   hv % IVF_SAMPLE_MOD < IVF_SAMPLE_TAKE (~50%)
 IVF_NPROBE = 2
 NEARDUP_MIN_SIM = 0.3    # corpus max pairwise cosine is ~0.48
 
@@ -116,12 +121,30 @@ def neardup_pairs_lsh(spark, sf_dir, min_sim: float = NEARDUP_MIN_SIM
             .select("ida", "idb", "sim"))
 
 
-def _centroids0(emb: DataFrame) -> DataFrame:
-    """Deterministic k-means INIT: every IVF_STRIDE-th vector. Small ->
-    broadcast."""
-    return (emb.where(F.col("vec_id") % IVF_STRIDE == 0)
-            .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-            .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
+def _hv(col) -> "F.Column":
+    """Deterministic 16-bit hash of a key — the md5 rule `sample_hash`
+    uses, shared by the training sample and the init ordering so the
+    DuckDB oracle replicates both bit-for-bit."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4),
+                  16, 10).cast("long")
+
+
+def training_sample(emb_n: DataFrame) -> DataFrame:
+    """The deterministic md5-hash sample centroid training runs over —
+    training volume is O(sample x K), never O(N x K) (plan-tested). At
+    10^9+ vectors the MOD/TAKE knobs shrink this to a fixed-size slice
+    while the final assignment still covers every vector."""
+    return (emb_n.withColumn("hv", _hv(F.col("vec_id")))
+            .where(F.col("hv") % IVF_SAMPLE_MOD < IVF_SAMPLE_TAKE))
+
+
+def _init_centroids(samp: DataFrame, k: int = IVF_K) -> DataFrame:
+    """k-means init: the first K sample vectors in (hv, vec_id) order —
+    hash-pseudorandom (hv is md5-uniform), deterministic, SQL-mirrored.
+    K is FIXED — decoupled from N (r2's stride rule tied K = N/50)."""
+    return (samp.orderBy("hv", "vec_id").limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                    F.col("nrm").alias("cn")))
 
 
 def _assign(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
@@ -142,17 +165,16 @@ def _assign(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
                        F.col("x.cid").alias("cell"))
 
 
-def trained_centroids(emb: DataFrame) -> DataFrame:
-    """One Lloyd refinement over the init centroids, expressed relationally
-    so the DuckDB oracle replicates it bit-for-bit: assign every vector to
-    its nearest init centroid, then the trained centroid of each cell is
-    the element-wise mean of its members (each component rounded to 6 dp —
-    the literal the two engines agree on). At 10^12 scale this pass runs
-    over a sample; the plan shape (broadcast cents, explode -> (cell, pos)
-    partial-agg mean) is the scale shape either way."""
-    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    a0 = _assign(emb_n, _centroids0(emb))
-    means = (a0.select("cell", F.posexplode("e").alias("pos", "v"))
+def _lloyd_step(samp: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd refinement, expressed relationally so the DuckDB oracle
+    replicates it bit-for-bit: assign the SAMPLE to its nearest centroid
+    (broadcast cents, max_by partial agg), then each cell's new centroid
+    is the element-wise member mean, every component rounded to 6 dp (the
+    literal the two engines agree on). Cells that lose all members drop —
+    identically on both engines. Plan shape (explode -> (cell, pos)
+    partial-agg mean) is the 10^9-vector scale shape."""
+    a = _assign(samp, cents)
+    means = (a.select("cell", F.posexplode("e").alias("pos", "v"))
              .groupBy("cell", "pos")
              .agg(F.round(F.avg("v"), 6).alias("m")))
     return (means.groupBy("cell")
@@ -161,6 +183,20 @@ def trained_centroids(emb: DataFrame) -> DataFrame:
                 lambda s: s["m"]).alias("ce"))
             .select(F.col("cell").alias("cid"), "ce")
             .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
+
+
+def trained_centroids(emb: DataFrame) -> DataFrame:
+    """IVF_LLOYD_ITERS Lloyd refinements of the hash-sample init — the
+    whole training loop touches ONLY the training sample (r2 trained over
+    all N with K tied to N; now K is fixed and volume is O(sample x K) per
+    iteration). The final per-vector assignment (with_ivf_cell) still runs
+    over every vector, once, against the trained literals."""
+    emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
+    samp = training_sample(emb_n)
+    cents = _init_centroids(samp)
+    for _ in range(IVF_LLOYD_ITERS):
+        cents = _lloyd_step(samp, cents)
+    return cents
 
 
 def with_ivf_cell(emb: DataFrame) -> DataFrame:
@@ -269,41 +305,61 @@ def lsh_signature_sql() -> str:
       from embeddings)"""
 
 
+def _sql_assign(src: str, cents: str, out: str) -> str:
+    """CTE assigning `src`(vec_id,e,nrm) to nearest centroid in `cents` —
+    rounded cosine argmax, ties lowest cid, mirroring _assign."""
+    return f"""
+    {out} as (
+      select vec_id, e, nrm, cid as cell from (
+        select {src}.vec_id, {src}.e, {src}.nrm, {cents}.cid,
+               row_number() over (partition by {src}.vec_id
+                 order by round(list_dot_product({src}.e, {cents}.ce)
+                                / ({src}.nrm * {cents}.cn), 6) desc,
+                          {cents}.cid) as rn
+        from {src} cross join {cents}) where rn = 1)"""
+
+
+def _sql_lloyd(a: str, out: str) -> str:
+    """CTEs turning assignment `a` into refined centroids `out`: per-cell
+    element-wise member mean rounded to 6 dp, mirroring _lloyd_step."""
+    return f"""
+    {out}_cm as (select cell, p.i as pos,
+                  round(avg(e[cast(p.i as int)]), 6) as m
+           from {a}, unnest(range(1, len(e) + 1)) as p(i)
+           group by cell, p.i),
+    {out}_cl as (select cell as cid, list(m order by pos) as ce
+           from {out}_cm group by cell),
+    {out} as (select cid, ce, sqrt(list_dot_product(ce, ce)) as cn
+              from {out}_cl)"""
+
+
 def ivf_assign_sql() -> str:
     """DuckDB CTEs `emb`, `cents` (TRAINED), `assigned` mirroring
-    trained_centroids + with_ivf_cell: stride init -> assign -> per-cell
-    element-wise mean rounded to 6 dp -> final assignment."""
-    return f"""
+    trained_centroids + with_ivf_cell: md5-hash training sample ->
+    (hv, vec_id)-ordered K-row init -> IVF_LLOYD_ITERS assign/mean rounds
+    over the SAMPLE -> final assignment over all vectors."""
+    parts = [f"""
     emb as (select vec_id, embedding::DOUBLE[] as e,
                    sqrt(list_dot_product(embedding::DOUBLE[],
                                          embedding::DOUBLE[])) as nrm
             from embeddings),
-    cents0 as (select vec_id as cid, e as ce, nrm as cn from emb
-               where vec_id % {IVF_STRIDE} = 0),
-    a0 as (
-      select vec_id, e, nrm, cid as cell from (
-        select emb.vec_id, emb.e, emb.nrm, cents0.cid,
-               row_number() over (partition by emb.vec_id
-                 order by round(list_dot_product(emb.e, cents0.ce)
-                                / (emb.nrm * cents0.cn), 6) desc,
-                          cents0.cid) as rn
-        from emb cross join cents0) where rn = 1),
-    cm as (select cell, p.i as pos,
-                  round(avg(e[cast(p.i as int)]), 6) as m
-           from a0, unnest(range(1, len(e) + 1)) as p(i)
-           group by cell, p.i),
-    cl as (select cell as cid, list(m order by pos) as ce
-           from cm group by cell),
-    cents as (select cid, ce, sqrt(list_dot_product(ce, ce)) as cn
-              from cl),
-    assigned as (
-      select vec_id, e, nrm, cid as cell from (
-        select emb.vec_id, emb.e, emb.nrm, cents.cid,
-               row_number() over (partition by emb.vec_id
-                 order by round(list_dot_product(emb.e, cents.ce)
-                                / (emb.nrm * cents.cn), 6) desc,
-                          cents.cid) as rn
-        from emb cross join cents) where rn = 1)"""
+    samp as (select * from (
+               select vec_id, e, nrm,
+                      cast(('0x' || substr(md5(cast(vec_id as varchar)),
+                                           1, 4)) as bigint) as hv
+               from emb)
+             where hv % {IVF_SAMPLE_MOD} < {IVF_SAMPLE_TAKE}),
+    c0 as (select vec_id as cid, e as ce, nrm as cn from samp
+           order by hv, vec_id limit {IVF_K})"""]
+    prev = "c0"
+    for i in range(1, IVF_LLOYD_ITERS + 1):
+        parts.append(_sql_assign("samp", prev, f"a{i}"))
+        parts.append(_sql_lloyd(f"a{i}", f"c{i}"))
+        prev = f"c{i}"
+    parts.append(f"""
+    cents as (select cid, ce, cn from {prev})""")
+    parts.append(_sql_assign("emb", "cents", "assigned"))
+    return ",".join(parts)
 
 
 def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int

@@ -199,9 +199,12 @@ def test_audio_chunks_empty_payload_emits_no_rows(spark):
 
 
 def test_ivf_trained_centroids_beat_stride_init(spark):
-    """The Lloyd-refined centroids must raise recall@5 (nprobe=2, all
-    vectors as queries) over the raw stride-init centroids — i.e. training
-    actually trains. Measured 0.394 -> 0.428 on this corpus."""
+    """The sample-trained Lloyd centroids must raise recall@5 (nprobe=2,
+    all vectors as queries) over the untrained hash-sample init — i.e.
+    training actually trains — and beat r2's all-N-trained 0.428 floor
+    (measured 0.4884 with K=8, 2 iterations, ~48% md5 sample). K must be
+    the FIXED IVF_K, decoupled from N, and the training sample a strict
+    subset of the corpus (VERDICT r2 #4)."""
     emb = sim._emb(spark, SF)
     pdf = emb.toPandas()
     E = np.stack(pdf["e"].to_numpy())
@@ -238,10 +241,15 @@ def test_ivf_trained_centroids_beat_stride_init(spark):
             tot += 5
         return hit / tot
 
-    r_stride = recall(sim._centroids0(emb))
-    r_trained = recall(sim.trained_centroids(emb))
-    assert r_trained > r_stride, (r_trained, r_stride)
-    assert r_trained >= 0.40
+    samp = sim.training_sample(emb_n)
+    n_sample = samp.count()
+    assert 0 < n_sample < emb.count()  # trains on a strict subset
+    r_init = recall(sim._init_centroids(samp))
+    trained = sim.trained_centroids(emb)
+    assert trained.count() == sim.IVF_K  # fixed K, decoupled from N
+    r_trained = recall(trained)
+    assert r_trained > r_init, (r_trained, r_init)
+    assert r_trained > 0.428  # strictly above the r2 all-N-trained recall
 
 
 def test_lsh_multitable_recall_superset_of_single(spark):
