@@ -44,12 +44,16 @@ IVF_NPROBE = 2
 NEARDUP_MIN_SIM = 0.3    # corpus max pairwise cosine is ~0.48
 
 
-def hyperplanes() -> list[list[float]]:
+def hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic random hyperplanes, rounded so the SQL literal and the
-    Spark literal are the same numbers."""
+    Spark literal are the same numbers. n_planes is the bucket-occupancy
+    knob (buckets = 2^n_planes): at 10^9+ vectors raise it so per-bucket
+    candidate sets stay bounded — planes for a given seed are a PREFIX of
+    any longer setting (same rng draw order), so widening the geometry
+    only splits existing buckets."""
     rng = np.random.default_rng(LSH_SEED)
     return [[round(float(x), 6) for x in rng.standard_normal(DIM)]
-            for _ in range(N_PLANES)]
+            for _ in range(n_planes)]
 
 
 def _dot(a, b):
@@ -66,29 +70,26 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").cast("array<double>").alias("e")))
 
 
-def with_lsh_bucket(emb: DataFrame) -> DataFrame:
-    """Add norm + LSH bucket id (0..2^N_PLANES-1) from hyperplane signs."""
-    planes = hyperplanes()
-    bucket = F.lit(0)
-    for j, h in enumerate(planes):
-        harr = F.array(*[F.lit(v) for v in h])
-        bit = (_dot(F.col("e"), harr) >= 0).cast("int")
-        bucket = bucket + bit * F.lit(1 << j)
+def with_lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Add norm + LSH bucket id (0..2^n_planes-1) from hyperplane signs."""
+    bucket = _bucket_expr(hyperplanes(n_planes))
     return emb.withColumn("nrm", F.sqrt(_dot("e", "e"))) \
               .withColumn("bucket", bucket)
 
 
-def lsh_bucket_counts(spark, sf_dir) -> DataFrame:
-    return (with_lsh_bucket(_emb(spark, sf_dir))
+def lsh_bucket_counts(spark, sf_dir, n_planes: int = N_PLANES) -> DataFrame:
+    return (with_lsh_bucket(_emb(spark, sf_dir), n_planes)
             .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
 
 
-def ann_lsh_topk(spark, sf_dir, query_ids: list[int], k: int) -> DataFrame:
+def ann_lsh_topk(spark, sf_dir, query_ids: list[int], k: int,
+                 n_planes: int = N_PLANES) -> DataFrame:
     """Top-k within the query's LSH bucket: bucket equi-join (no crossJoin)
     + exact cosine + windowed rank. The bucket join is the scale path — at
-    10^9 vectors only same-bucket pairs shuffle."""
+    10^9 vectors only same-bucket pairs shuffle; n_planes bounds bucket
+    occupancy (~N/2^n_planes candidates per query)."""
     from pyspark.sql import Window
-    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    sig = with_lsh_bucket(_emb(spark, sf_dir), n_planes)
     q = (sig.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn"), "bucket"))
@@ -104,12 +105,12 @@ def ann_lsh_topk(spark, sf_dir, query_ids: list[int], k: int) -> DataFrame:
             .select("qid", "rank", "vec_id", "sim"))
 
 
-def neardup_pairs_lsh(spark, sf_dir, min_sim: float = NEARDUP_MIN_SIM
-                      ) -> DataFrame:
+def neardup_pairs_lsh(spark, sf_dir, min_sim: float = NEARDUP_MIN_SIM,
+                      n_planes: int = N_PLANES) -> DataFrame:
     """Embedding-cosine near-dup mining: same-bucket pairs (ida < idb) with
     cosine >= min_sim. Candidate generation is the bucket self-join — the
     O(N^2) crossJoin never happens."""
-    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    sig = with_lsh_bucket(_emb(spark, sf_dir), n_planes)
     a = sig.select("bucket", F.col("vec_id").alias("ida"),
                    F.col("e").alias("ea"), F.col("nrm").alias("na"))
     b = sig.select("bucket", F.col("vec_id").alias("idb"),
@@ -289,10 +290,11 @@ def _sql_lit(vec: list[float]) -> str:
     return "[" + ", ".join(f"{v!r}" for v in vec) + "]"
 
 
-def lsh_signature_sql() -> str:
+def lsh_signature_sql(n_planes: int = N_PLANES) -> str:
     """DuckDB CTE `sig`: vec_id, emb, nrm, bucket — same planes, same fold
-    order (list_dot_product), same sign rule."""
-    planes = hyperplanes()
+    order (list_dot_product), same sign rule. Generated from the SAME
+    hyperplanes() source of truth as the Spark plan, for any n_planes."""
+    planes = hyperplanes(n_planes)
     bits = " + ".join(
         f"(case when list_dot_product(emb, {_sql_lit(h)}) >= 0 "
         f"then {1 << j} else 0 end)" for j, h in enumerate(planes))
@@ -362,18 +364,18 @@ def ivf_assign_sql() -> str:
     return ",".join(parts)
 
 
-def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int
-                            ) -> DataFrame:
+def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int,
+                            n_planes: int = N_PLANES) -> DataFrame:
     """Multi-probe LSH: probe the query's own bucket plus every 1-bit-flip
-    neighbor (N_PLANES+1 buckets). The standard recall fix for sign-LSH —
+    neighbor (n_planes+1 buckets). The standard recall fix for sign-LSH —
     vectors near a hyperplane land on either side, and flipping one bit
     reaches them — at (P+1)x the candidate cost of single-probe, still a
     bucket equi-join (never a crossJoin). Deterministic, SQL-mirrored."""
     from pyspark.sql import Window
-    sig = with_lsh_bucket(_emb(spark, sf_dir))
+    sig = with_lsh_bucket(_emb(spark, sf_dir), n_planes)
     probes = F.array(*([F.col("bucket")]
                        + [F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                          for j in range(N_PLANES)]))
+                          for j in range(n_planes)]))
     q = (sig.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn"),
@@ -391,11 +393,11 @@ def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int
 LSH_N_TABLES = 3
 
 
-def hyperplanes_table(t: int) -> list[list[float]]:
+def hyperplanes_table(t: int, n_planes: int = N_PLANES) -> list[list[float]]:
     """Per-table deterministic hyperplanes; table 0 == hyperplanes()."""
     rng = np.random.default_rng(LSH_SEED + 101 * t)
     return [[round(float(x), 6) for x in rng.standard_normal(DIM)]
-            for _ in range(N_PLANES)]
+            for _ in range(n_planes)]
 
 
 def _bucket_expr(planes) -> "F.Column":
@@ -408,16 +410,20 @@ def _bucket_expr(planes) -> "F.Column":
 
 
 def with_lsh_buckets_multi(emb: DataFrame,
-                           n_tables: int = LSH_N_TABLES) -> DataFrame:
+                           n_tables: int = LSH_N_TABLES,
+                           n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, e, nrm, tbl, bucket): one row per (vector, table) — L
     independent hyperplane tables in ONE scan (the standard recall lever:
     P(candidate found) = 1-(1-p^P)^L instead of p^P). Candidates still
     come from bucket equi-joins keyed (tbl, bucket); cost is L x the
-    single-table join, never a crossJoin."""
+    single-table join, never a crossJoin. (n_tables, n_planes) are the
+    recall-vs-occupancy dials: more planes -> smaller buckets, more
+    tables -> recall recovered."""
     emb = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
     entries = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(hyperplanes_table(t)).alias("bucket"))
+                 _bucket_expr(hyperplanes_table(t, n_planes))
+                 .alias("bucket"))
         for t in range(n_tables)])
     return (emb.select("vec_id", "e", "nrm",
                        F.explode(entries).alias("p"))
@@ -425,13 +431,15 @@ def with_lsh_buckets_multi(emb: DataFrame,
 
 
 def ann_lsh_multitable_topk(spark, sf_dir, query_ids: list[int], k: int,
-                            n_tables: int = LSH_N_TABLES) -> DataFrame:
+                            n_tables: int = LSH_N_TABLES,
+                            n_planes: int = N_PLANES) -> DataFrame:
     """Multi-table LSH ANN: union of same-bucket candidates over L
     independent tables (deduped), exact cosine re-rank. Table 0 uses the
-    single-table planes, so the candidate set is a strict superset of
-    ann_lsh_topk's — recall can only go up (test-enforced)."""
+    single-table planes, so at default geometry the candidate set is a
+    strict superset of ann_lsh_topk's — recall can only go up
+    (test-enforced)."""
     from pyspark.sql import Window
-    sig = with_lsh_buckets_multi(_emb(spark, sf_dir), n_tables)
+    sig = with_lsh_buckets_multi(_emb(spark, sf_dir), n_tables, n_planes)
     q = (sig.where(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn"), "tbl", "bucket"))
@@ -447,14 +455,15 @@ def ann_lsh_multitable_topk(spark, sf_dir, query_ids: list[int], k: int,
             .select("qid", "rank", "vec_id", "sim"))
 
 
-def lsh_multitable_sql(n_tables: int = LSH_N_TABLES) -> str:
+def lsh_multitable_sql(n_tables: int = LSH_N_TABLES,
+                       n_planes: int = N_PLANES) -> str:
     """DuckDB CTE `msig`: vec_id, emb, nrm, tbl, bucket — union over tables."""
     parts = []
     for t in range(n_tables):
         bits = " + ".join(
             f"(case when list_dot_product(emb, {_sql_lit(h)}) >= 0 "
             f"then {1 << j} else 0 end)"
-            for j, h in enumerate(hyperplanes_table(t)))
+            for j, h in enumerate(hyperplanes_table(t, n_planes)))
         parts.append(
             f"select vec_id, embedding::DOUBLE[] as emb, "
             f"sqrt(list_dot_product(embedding::DOUBLE[], "

@@ -252,6 +252,63 @@ def test_ivf_trained_centroids_beat_stride_init(spark):
     assert r_trained > 0.428  # strictly above the r2 all-N-trained recall
 
 
+def test_lsh_geometry_parameterized(spark):
+    """VERDICT r2 #5: planes/tables are parameters, not module pins. At 12
+    planes per-bucket occupancy (the 10^9-vector scale limiter: candidates
+    ~ N/2^planes) drops vs the 8-plane default; buckets only SPLIT when
+    planes widen (plane lists are prefix-stable per seed); and stacking
+    tables recovers recall — multitable recall@5 at the wider geometry
+    stays >= the default single-table recall. Defaults leave every oracle
+    literal unchanged (the contract suite enforces that separately)."""
+    c8 = sim.lsh_bucket_counts(spark, SF).toPandas()
+    c12 = sim.lsh_bucket_counts(spark, SF, n_planes=12).toPandas()
+    assert c12["n_vecs"].max() < c8["n_vecs"].max()
+    assert c12["n_vecs"].mean() < c8["n_vecs"].mean()
+
+    emb = sim._emb(spark, SF)
+    s8 = sim.with_lsh_bucket(emb).select("vec_id", "bucket").toPandas()
+    s12 = sim.with_lsh_bucket(emb, 12).select("vec_id", "bucket").toPandas()
+    m8 = dict(zip(s8["vec_id"], s8["bucket"]))
+    m12 = dict(zip(s12["vec_id"], s12["bucket"]))
+    assert all((int(m12[v]) & 0xFF) == int(m8[v]) for v in m8)
+
+    # recall: brute-force truth, candidates from the Spark bucket columns
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    E = np.stack(pdf["e"].to_numpy())
+    nrm = np.linalg.norm(E, axis=1)
+    S = (E @ E.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(S, -2)
+    order = np.argsort(-S, axis=1)
+    true_top = {int(ids[i]): set(ids[order[i, :5]].tolist())
+                for i in range(len(ids))}
+
+    def recall(sig_pdf):
+        by_key = {}
+        for v, t, b in zip(sig_pdf["vec_id"], sig_pdf["tbl"],
+                           sig_pdf["bucket"]):
+            by_key.setdefault((t, b), set()).add(int(v))
+        mine = {}
+        for v, t, b in zip(sig_pdf["vec_id"], sig_pdf["tbl"],
+                           sig_pdf["bucket"]):
+            mine.setdefault(int(v), set()).update(by_key[(t, b)])
+        hit = tot = 0
+        for i, q in enumerate(ids):
+            cand = mine.get(int(q), set()) - {int(q)}
+            got = {x for _, x in sorted(
+                ((round(float(S[i, np.searchsorted(ids, x)]), 6), x)
+                 for x in cand), key=lambda t_: (-t_[0], t_[1]))[:5]}
+            hit += len(got & true_top[int(q)])
+            tot += 5
+        return hit / tot
+
+    single = (sim.with_lsh_bucket(emb)
+              .select("vec_id", F.lit(0).alias("tbl"), "bucket").toPandas())
+    wide = (sim.with_lsh_buckets_multi(emb, n_tables=12, n_planes=12)
+            .select("vec_id", "tbl", "bucket").toPandas())
+    assert recall(wide) >= recall(single), (recall(wide), recall(single))
+
+
 def test_lsh_multitable_recall_superset_of_single(spark):
     """Table 0 of the multi-table scheme uses the single-table planes, so
     the candidate set is a strict superset: every single-table hit must
