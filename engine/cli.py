@@ -6,13 +6,16 @@ Usage:
 
   build   --input DIR|synthetic:N --out DIR [--salts S] [--partitions P]
   query   --index DIR --query TEXT [--k K] [--mode ranked|conjunctive]
-  ingest  --source DIR --work DIR    (incremental streaming ingest, drains
-          available files exactly-once and exits; re-run as files land)
-  compact --work DIR --out DIR       (streamed partials -> queryable index)
+  ingest  --source DIR --work DIR [--positions]  (incremental streaming
+          ingest, drains available files exactly-once and exits; re-run as
+          files land; --positions also emits position runs)
+  compact --work DIR --out DIR       (streamed partials -> queryable index,
+          incl. the positional store when the ingest ran --positions)
   merge   --inputs DIR,DIR,... --out DIR  (segment merge: N built indexes ->
           one, byte-identical to a monolithic build over the union)
-  serve   --index DIR [--host H] [--port P]  (HTTP shim: GET /search returns
-          the reference Searcher's {url, rank_score, title, body} JSON)
+  serve   --index DIR [--host H] [--port P] [--big]  (HTTP shim: GET /search
+          returns the reference Searcher's {url, rank_score, title, body}
+          JSON; --big = zero-driver-array 10^12-doc regime)
   bench   (delegates to bench.py's main)
 
 `build --input DIR` expects a parquet table in the input_hint shape
@@ -69,6 +72,9 @@ def main(argv=None):
     pi.add_argument("--source", required=True)
     pi.add_argument("--work", required=True)
     pi.add_argument("--salts", type=int, default=8)
+    pi.add_argument("--positions", action="store_true",
+                    help="also emit position runs (phrase/NEAR search "
+                         "after compact)")
 
     pc = sub.add_parser("compact")
     pc.add_argument("--work", required=True)
@@ -87,6 +93,9 @@ def main(argv=None):
     ps.add_argument("--index", required=True)
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--big", action="store_true",
+                    help="10^12-doc regime: search_big + distributed "
+                         "phrase + k-row display joins, no driver maps")
 
     sub.add_parser("bench")
 
@@ -146,10 +155,11 @@ def main(argv=None):
     elif args.cmd == "ingest":
         from engine.corpus import corpus_spark_schema
         from engine.streaming import start_ingest
-        q1, q2 = start_ingest(spark, args.source, args.work,
-                              corpus_spark_schema(), n_salts=args.salts)
-        q1.awaitTermination()
-        q2.awaitTermination()
+        qs = start_ingest(spark, args.source, args.work,
+                          corpus_spark_schema(), n_salts=args.salts,
+                          with_positions=args.positions)
+        for q in qs:
+            q.awaitTermination()
         print(json.dumps({"ingested": True, "work": args.work}))
     elif args.cmd == "merge":
         from engine.checkpoint import BuildManifest
@@ -159,7 +169,8 @@ def main(argv=None):
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
     elif args.cmd == "serve":
         from engine.server import serve
-        serve(spark, args.index, host=args.host, port=args.port)
+        serve(spark, args.index, host=args.host, port=args.port,
+              big=args.big)
     elif args.cmd == "compact":
         from engine.streaming import compact
         compact(spark, args.work, args.out, n_salts=args.salts,

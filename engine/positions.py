@@ -466,9 +466,15 @@ class PhraseEngine:
         self.spark = spark
         self.pos_df = spark.read.parquet(
             os.path.join(index_dir, "positions"))
-        docs = (spark.read.parquet(os.path.join(index_dir, "docs"))
-                .select("ordinal", "doc_id").orderBy("ordinal").toPandas())
-        self._ext_ids = docs["doc_id"].to_numpy(np.int64)
+        self._docs_df = spark.read.parquet(
+            os.path.join(index_dir, "docs"))
+        # ordinal -> doc_id driver array: materialized LAZILY, only by the
+        # low-latency driver-matching paths (<=10^8-doc regime). The
+        # distributed paths never touch it — their ordinals resolve via a
+        # k-row broadcast join (the search_big tail), so a 10^12-doc serve
+        # process can answer phrase/NEAR queries with no full-docs
+        # materialization anywhere (test-enforced).
+        self._ext_ids_arr: np.ndarray | None = None
         # (term, block) -> decoded triple; None marks a fetched-empty block.
         # LRU-bounded (ADVICE r2: the unbounded dict accumulated every
         # decoded block forever in a serving process).
@@ -493,6 +499,28 @@ class PhraseEngine:
 
     def clear_cache(self) -> None:
         self._cache.clear()
+
+    @property
+    def _ext_ids(self) -> np.ndarray:
+        if self._ext_ids_arr is None:
+            docs = (self._docs_df.select("ordinal", "doc_id")
+                    .orderBy("ordinal").toPandas())
+            self._ext_ids_arr = docs["doc_id"].to_numpy(np.int64)
+        return self._ext_ids_arr
+
+    def _resolve_topk(self, hits: DataFrame, k: int
+                      ) -> list[tuple[int, int, int]]:
+        """(ordinal, n_occ) hit rows -> [(rank, doc_id, n_occ)] via
+        distributed sort+limit and a k-row broadcast join to doc_id —
+        ordinal asc == doc_id asc, so tie-breaks carry. No driver array."""
+        top = (hits.orderBy(F.col("n_occ").desc(), "ordinal").limit(k)
+               .select("ordinal", "n_occ"))
+        rows = (F.broadcast(top)
+                .join(self._docs_df.select("ordinal", "doc_id"), "ordinal")
+                .orderBy(F.col("n_occ").desc(), "ordinal")
+                .collect())
+        return [(i + 1, int(r["doc_id"]), int(r["n_occ"]))
+                for i, r in enumerate(rows)]
 
     def _term_occ(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in set(terms) if t not in self._occ]
@@ -661,10 +689,7 @@ class PhraseEngine:
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")
                 .applyInPandas(kern, schema="ordinal long, n_occ long"))
-        rows = (hits.orderBy(F.col("n_occ").desc(), "ordinal")
-                .limit(k).collect())
-        return [(i + 1, int(self._ext_ids[r["ordinal"]]), int(r["n_occ"]))
-                for i, r in enumerate(rows)]
+        return self._resolve_topk(hits, k)
 
     def search_phrase_distributed(self, phrase: str, k: int = 10
                                   ) -> list[tuple[int, int, int]]:
@@ -717,7 +742,4 @@ class PhraseEngine:
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")
                 .applyInPandas(kern, schema="ordinal long, n_occ long"))
-        rows = (hits.orderBy(F.col("n_occ").desc(), "ordinal")
-                .limit(k).collect())  # ordinal asc == doc_id asc tie-break
-        return [(i + 1, int(self._ext_ids[r["ordinal"]]), int(r["n_occ"]))
-                for i, r in enumerate(rows)]
+        return self._resolve_topk(hits, k)

@@ -12,10 +12,11 @@ the real BM25/TF-IDF engine instead of a KVS full scan.
 Display fields come from the docs snapshot (title = last path component,
 body = the bounded leading-content snippet the build materializes —
 ~200 B/doc, the serving-tier analog of the reference's per-URL
-title/body columns in the `urls` table). The display map is a driver-side
-dict keyed by doc_id — the same "broadcast lookup table" regime as
-SearchEngine's doc-length arrays (fine to ~10^8 docs; past that the k-row
-display join belongs in search_big's broadcast-join tail).
+title/body columns in the `urls` table). Two serving regimes: the default
+driver-map service (display dict keyed by doc_id — the "broadcast lookup
+table" regime, fine to ~10^8 docs) and ``big=True`` (the 10^12-doc path:
+search_big + distributed phrase + per-query k-row pushdown display/alias
+resolution — no full-docs materialization anywhere, test-enforced).
 
 Scoring modes:
 - ``scoring=bm25`` (default): the north-rule BM25 engine (ranked or
@@ -48,16 +49,43 @@ def pd_series_empty(n: int):
 
 
 class SearchService:
-    """Query engine + display-field resolution for one built index."""
+    """Query engine + display-field resolution for one built index.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
-        from .query import SearchEngine
+    Two regimes:
+    - ``big=False`` (default, low-latency): driver-side display/alias
+      dicts + the driver-array SearchEngine — the "broadcast lookup
+      tables" regime, fine to ~10^8 docs.
+    - ``big=True`` (the 10^12-doc serving path): NO full-docs
+      materialization anywhere (test-enforced). BM25 answers come from
+      query.search_big, phrase/NEAR from the per-block distributed
+      engine, and display/alias fields resolve per query via pushdown
+      scans of just the k result ids. tfidf scoring and wildcard
+      expansion stay on the driver-map service (they need the
+      driver-array engine) and raise here.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 big: bool = False):
         self.spark = spark
         self.index_dir = index_dir
+        self.big = big
         self._phrase = None
-        self.engine = SearchEngine(spark, index_dir)
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-        cols = set(docs.columns)
+        self._docs_df = docs
+        self._docs_cols = set(docs.columns)
+        # Gate aliases on the MANIFEST, not a bare _SUCCESS marker: a stage
+        # dir left behind by an older build must not be trusted.
+        self._aliases_df = (
+            spark.read.parquet(os.path.join(index_dir, "aliases"))
+            if _stage_complete(index_dir, "aliases") else None)
+        if big:
+            self.engine = None
+            self._display = None
+            self._alias = None
+            return
+        from .query import SearchEngine
+        self.engine = SearchEngine(spark, index_dir)
+        cols = self._docs_cols
         want = [c for c in ("doc_id", "repo", "path", "commit",
                             "title", "snippet") if c in cols]
         pdf = docs.select(*want).toPandas()
@@ -77,20 +105,52 @@ class SearchService:
         self._display: dict[int, tuple[str, str, str]] = dict(
             zip(ids.tolist(), zip(urls.tolist(), titles.tolist(),
                                   snippets.tolist())))
-        # aliased doc_ids (content dedup) resolve to their canonical doc.
-        # Gate on the MANIFEST, not a bare _SUCCESS marker: a stage dir left
-        # behind by an older build of this directory must not be trusted.
         self._alias: dict[int, int] = {}
-        if _stage_complete(index_dir, "aliases"):
-            apdf = spark.read.parquet(
-                os.path.join(index_dir, "aliases")).toPandas()
+        if self._aliases_df is not None:
+            apdf = self._aliases_df.toPandas()
             self._alias = dict(zip(apdf["doc_id"].astype("int64").tolist(),
                                    apdf["canonical_doc_id"]
                                    .astype("int64").tolist()))
 
     def resolve(self, doc_id: int) -> tuple[str, str, str]:
+        if self.big:
+            return self.resolve_many([doc_id])[doc_id]
         doc_id = self._alias.get(doc_id, doc_id)
         return self._display.get(doc_id, (str(doc_id), "", ""))
+
+    def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
+        """doc_id -> (url, title, body) for a RESULT SET (k ids). Driver
+        regime: dict lookups. Big regime: alias + display resolve via two
+        pushdown isin-scans over <= 2k metadata rows — the k-row tail, no
+        driver map."""
+        from pyspark.sql import functions as F
+        ids = [int(d) for d in doc_ids]
+        if not self.big:
+            return {i: self.resolve(i) for i in ids}
+        canon = {i: i for i in ids}
+        if self._aliases_df is not None and ids:
+            for r in (self._aliases_df.where(F.col("doc_id").isin(ids))
+                      .collect()):
+                canon[int(r["doc_id"])] = int(r["canonical_doc_id"])
+        want = sorted(set(canon.values()))
+        cols = ["doc_id"] + [c for c in ("repo", "path", "commit",
+                                         "title", "snippet")
+                             if c in self._docs_cols]
+        disp: dict[int, tuple[str, str, str]] = {}
+        if want:
+            for r in (self._docs_df.select(*cols)
+                      .where(F.col("doc_id").isin(want)).collect()):
+                if {"repo", "path", "commit"} <= self._docs_cols:
+                    url = f'{r["repo"]}/{r["path"]}@{r["commit"]}'
+                else:
+                    url = str(r["doc_id"])
+                disp[int(r["doc_id"])] = (
+                    url,
+                    (r["title"] or "") if "title" in self._docs_cols else "",
+                    (r["snippet"] or "") if "snippet" in self._docs_cols
+                    else "")
+        return {i: disp.get(c, (str(c), "", ""))
+                for i, c in canon.items()}
 
     def _phrase_engine(self):
         if self._phrase is None:
@@ -112,28 +172,46 @@ class SearchService:
         q = query.strip()
         k = max(0, k)  # a negative k would negative-slice inside the
         # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
+        is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
+                   and " " not in q)
         if mode == "phrase":
-            rows = self._phrase_engine().search_phrase(query, k=k)
+            pe = self._phrase_engine()
+            rows = (pe.search_phrase_distributed(query, k=k) if self.big
+                    else pe.search_phrase(query, k=k))
         elif mode == "near":
             parts = q.split()
             if len(parts) != 2:
                 raise ValueError("mode=near needs exactly two terms")
-            rows = self._phrase_engine().search_near(
-                parts[0], parts[1], slop=slop, k=k)
+            pe = self._phrase_engine()
+            rows = (pe.search_near_distributed(parts[0], parts[1],
+                                               slop=slop, k=k)
+                    if self.big else
+                    pe.search_near(parts[0], parts[1], slop=slop, k=k))
         elif scoring == "tfidf":
+            if self.big:
+                raise ValueError(
+                    "tfidf scoring needs the driver-map service (big=False)")
             rows = self.engine.search_tfidf_reference(
                 query, k=min(k, REFERENCE_MAX_RESULTS))
-        elif (mode == "ranked" and q.endswith("*") and len(q) > 1
-              and " " not in q):
+        elif is_wild:
             # single-token trailing-* wildcard only; a multi-term query
             # with a '*' falls through to normal search (the tokenizer
             # strips punctuation), and conjunctive mode is never hijacked
+            if self.big:
+                raise ValueError(
+                    "wildcard expansion needs the driver-map service "
+                    "(big=False)")
             rows = self.engine.search_prefix(q[:-1].lower(), k=k)
+        elif self.big:
+            from .query import search_big
+            rows = search_big(self.spark, self.index_dir, query,
+                              k=k, mode=mode)
         else:
             rows = self.engine.search(query, k=k, mode=mode)
+        disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         out = []
         for _rank, doc_id, score in rows:
-            url, title, body = self.resolve(int(doc_id))
+            url, title, body = disp[int(doc_id)]
             out.append({"url": url, "rank_score": score,
                         "title": title, "body": body})
         return out
@@ -191,8 +269,8 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
 
 
 def serve(spark: SparkSession, index_dir: str, host: str = "127.0.0.1",
-          port: int = 8080) -> None:
-    srv = make_server(SearchService(spark, index_dir), host, port)
+          port: int = 8080, big: bool = False) -> None:
+    srv = make_server(SearchService(spark, index_dir, big=big), host, port)
     print(json.dumps({"serving": f"http://{host}:{srv.server_address[1]}"
                       "/search?query=..."}))
     srv.serve_forever()

@@ -112,6 +112,48 @@ def test_phrase_without_positions_is_400(spark, tmp_path):
         srv.shutdown()
 
 
+def test_big_service_matches_driver_and_never_materializes(
+        spark, built_index, fixture_corpus_pdf, monkeypatch):
+    """The 10^12-doc serving regime (VERDICT r2 #3): SearchService(big=True)
+    must return byte-identical payloads to the driver-map service for
+    bm25 ranked/conjunctive and phrase/NEAR, resolve aliases, and do it
+    with ZERO DataFrame.toPandas calls (call-count assert) — no full-docs
+    display map, no ordinal->doc_id driver array (stays lazy/unbuilt)."""
+    import pyspark.sql
+
+    from engine.corpus import corpus_to_spark
+    from engine.positions import build_positions
+    out, _man = built_index
+    build_positions(spark, corpus_to_spark(spark, fixture_corpus_pdf),
+                    out, n_salts=4, partitions=4)
+    driver_svc = SearchService(spark, out)
+
+    calls = {"n": 0}
+    orig = pyspark.sql.DataFrame.toPandas
+
+    def counted(self_df, *a, **kw):
+        calls["n"] += 1
+        return orig(self_df, *a, **kw)
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", counted)
+    big_svc = SearchService(spark, out, big=True)
+    cases = [dict(query="def return", mode="ranked"),
+             dict(query="def return", mode="conjunctive"),
+             dict(query="def return", mode="phrase"),
+             dict(query="def return", mode="near", slop=3)]
+    for case in cases:
+        got = big_svc.search_payload(k=5, **case)
+        want = driver_svc.search_payload(k=5, **case)
+        assert got == want, case
+        assert got, case  # every case must actually return hits
+    assert calls["n"] == 0  # nothing in the big path materializes docs
+    assert big_svc._phrase._ext_ids_arr is None  # driver array never built
+    for bad in [dict(query="def return", scoring="tfidf"),
+                dict(query="de*")]:
+        with pytest.raises(ValueError, match="big=False"):
+            big_svc.search_payload(k=5, **bad)
+
+
 def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
     import threading
 
