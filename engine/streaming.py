@@ -256,17 +256,22 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
                 .join(docs.select("doc_id", "ordinal"), "doc_id")
                 .select("term", "ordinal", "tf"))
         index = ib.posting_rows_to_index(rows, n_docs, n_salts, partitions)
+    # index metrics + lineage counts ride their write jobs' Observations —
+    # no read-back agg or count actions (fixed driver latency per action
+    # is the dominant small-build scaling-efficiency cost)
+    iobs = Observation("compact_index_stats")
+    index = index.observe(
+        iobs, F.count(F.lit(1)).alias("n"), F.sum("df").alias("p"),
+        F.sum(F.length("postings")).alias("b"))
     index.write.mode("overwrite").parquet(man.stage_path("index"))
-    idx = spark.read.parquet(man.stage_path("index"))
-    agg = idx.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("df").alias("p"),
-                  F.sum(F.length("postings")).alias("b")).first()
-    man.commit("index", t0, int(agg["n"]),
-               {"postings_emitted": int(agg["p"]),
-                "bytes_compressed": int(agg["b"]),
+    igot = iobs.get
+    man.commit("index", t0, int(igot["n"] or 0),
+               {"postings_emitted": int(igot["p"] or 0),
+                "bytes_compressed": int(igot["b"] or 0),
                 "n_salts": n_salts, "partitions": partitions})
 
     t0 = man.begin("_lineage")
+    idx = spark.read.parquet(man.stage_path("index"))
     lin = (idx.groupBy(F.spark_partition_id().alias("partition_id"))
            .agg(F.count(F.lit(1)).alias("docs_processed"),
                 F.sum("df").alias("postings_emitted"),
@@ -274,8 +279,10 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
            .withColumn("stage", F.lit("index"))
            .select("stage", "partition_id", "docs_processed",
                    "postings_emitted", "bytes_compressed"))
+    lobs = Observation("compact_lineage_rows")
+    lin = lin.observe(lobs, F.count(F.lit(1)).alias("rows"))
     lin.write.mode("overwrite").parquet(man.stage_path("_lineage"))
-    man.commit("_lineage", t0, lin.count())
+    man.commit("_lineage", t0, int(lobs.get["rows"] or 0))
 
     # ---- positional store (present iff the ingest ran with_positions) ----
     if os.path.exists(os.path.join(work_dir, "pos_partials")):
