@@ -103,6 +103,136 @@ def _decode_to_rows(batches):
             yield pd.concat(outs, ignore_index=True)
 
 
+def _decode_pos_to_runs_factory(ext_of_old: np.ndarray,
+                                union_sorted: np.ndarray,
+                                n_docs: int, n_salts: int):
+    """positional-store rows (term, ords, counts, pos) of ONE input ->
+    remapped packed position runs (POS_RUN_SCHEMA). Aliased-out docs
+    (cross-segment duplicate content) drop segment-wise; both ordinal maps
+    are monotone so runs stay sorted."""
+    from .positions import _reorder_segments, decode_position_row
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for term, ords_b, cnt_b, pos_b in zip(
+                    pdf["term"], pdf["ords"], pdf["counts"], pdf["pos"]):
+                old_ords, counts, pos = decode_position_row(
+                    bytes(ords_b), bytes(cnt_b), bytes(pos_b))
+                ext = ext_of_old[old_ords]
+                idx = np.searchsorted(union_sorted, ext)
+                idxc = np.minimum(idx, max(union_sorted.size - 1, 0))
+                keep = ((idx < union_sorted.size)
+                        & (union_sorted[idxc] == ext)) \
+                    if union_sorted.size else np.zeros(ext.size, dtype=bool)
+                if not keep.any():
+                    continue
+                if not keep.all():
+                    starts = np.concatenate(
+                        ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+                    kept = np.flatnonzero(keep)
+                    pos = _reorder_segments(pos, starts, counts, kept)
+                    idx, counts = idx[keep], counts[keep]
+                new_ords = idx.astype(np.int64)
+                rows.append((
+                    term,
+                    int(new_ords[0] * n_salts // max(n_docs, 1)),
+                    new_ords.tobytes(),
+                    counts.astype(np.int32).tobytes(),
+                    pos.astype(np.int32).tobytes()))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "term", "salt", "ids", "counts", "pos"])
+    return run
+
+
+def _decode_pos_to_rows(batches):
+    """positional rows -> (term, old_ordinal, position) occurrence rows,
+    for the beyond-broadcast-limit merge path."""
+    from .positions import decode_position_row
+    for pdf in batches:
+        outs = []
+        for term, ords_b, cnt_b, pos_b in zip(
+                pdf["term"], pdf["ords"], pdf["counts"], pdf["pos"]):
+            old_ords, counts, pos = decode_position_row(
+                bytes(ords_b), bytes(cnt_b), bytes(pos_b))
+            outs.append(pd.DataFrame({
+                "term": term,
+                "old_ordinal": np.repeat(old_ords, counts),
+                "position": pos.astype(np.int32)}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+def merge_positions(spark: SparkSession, index_dirs: list[str],
+                    out_dir: str, *, n_salts: int = DEFAULT_N_SALTS,
+                    partitions: int = 16) -> None:
+    """Merge the inputs' positional stores into the merged index's —
+    byte-identical to batch build_positions over the union corpus
+    (test-enforced, incl. cross-segment duplicate content and the
+    beyond-broadcast regime). Runs automatically from merge_indexes when
+    EVERY input carries a complete positions stage."""
+    from . import index_build as ib
+    from .positions import (
+        POS_RUN_SCHEMA,
+        POS_SCHEMA,
+        _merge_pos_runs_sorting,
+        _pos_rows_to_index,
+        _reduce_pos_runs,
+    )
+    man = BuildManifest(out_dir)
+    if man.is_complete("positions"):
+        return
+    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
+    docs = spark.read.parquet(man.stage_path("docs"))
+    t0 = man.begin("positions")
+    if n_docs <= ib.BROADCAST_DOC_LIMIT:
+        union_sorted = (docs.select("doc_id").orderBy("doc_id")
+                        .toPandas()["doc_id"].to_numpy(np.int64))
+        runs = None
+        for d in index_dirs:
+            ext_of_old = (spark.read.parquet(os.path.join(d, "docs"))
+                          .select("ordinal", "doc_id").orderBy("ordinal")
+                          .toPandas()["doc_id"].to_numpy(np.int64))
+            r = (spark.read.parquet(os.path.join(d, "positions"))
+                 .select("term", "ords", "counts", "pos")
+                 .mapInPandas(_decode_pos_to_runs_factory(
+                     ext_of_old, union_sorted, n_docs, n_salts),
+                     schema=POS_RUN_SCHEMA))
+            runs = r if runs is None else runs.unionByName(r)
+        partials = (runs.repartition(partitions, "term", "salt")
+                    .mapInPandas(_reduce_pos_runs, schema=POS_RUN_SCHEMA))
+        posidx = (partials.repartition(partitions, "term")
+                  .sortWithinPartitions("term", "salt")
+                  .mapInPandas(_merge_pos_runs_sorting, schema=POS_SCHEMA))
+    else:
+        rows = None
+        for d in index_dirs:
+            old_docs = (spark.read.parquet(os.path.join(d, "docs"))
+                        .select(F.col("ordinal").alias("old_ordinal"),
+                                "doc_id"))
+            r = (spark.read.parquet(os.path.join(d, "positions"))
+                 .select("term", "ords", "counts", "pos")
+                 .mapInPandas(_decode_pos_to_rows,
+                              schema="term string, old_ordinal long, "
+                                     "position int")
+                 .join(old_docs, "old_ordinal")
+                 .select("term", "doc_id", "position"))
+            rows = r if rows is None else rows.unionByName(r)
+        rows = (rows.join(docs.select("doc_id", "ordinal"), "doc_id")
+                .select("term", "ordinal", "position"))
+        posidx = _pos_rows_to_index(rows, n_docs, n_salts, partitions)
+    from pyspark.sql import Observation
+    obs = Observation("merge_pos_stats")
+    posidx = posidx.observe(obs, F.count(F.lit(1)).alias("n_terms"),
+                            F.sum("df").alias("postings"))
+    posidx.write.mode("overwrite").parquet(man.stage_path("positions"))
+    got = obs.get
+    man.commit("positions", t0, int(got["n_terms"] or 0),
+               {"postings_emitted": int(got["postings"] or 0),
+                "n_salts": n_salts, "partitions": partitions})
+
+
 def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
                   *, n_salts: int = DEFAULT_N_SALTS,
                   partitions: int = 16,
@@ -254,4 +384,9 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
     lin = lin.observe(lobs, F.count(F.lit(1)).alias("rows"))
     lin.write.mode("overwrite").parquet(man.stage_path("_lineage"))
     man.commit("_lineage", t0, int(lobs.get["rows"] or 0))
+
+    # ---- positional stores (merged iff EVERY input carries one) ----
+    if all(BuildManifest(d).is_complete("positions") for d in index_dirs):
+        merge_positions(spark, index_dirs, out_dir,
+                        n_salts=n_salts, partitions=partitions)
     return man

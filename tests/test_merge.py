@@ -119,6 +119,67 @@ def test_merge_cross_segment_duplicate_content(spark, tmp_path, monkeypatch):
         svc.resolve(int(a.iloc[0]["doc_id"]))
 
 
+def test_merge_positions_match_monolithic(spark, tmp_path, monkeypatch):
+    """Segment merge carries the positional store: when every input was
+    built --positions, the merged store must be byte-identical to batch
+    build_positions over the union corpus — incl. cross-segment duplicate
+    content and the beyond-broadcast regime — and phrase/NEAR queries
+    must agree."""
+    import pandas as pd
+
+    from engine.positions import PhraseEngine, build_positions
+
+    pdf = make_corpus(220, seed=37)
+    a = pdf.iloc[:120].reset_index(drop=True)
+    b = pd.concat([pdf.iloc[120:], _dup_rows(a.iloc[:8], "pD")],
+                  ignore_index=True)
+    union = pd.concat([a, b], ignore_index=True)
+
+    dirs = {}
+    for name, frame in [("a", a), ("b", b), ("full", union)]:
+        out = str(tmp_path / name)
+        build_index(spark, corpus_to_spark(spark, frame), out,
+                    n_salts=4, partitions=4)
+        build_positions(spark, corpus_to_spark(spark, frame), out,
+                        n_salts=4, partitions=4)
+        dirs[name] = out
+
+    def pos_fp(out):
+        rows = spark.read.parquet(f"{out}/positions").collect()
+        return sorted((r["term"], r["block"], r["df"], r["n"],
+                       bytes(r["ords"]), bytes(r["counts"]),
+                       bytes(r["pos"])) for r in rows)
+
+    out_m = str(tmp_path / "m")
+    merge_indexes(spark, [dirs["a"], dirs["b"]], out_m,
+                  n_salts=4, partitions=4)
+    assert pos_fp(out_m) == pos_fp(dirs["full"])
+
+    pe_m, pe_f = PhraseEngine(spark, out_m), PhraseEngine(spark, dirs["full"])
+    for phrase in ["def return", "class self"]:
+        assert pe_m.search_phrase(phrase, k=10) == \
+            pe_f.search_phrase(phrase, k=10), phrase
+    assert pe_m.search_near("def", "return", slop=3, k=10) == \
+        pe_f.search_near("def", "return", slop=3, k=10)
+
+    import engine.index_build as ib
+    monkeypatch.setattr(ib, "BROADCAST_DOC_LIMIT", 0)
+    out_fb = str(tmp_path / "m_fb")
+    merge_indexes(spark, [dirs["a"], dirs["b"]], out_fb,
+                  n_salts=4, partitions=4)
+    assert pos_fp(out_fb) == pos_fp(dirs["full"])
+
+    # an input WITHOUT positions -> merged index has no positional store
+    out_np = str(tmp_path / "np")
+    build_index(spark, corpus_to_spark(spark, a), out_np,
+                n_salts=4, partitions=4)
+    out_m2 = str(tmp_path / "m2")
+    merge_indexes(spark, [out_np, dirs["b"]], out_m2,
+                  n_salts=4, partitions=4)
+    from engine.checkpoint import BuildManifest
+    assert not BuildManifest(out_m2).is_complete("positions")
+
+
 def test_merge_rejects_overlapping_doc_ids(spark, tmp_path):
     pdf = make_corpus(100, seed=19)
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
