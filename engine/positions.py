@@ -649,6 +649,59 @@ class PhraseEngine:
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
 
+    def search_phrase_sloppy(self, phrase: str, slop: int = 1,
+                             k: int = 10) -> list[tuple[int, int, int]]:
+        """Windowed-chain phrase search: docs containing positions
+        p_0 < p_1 < ... < p_{m-1} of the phrase terms (in order) with
+        every consecutive gap p_j - p_{j-1} <= slop. slop=1 is exactly
+        search_phrase (test-enforced); n_occ counts the distinct starting
+        positions p_0 that begin at least one valid chain. Matching runs
+        BACKWARD: valid positions of the last term are all its
+        occurrences; a position of term j survives iff some surviving
+        position of term j+1 lies within (p, p+slop] — each step is the
+        same shifted-key intersection as NEAR, so the whole chain is
+        m-1 _near_match calls over composite keys. Fetch is
+        candidate-driven like search_phrase: the rarest term decodes
+        fully first, every other term only its candidate blocks."""
+        terms = tokenize(phrase)
+        if not terms or slop < 1 or k <= 0:
+            return []
+        if len(terms) == 1:
+            return self.search_phrase(phrase, k=k)
+        occ = self._term_occ(terms)
+        if any(occ[t] == 0 for t in set(terms)):
+            return []
+        # fetch keys for every slot, rarest term first to seed candidates
+        order = sorted(range(len(terms)), key=lambda j: (occ[terms[j]], j))
+        keys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        cand_blocks = None
+        for j in order:
+            t = terms[j]
+            o, c, p = self._fetch_blocks(t, cand_blocks)
+            kj = np.repeat(o, c) * _SHIFT + p
+            keys[j] = (kj, p)
+            if kj.size == 0:
+                return []
+            blocks = np.unique(
+                (kj // _SHIFT) >> np.int64(POS_BLOCK_BITS))
+            cand_blocks = blocks if cand_blocks is None else np.unique(
+                np.concatenate((cand_blocks, blocks)))
+            # candidate docs can only shrink to the rarest term's docs;
+            # keeping the union of fetched blocks is a correct superset
+        valid = keys[len(terms) - 1][0]
+        for j in range(len(terms) - 2, -1, -1):
+            kj, _pj = keys[j]
+            # positions of valid (j+1)-chains, shifted back into slot j's
+            # window: p_j survives iff p_{j+1} in (p_j, p_j + slop]
+            pv = (valid % _SHIFT).astype(np.int64)
+            valid = _near_match(kj, valid, pv, slop)
+            if valid.size == 0:
+                return []
+        uniq, n_occ = np.unique(valid // _SHIFT, return_counts=True)
+        ordr = np.lexsort((uniq, -n_occ))[:k]
+        return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
+                for i, j in enumerate(ordr)]
+
     def search_near_distributed(self, term1: str, term2: str, slop: int = 1,
                                 k: int = 10) -> list[tuple[int, int, int]]:
         """search_near as a Spark job (same result — tests assert it):
@@ -685,6 +738,58 @@ class PhraseEngine:
                                  "n_occ": n_occ.astype(np.int64)})
 
         tset = [t1] if t1 == t2 else [t1, t2]
+        hits = (self.pos_df.where(F.col("term").isin(tset))
+                .select("term", "block", "ords", "counts", "pos")
+                .groupBy("block")
+                .applyInPandas(kern, schema="ordinal long, n_occ long"))
+        return self._resolve_topk(hits, k)
+
+    def search_phrase_sloppy_distributed(self, phrase: str, slop: int = 1,
+                                         k: int = 10
+                                         ) -> list[tuple[int, int, int]]:
+        """search_phrase_sloppy as a Spark job (same result — tests assert
+        it): chain matching is per-doc local and a doc's positions for all
+        terms share one storage block, so each applyInPandas group runs
+        the backward shifted-key chain over one block and only
+        (ordinal, n_occ) hit rows leave the executors."""
+        import pandas as pd
+
+        terms = tokenize(phrase)
+        if not terms or slop < 1 or k <= 0:
+            return []
+        if len(terms) == 1:
+            return self.search_phrase_distributed(phrase, k=k)
+        tset = sorted(set(terms))
+        need = len(tset)
+        shift = int(_SHIFT)
+        m = len(terms)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {}
+            for r in pdf.itertuples(index=False):
+                by_term[r.term] = decode_position_row(
+                    bytes(r.ords), bytes(r.counts), bytes(r.pos))
+            empty = pd.DataFrame({"ordinal": np.empty(0, np.int64),
+                                  "n_occ": np.empty(0, np.int64)})
+            if len(by_term) < need:
+                return empty
+            keys = {}
+            for j in range(m):
+                o, c, p = by_term[terms[j]]
+                keys[j] = np.repeat(o, c) * np.int64(shift) + p
+                if keys[j].size == 0:
+                    return empty
+            valid = keys[m - 1]
+            for j in range(m - 2, -1, -1):
+                pv = (valid % np.int64(shift)).astype(np.int64)
+                valid = _near_match(keys[j], valid, pv, slop)
+                if valid.size == 0:
+                    return empty
+            uniq, n_occ = np.unique(valid // np.int64(shift),
+                                    return_counts=True)
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+                                 "n_occ": n_occ.astype(np.int64)})
+
         hits = (self.pos_df.where(F.col("term").isin(tset))
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")

@@ -166,9 +166,10 @@ class SearchService:
                        scoring: str = "bm25", slop: int = 1) -> list[dict]:
         """The reference's JSON result shape, field for field. Extensions
         beyond the reference: mode=phrase (positional store; rank_score is
-        the occurrence count), mode=near (two terms within `slop`
-        positions, ordered) and a trailing `*` wildcard (prefix
-        expansion + ranked OR)."""
+        the occurrence count; slop>1 relaxes to a windowed-chain sloppy
+        phrase — consecutive terms within `slop` positions), mode=near
+        (two terms within `slop` positions, ordered) and a trailing `*`
+        wildcard (prefix expansion + ranked OR)."""
         q = query.strip()
         k = max(0, k)  # a negative k would negative-slice inside the
         # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
@@ -176,8 +177,13 @@ class SearchService:
                    and " " not in q)
         if mode == "phrase":
             pe = self._phrase_engine()
-            rows = (pe.search_phrase_distributed(query, k=k) if self.big
-                    else pe.search_phrase(query, k=k))
+            if slop > 1:  # windowed-chain phrase (slop=1 == exact)
+                rows = (pe.search_phrase_sloppy_distributed(
+                            query, slop=slop, k=k) if self.big
+                        else pe.search_phrase_sloppy(query, slop=slop, k=k))
+            else:
+                rows = (pe.search_phrase_distributed(query, k=k) if self.big
+                        else pe.search_phrase(query, k=k))
         elif mode == "near":
             parts = q.split()
             if len(parts) != 2:

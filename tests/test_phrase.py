@@ -140,6 +140,54 @@ def test_near_edge_cases(phrase_engine):
                                      k=5) == []  # multi-token side rejected
 
 
+def _sloppy_oracle(pdf, phrase, slop, k=10):
+    """Sequential oracle: positions p_0 < ... < p_{m-1} of the phrase
+    terms in order with every consecutive gap <= slop; n_occ = distinct
+    valid starting positions."""
+    terms = tokenize(phrase)
+    m = len(terms)
+    hits = []
+    for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+        toks = tokenize(content)
+        valid = {i for i, t in enumerate(toks) if t == terms[m - 1]}
+        for j in range(m - 2, -1, -1):
+            valid = {i for i, t in enumerate(toks) if t == terms[j]
+                     and any(i + d in valid for d in range(1, slop + 1))}
+        if valid:
+            hits.append((int(doc_id), len(valid)))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, n) for i, (d, n) in enumerate(hits[:k])]
+
+
+def test_sloppy_phrase_matches_oracle(phrase_engine, fixture_corpus_pdf):
+    checked = 0
+    for phrase, slop in [("def return", 3), ("class self", 2),
+                         ("def value return", 4), ("import def value", 3),
+                         ("return return", 2)]:
+        got = phrase_engine.search_phrase_sloppy(phrase, slop=slop, k=10)
+        want = _sloppy_oracle(fixture_corpus_pdf, phrase, slop, k=10)
+        assert got == want, (phrase, slop)
+        checked += len(want)
+    assert checked > 0
+
+
+def test_sloppy_slop1_equals_exact_phrase(phrase_engine):
+    for phrase in ["def return", "class self", "import def value"]:
+        assert phrase_engine.search_phrase_sloppy(phrase, slop=1, k=10) == \
+            phrase_engine.search_phrase(phrase, k=10), phrase
+
+
+def test_sloppy_distributed_equals_driver(phrase_engine):
+    for phrase, slop in [("def return", 3), ("def value return", 4),
+                         ("return return", 2)]:
+        assert phrase_engine.search_phrase_sloppy_distributed(
+            phrase, slop=slop, k=10) == \
+            phrase_engine.search_phrase_sloppy(phrase, slop=slop, k=10), \
+            (phrase, slop)
+    assert phrase_engine.search_phrase_sloppy_distributed(
+        "zzz_nope def", slop=3, k=5) == []
+
+
 def test_lru_cache_bound_preserves_results(spark, built_index,
                                            phrase_engine):
     """A pathologically tiny cache budget (forcing constant eviction) must

@@ -86,6 +86,17 @@ def test_ivf_assignment_is_partial_agg_not_window(spark):
     assert "partial_max_by" in plan or "partial" in plan.lower(), plan
 
 
+def test_phrase_twins_single_scan_no_shuffle(spark):
+    """Both phrase contract twins must stay one scan, zero shuffles —
+    single aggregate-fold passes (the filter-over-index-sequence form was
+    O(tokens^2)/doc after projection collapse)."""
+    from engine import contract_queries as cq
+    for fn in (cq.q_phrase_docs, cq.q_phrase_slop_docs):
+        plan = _formatted(fn(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, plan
+        assert plan.count("InMemoryFileIndex") == 1, plan
+
+
 def test_ivf_training_inputs_are_sample_gated(spark):
     """Every input of a Lloyd training step (both the assignment side and
     the centroid side) must sit behind the md5 hash-sample filter —

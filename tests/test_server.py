@@ -140,6 +140,7 @@ def test_big_service_matches_driver_and_never_materializes(
     cases = [dict(query="def return", mode="ranked"),
              dict(query="def return", mode="conjunctive"),
              dict(query="def return", mode="phrase"),
+             dict(query="def return", mode="phrase", slop=3),
              dict(query="def return", mode="near", slop=3)]
     for case in cases:
         got = big_svc.search_payload(k=5, **case)
