@@ -561,13 +561,15 @@ def q_union_all_keys(spark, sf_dir):
         F.count("*").alias("n"))
 
 
-def q_except_custkeys(spark, sf_dir):
-    """except/anti: customers who never placed an order."""
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"))
-    ordered = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"))
-    return cust.exceptAll(ordered.distinct())
+def q_except_orderkeys(spark, sf_dir):
+    """except/anti: orders with no lineitem rows. (r2's
+    customers-without-orders variant was a 0-row compare at every sf —
+    correct but weak evidence; this one returns real rows.)"""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"))
+    with_items = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"))
+    return orders.exceptAll(with_items.distinct())
 
 
 def q_sample_hash(spark, sf_dir):
@@ -822,6 +824,94 @@ def q_pagerank_dominant(spark, sf_dir):
     return pr.select("doc_id", F.round("pr", 6).alias("pr"))
 
 
+def _ngram_pairs_sql() -> str:
+    """DuckDB twin of q_ngram_jaccard_pairs (standalone SELECT — also
+    nested as a subquery by the neardup_clusters oracle)."""
+    return f"""
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') as ts
+              from documents where doc_id < 200),
+            sh0 as (
+              select distinct doc_id, shingle from toks,
+                unnest([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, greatest(len(ts)-2, 0) + 1)])
+                  as u(shingle)),
+            sh as (
+              select doc_id, shingle from sh0
+              where shingle in (select shingle from sh0 group by shingle
+                                having count(*) <= {SHINGLE_MAX_DF})),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select a.doc_id as ida, b.doc_id as idb, count(*) as inter
+              from sh a join sh b
+                on a.shingle = b.shingle and a.doc_id < b.doc_id
+              group by 1, 2)
+            select ida, idb,
+                   round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+            from inter join sizes sa on ida = sa.doc_id
+                       join sizes sb on idb = sb.doc_id
+            where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2"""
+
+
+CC_ITERS = 6  # label-propagation rounds (>> diameter of near-dup clusters)
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS via connected components over the n-gram
+    Jaccard pair graph — the operator a training pipeline actually wants
+    (keep ONE doc per duplicate cluster, not a pair list). Min-label
+    propagation as join+groupBy rounds (the Pregel-lite shape): every
+    clustered doc converges to cluster_id = min doc_id of its component.
+    CC_ITERS bounds the label path length; at web scale the same loop runs
+    log(diameter) rounds with the large-star/small-star contraction, and
+    near-dup components are shallow by construction (they share shingles).
+    Oracle: the identical unrolled iterations in SQL."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("ida", "idb")
+    edges = (pairs.select(F.col("ida").alias("src"),
+                          F.col("idb").alias("dst"))
+             .unionByName(pairs.select(F.col("idb").alias("src"),
+                                       F.col("ida").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(CC_ITERS):
+        msgs = (edges.join(labels.withColumnRenamed("doc_id", "src"),
+                           "src")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        labels = (labels.join(msgs, "doc_id", "left")
+                  .select("doc_id",
+                          F.least("cluster_id",
+                                  F.coalesce("nbr_min", F.col("cluster_id"))
+                                  ).alias("cluster_id")))
+    return labels
+
+
+def _neardup_clusters_oracle() -> str:
+    iters = "".join(f""",
+            l{k} as (
+              select l.doc_id,
+                     least(l.cluster_id,
+                           coalesce(m.nbr_min, l.cluster_id)) as cluster_id
+              from l{k - 1} l left join (
+                select e.dst as doc_id, min(l{k - 1}.cluster_id) as nbr_min
+                from edges e join l{k - 1} on e.src = l{k - 1}.doc_id
+                group by e.dst) m on l.doc_id = m.doc_id)"""
+                    for k in range(1, CC_ITERS + 1))
+    return f"""
+            with pairs as (select ida, idb from ({_ngram_pairs_sql()})),
+            edges as (
+              select ida as src, idb as dst from pairs
+              union all
+              select idb as src, ida as dst from pairs),
+            l0 as (select distinct src as doc_id, src as cluster_id
+                   from edges)
+            {iters}
+            select doc_id, cluster_id from l{CC_ITERS}"""
+
+
 # ---------------------------------------------------------------- simhash
 
 def q_simhash64(spark, sf_dir):
@@ -906,7 +996,7 @@ def queries():
         "doc_display": q_doc_display,
         "dedup_aliases": q_dedup_aliases,
         "union_all_keys": q_union_all_keys,
-        "except_custkeys": q_except_custkeys,
+        "except_orderkeys": q_except_orderkeys,
         "sample_hash": q_sample_hash,
         "media_metadata": q_media_metadata,
         "image_decode_features": q_image_decode_features,
@@ -1026,32 +1116,7 @@ def oracle_sql():
                          from ({_TOKENS_SQL}) group by doc_id)
             select mh0, mh1, mh2, mh3, count(*) as n_docs
             from sig group by mh0, mh1, mh2, mh3""",
-        "ngram_jaccard_pairs": f"""
-            with toks as (
-              select doc_id,
-                     list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '') as ts
-              from documents where doc_id < 200),
-            sh0 as (
-              select distinct doc_id, shingle from toks,
-                unnest([array_to_string(ts[i:i+2], ' ')
-                        for i in range(1, greatest(len(ts)-2, 0) + 1)])
-                  as u(shingle)),
-            sh as (
-              select doc_id, shingle from sh0
-              where shingle in (select shingle from sh0 group by shingle
-                                having count(*) <= {SHINGLE_MAX_DF})),
-            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
-            inter as (
-              select a.doc_id as ida, b.doc_id as idb, count(*) as inter
-              from sh a join sh b
-                on a.shingle = b.shingle and a.doc_id < b.doc_id
-              group by 1, 2)
-            select ida, idb,
-                   round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
-            from inter join sizes sa on ida = sa.doc_id
-                       join sizes sb on idb = sb.doc_id
-            where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2""",
+        "ngram_jaccard_pairs": _ngram_pairs_sql(),
         "quality_scores": f"""
             select doc_id, count(*) as n_tokens,
                    round(sum(case when term in ({stop_tl}) then 1 else 0 end)
@@ -1119,9 +1184,9 @@ def oracle_sql():
               union all
               select s_nationkey as nationkey, 'supp' as src from supplier)
             group by nationkey, src""",
-        "except_custkeys": """
-            select c_custkey as custkey from customer
-            where c_custkey not in (select o_custkey from orders)""",
+        "except_orderkeys": """
+            select o_orderkey as orderkey from orders
+            where o_orderkey not in (select l_orderkey from lineitem)""",
         "sample_hash": """
             select doc_id, lang, cast(n_chars as bigint) as n_chars
             from documents
@@ -1196,6 +1261,9 @@ def consolidated_oracles():
       bm25_big_topk     — same oracle; zero-driver-array path, also
                           pytest-asserted bitwise equal to SearchEngine;
       lsh_bucket_counts — diagnostic of the LSH path ann_lsh_topk proves.
+    Plus post-consolidation additions that keep the registry at 50:
+      neardup_clusters  — connected components over the near-dup pair
+                          graph (min-label propagation rounds).
     """
     from .similarity import lsh_signature_sql
     sig = lsh_signature_sql()
@@ -1207,6 +1275,7 @@ def consolidated_oracles():
         "lsh_bucket_counts": f"""
             with {sig}
             select bucket, count(*) as n_vecs from sig group by bucket""",
+        "neardup_clusters": _neardup_clusters_oracle(),
     }
 
 
@@ -1217,6 +1286,7 @@ def consolidated_queries():
         "bm25_rank": q_bm25_rank,
         "bm25_big_topk": q_bm25_big_topk,
         "lsh_bucket_counts": q_lsh_bucket_counts,
+        "neardup_clusters": q_neardup_clusters,
     }
 
 
