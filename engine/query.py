@@ -441,10 +441,19 @@ def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
     - the final top-k maps ordinal -> external doc_id via a broadcast join
       of just k rows, not a driver array.
     """
+    terms = query_terms(query)
+    return search_big_terms(spark, index_dir, terms, k=k, mode=mode,
+                            rounded=rounded)
+
+
+def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
+                     k: int = 10, mode: str = "ranked",
+                     rounded: bool = False) -> list[tuple[int, int, float]]:
+    """search_big over an explicit (already-normalized) term list — the
+    shared tail for plain queries and wildcard expansion."""
     import pandas as pd
 
     n_docs, avgdl = load_stats(spark, index_dir)
-    terms = query_terms(query)
     if not terms or k <= 0:
         return []
     index_df = spark.read.parquet(os.path.join(index_dir, "index"))
@@ -501,6 +510,98 @@ def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
         # contract ordering: rank by round(score, 6), doc_id tie-break —
         # still a distributed sort+limit, k rows to the driver
         scored = scored.withColumn("score", F.round("score", 6))
+    top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
+           .limit(k).select("ordinal", "score"))
+    rows = (F.broadcast(top)
+            .join(docs.select("ordinal", "doc_id"), "ordinal")
+            .orderBy(F.col("score").desc(), F.col("ordinal"))
+            .collect())
+    return [(i + 1, int(r["doc_id"]), float(r["score"]))
+            for i, r in enumerate(rows)]
+
+
+def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
+                      k: int = 10, rounded: bool = False
+                      ) -> list[tuple[int, int, float]]:
+    """Wildcard `prefix*` on the zero-driver-array path: the expansion is
+    a pushdown StringStartsWith scan of the term dictionary capped at
+    PREFIX_EXPANSION_CAP rows (<= 65 strings to the driver — not a doc
+    array), then the shared search_big ranked-OR tail. Same semantics and
+    errors as SearchEngine.search_prefix (tests assert equality)."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    cap = SearchEngine.PREFIX_EXPANSION_CAP
+    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    rows = (index_df.where(F.col("term").startswith(prefix))
+            .select("term").limit(cap + 1).collect())
+    if len(rows) > cap:
+        raise ValueError(
+            f"prefix '{prefix}*' matches more than {cap} terms; "
+            "use a longer prefix")
+    terms = sorted(r["term"] for r in rows)
+    return search_big_terms(spark, index_dir, terms, k=k, mode="ranked",
+                            rounded=rounded)
+
+
+def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
+                     k: int = 300, threshold: float = 0.3
+                     ) -> list[tuple[int, int, float]]:
+    """The reference's TF-IDF scoring (Searcher.java:108,113,139-159,196)
+    on the zero-driver-array path — bitwise equal to
+    SearchEngine.search_tfidf_reference (tests assert it):
+
+    - per-term idf = log10(N/df) from the manifest scalar + a pushdown
+      df scan (len(terms) rows);
+    - (1 + log10 tf) * idf computed with NumPy INSIDE the Arrow decode
+      step (the same np.log10 the driver path uses — shipping the log to
+      the JVM could differ in the last ulp across libm implementations);
+    - per-doc sum folds a sort_array'd (term_idx, contrib) list — the
+      driver path's np.add.at adds contributions in sorted-term
+      concatenation order, which is exactly this fold order;
+    - score > threshold, top-k via distributed sort+limit, doc_id via the
+      k-row broadcast join."""
+    import math as _math
+
+    import pandas as pd
+
+    n_docs, _avgdl = load_stats(spark, index_dir)
+    terms = query_terms(query)
+    if not terms or k <= 0:
+        return []
+    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    meta = (index_df.where(F.col("term").isin(terms))
+            .select("term", "df").collect())
+    if not meta:
+        return []
+    ordered = sorted(r["term"] for r in meta)
+    dfs = {r["term"]: int(r["df"]) for r in meta}
+    term_meta = {t: (i, _math.log10(n_docs / dfs[t]))
+                 for i, t in enumerate(ordered)}
+
+    def contribs(batches):
+        for pdf in batches:
+            outs = []
+            for term, blob in zip(pdf["term"], pdf["postings"]):
+                ti, idf = term_meta[term]
+                ids, tfs = decode_postings(bytes(blob))
+                w = (1.0 + np.log10(tfs.astype(np.float64))) * idf
+                outs.append(pd.DataFrame(
+                    {"ordinal": ids, "term_idx": ti, "contrib": w}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cdf = (index_df.where(F.col("term").isin(terms))
+           .select("term", "postings")
+           .mapInPandas(contribs,
+                        schema="ordinal long, term_idx int, contrib double"))
+    scored = (cdf.groupBy("ordinal")
+              .agg(F.aggregate(
+                  F.sort_array(F.collect_list(
+                      F.struct("term_idx", "contrib"))),
+                  F.lit(0.0),
+                  lambda acc, x: acc + x["contrib"]).alias("score"))
+              .where(F.col("score") > threshold))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)

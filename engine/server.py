@@ -57,11 +57,12 @@ class SearchService:
       tables" regime, fine to ~10^8 docs.
     - ``big=True`` (the 10^12-doc serving path): NO full-docs
       materialization anywhere (test-enforced). BM25 answers come from
-      query.search_big, phrase/NEAR from the per-block distributed
-      engine, and display/alias fields resolve per query via pushdown
-      scans of just the k result ids. tfidf scoring and wildcard
-      expansion stay on the driver-map service (they need the
-      driver-array engine) and raise here.
+      query.search_big, tfidf from search_big_tfidf, wildcards from
+      search_big_prefix (the expansion scan is <=65 strings, not a doc
+      array), phrase/NEAR/sloppy from the per-block distributed engine,
+      and display/alias fields resolve per query via pushdown scans of
+      just the k result ids. Every mode serves byte-identical payloads
+      to the driver-map service (tests).
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -195,19 +196,22 @@ class SearchService:
                     pe.search_near(parts[0], parts[1], slop=slop, k=k))
         elif scoring == "tfidf":
             if self.big:
-                raise ValueError(
-                    "tfidf scoring needs the driver-map service (big=False)")
-            rows = self.engine.search_tfidf_reference(
-                query, k=min(k, REFERENCE_MAX_RESULTS))
+                from .query import search_big_tfidf
+                rows = search_big_tfidf(self.spark, self.index_dir, query,
+                                        k=min(k, REFERENCE_MAX_RESULTS))
+            else:
+                rows = self.engine.search_tfidf_reference(
+                    query, k=min(k, REFERENCE_MAX_RESULTS))
         elif is_wild:
             # single-token trailing-* wildcard only; a multi-term query
             # with a '*' falls through to normal search (the tokenizer
             # strips punctuation), and conjunctive mode is never hijacked
             if self.big:
-                raise ValueError(
-                    "wildcard expansion needs the driver-map service "
-                    "(big=False)")
-            rows = self.engine.search_prefix(q[:-1].lower(), k=k)
+                from .query import search_big_prefix
+                rows = search_big_prefix(self.spark, self.index_dir,
+                                         q[:-1].lower(), k=k)
+            else:
+                rows = self.engine.search_prefix(q[:-1].lower(), k=k)
         elif self.big:
             from .query import search_big
             rows = search_big(self.spark, self.index_dir, query,

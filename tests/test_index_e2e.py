@@ -81,6 +81,23 @@ def test_search_big_rounded_equals_engine_rounded(spark, built_index,
             engine.search(q, k=7, mode="ranked", rounded=True), q
 
 
+def test_search_big_tfidf_and_prefix_bitwise_equal(spark, built_index,
+                                                   engine):
+    """The zero-driver-array tfidf and wildcard paths must be BITWISE
+    equal to the driver-array engine (same NumPy log10, same sorted-term
+    fold order, same threshold/tie-break)."""
+    from engine.query import search_big_prefix, search_big_tfidf
+    out, _ = built_index
+    for q in ["def return", "def", "class self import", "zzz_absent"]:
+        assert search_big_tfidf(spark, out, q, k=300) == \
+            engine.search_tfidf_reference(q, k=300), q
+    for p in ["de", "cl"]:
+        assert search_big_prefix(spark, out, p, k=7) == \
+            engine.search_prefix(p, k=7), p
+    with pytest.raises(ValueError, match="empty wildcard"):
+        search_big_prefix(spark, out, "", k=5)
+
+
 def test_conjunctive_subset_of_ranked(engine):
     conj = engine.search("def return", k=1000, mode="conjunctive")
     ranked = engine.search("def return", k=100000, mode="ranked")

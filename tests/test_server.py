@@ -141,7 +141,12 @@ def test_big_service_matches_driver_and_never_materializes(
              dict(query="def return", mode="conjunctive"),
              dict(query="def return", mode="phrase"),
              dict(query="def return", mode="phrase", slop=3),
-             dict(query="def return", mode="near", slop=3)]
+             dict(query="def return", mode="near", slop=3),
+             # rarer terms: "def return" idf is too low to clear the
+             # reference's 0.3 threshold on this corpus (both services
+             # agree on []); the parity case should carry real hits
+             dict(query="identifier_10 identifier_11", scoring="tfidf"),
+             dict(query="de*")]
     for case in cases:
         got = big_svc.search_payload(k=5, **case)
         want = driver_svc.search_payload(k=5, **case)
@@ -149,10 +154,6 @@ def test_big_service_matches_driver_and_never_materializes(
         assert got, case  # every case must actually return hits
     assert calls["n"] == 0  # nothing in the big path materializes docs
     assert big_svc._phrase._ext_ids_arr is None  # driver array never built
-    for bad in [dict(query="def return", scoring="tfidf"),
-                dict(query="de*")]:
-        with pytest.raises(ValueError, match="big=False"):
-            big_svc.search_payload(k=5, **bad)
 
 
 def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
