@@ -314,7 +314,7 @@ def main():
         for name in ["term_counts", "term_df", "bm25_rank", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
-                     "neardup_embedding_pairs",
+                     "neardup_embedding_pairs", "neardup_clusters",
                      "image_decode_features", "frame_sample", "langid_ngram",
                      "winnow_fingerprints", "simhash64", "phrase_docs",
                      "phrase_slop_docs", "pagerank_dominant", "fold_by_key",

@@ -188,6 +188,72 @@ def test_sloppy_distributed_equals_driver(phrase_engine):
         "zzz_nope def", slop=3, k=5) == []
 
 
+# ---------------------------------------- kernel property tests (no Spark)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.positions import _SHIFT, _near_match
+
+
+@st.composite
+def _tiny_corpus(draw):
+    n_docs = draw(st.integers(1, 5))
+    return [draw(st.lists(st.sampled_from("abc"), min_size=0, max_size=12))
+            for _ in range(n_docs)]
+
+
+def _keys_of(docs, w):
+    ks = [ordn * int(_SHIFT) + p
+          for ordn, toks in enumerate(docs)
+          for p, t in enumerate(toks) if t == w]
+    return np.array(sorted(ks), dtype=np.int64)
+
+
+@given(_tiny_corpus(), st.sampled_from("abc"), st.sampled_from("abc"),
+       st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_near_match_kernel_property(docs, w1, w2, slop):
+    """_near_match == brute force on random tiny corpora: the set of w1
+    composite keys with a w2 occurrence in (pos, pos+slop]."""
+    k1, k2 = _keys_of(docs, w1), _keys_of(docs, w2)
+    p2 = (k2 % int(_SHIFT)).astype(np.int64)
+    got = set(_near_match(k1, k2, p2, slop).tolist())
+    want = {ordn * int(_SHIFT) + i
+            for ordn, toks in enumerate(docs)
+            for i, t in enumerate(toks)
+            if t == w1 and any(
+                toks[j] == w2
+                for j in range(i + 1, min(i + slop, len(toks) - 1) + 1))}
+    assert got == want
+
+
+@given(_tiny_corpus(),
+       st.lists(st.sampled_from("abc"), min_size=2, max_size=3),
+       st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_sloppy_chain_kernel_property(docs, terms, slop):
+    """The backward shifted-key chain == brute-force backward DP for the
+    windowed-chain phrase semantics, on random tiny corpora."""
+    keys = [_keys_of(docs, t) for t in terms]
+    if any(kk.size == 0 for kk in keys):
+        got = set()
+    else:
+        valid = keys[-1]
+        for j in range(len(terms) - 2, -1, -1):
+            pv = (valid % int(_SHIFT)).astype(np.int64)
+            valid = _near_match(keys[j], valid, pv, slop)
+        got = set(valid.tolist())
+    want = set()
+    for ordn, toks in enumerate(docs):
+        vs = {i for i, t in enumerate(toks) if t == terms[-1]}
+        for j in range(len(terms) - 2, -1, -1):
+            vs = {i for i, t in enumerate(toks) if t == terms[j]
+                  and any(i + d in vs for d in range(1, slop + 1))}
+        want |= {ordn * int(_SHIFT) + i for i in vs}
+    assert got == want
+
+
 def test_lru_cache_bound_preserves_results(spark, built_index,
                                            phrase_engine):
     """A pathologically tiny cache budget (forcing constant eviction) must
