@@ -855,6 +855,66 @@ def _ngram_pairs_sql() -> str:
             where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2"""
 
 
+TRAIN_MIN_TOKENS = 30      # selection thresholds for the corpus-export op
+TRAIN_MAX_STOP_RATIO = 0.20
+TRAIN_LANGS = ["en", "fr", "de"]
+TRAIN_SHARDS = 16
+
+
+def q_training_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection — the capstone pipeline op a
+    100 TB data-curation job runs before export: keep exactly one doc per
+    exact-duplicate group (min doc_id keeper), drop short docs
+    (< TRAIN_MIN_TOKENS whitespace tokens), drop stopword-heavy docs
+    (> TRAIN_MAX_STOP_RATIO), keep allow-listed languages, and assign a
+    deterministic md5 shard (reproducible across engines/retries — how
+    output files stay stable under re-runs). One groupBy for quality
+    stats + one exact-dedup anti-condition + JVM hash sharding; every
+    rule mirrored in the DuckDB oracle."""
+    stop = F.col("term").isin(STOPWORDS).cast("int")
+    stats = (_tokens(spark, sf_dir)
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_tokens"),
+                  F.sum(stop).alias("n_stop")))
+    keeper = (_t(spark, sf_dir, "documents")
+              .groupBy(F.md5("text").alias("h"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    docs = (_t(spark, sf_dir, "documents")
+            .join(keeper.select("doc_id"), "doc_id")   # dedup keepers only
+            .join(stats, "doc_id")
+            .where((F.col("n_tokens") >= TRAIN_MIN_TOKENS)
+                   & (F.col("n_stop") / F.col("n_tokens")
+                      <= TRAIN_MAX_STOP_RATIO)
+                   & F.col("lang").isin(TRAIN_LANGS)))
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4), 16, 10).cast("long")
+             % TRAIN_SHARDS)
+    return docs.select("doc_id", "lang", "n_tokens",
+                       shard.alias("shard"))
+
+
+def _training_corpus_oracle() -> str:
+    stop_tl = ",".join(f"'{t}'" for t in STOPWORDS)
+    langs = ",".join(f"'{x}'" for x in TRAIN_LANGS)
+    return f"""
+        with stats as (
+          select doc_id, count(*) as n_tokens,
+                 sum(case when term in ({stop_tl}) then 1 else 0 end)
+                   as n_stop
+          from ({_TOKENS_SQL}) group by doc_id),
+        keeper as (select min(doc_id) as doc_id from documents
+                   group by md5(text))
+        select d.doc_id, d.lang, s.n_tokens,
+               cast(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 4))
+                    as bigint) % {TRAIN_SHARDS} as shard
+        from documents d
+        join keeper k on d.doc_id = k.doc_id
+        join stats s on d.doc_id = s.doc_id
+        where s.n_tokens >= {TRAIN_MIN_TOKENS}
+          and s.n_stop / s.n_tokens <= {TRAIN_MAX_STOP_RATIO}
+          and d.lang in ({langs})"""
+
+
 CC_ITERS = 6  # label-propagation rounds (>> diameter of near-dup clusters)
 
 
@@ -1276,6 +1336,7 @@ def consolidated_oracles():
             with {sig}
             select bucket, count(*) as n_vecs from sig group by bucket""",
         "neardup_clusters": _neardup_clusters_oracle(),
+        "training_corpus_select": _training_corpus_oracle(),
     }
 
 
@@ -1287,6 +1348,7 @@ def consolidated_queries():
         "bm25_big_topk": q_bm25_big_topk,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "neardup_clusters": q_neardup_clusters,
+        "training_corpus_select": q_training_corpus_select,
     }
 
 
