@@ -933,19 +933,22 @@ def q_neardup_clusters(spark, sf_dir):
                           F.col("idb").alias("dst"))
              .unionByName(pairs.select(F.col("idb").alias("src"),
                                        F.col("ida").alias("dst"))))
-    labels = (edges.select(F.col("src").alias("doc_id"))
-              .distinct()
-              .withColumn("cluster_id", F.col("doc_id")))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # self-loops carry each node's own label through the round, so every
+    # iteration references `labels` exactly ONCE — lineage grows LINEARLY
+    # in CC_ITERS. (A least/coalesce left-join, or a messages-union-labels
+    # formulation, references labels twice per round and doubles the plan
+    # tree every iteration: 2^CC_ITERS copies of the Jaccard pair-mining
+    # subtree by the end.)
+    edges_sl = edges.unionByName(
+        nodes.select(F.col("doc_id").alias("src"),
+                     F.col("doc_id").alias("dst")))
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     for _ in range(CC_ITERS):
-        msgs = (edges.join(labels.withColumnRenamed("doc_id", "src"),
-                           "src")
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min")))
-        labels = (labels.join(msgs, "doc_id", "left")
-                  .select("doc_id",
-                          F.least("cluster_id",
-                                  F.coalesce("nbr_min", F.col("cluster_id"))
-                                  ).alias("cluster_id")))
+        labels = (edges_sl
+                  .join(labels.withColumnRenamed("doc_id", "src"), "src")
+                  .groupBy(F.col("dst").alias("doc_id"))
+                  .agg(F.min("cluster_id").alias("cluster_id")))
     return labels
 
 
@@ -1322,8 +1325,10 @@ def consolidated_oracles():
                           pytest-asserted bitwise equal to SearchEngine;
       lsh_bucket_counts — diagnostic of the LSH path ann_lsh_topk proves.
     Plus post-consolidation additions that keep the registry at 50:
-      neardup_clusters  — connected components over the near-dup pair
-                          graph (min-label propagation rounds).
+      neardup_clusters        — connected components over the near-dup
+                                pair graph (min-label propagation);
+      training_corpus_select  — dedup keeper + quality + lang filter +
+                                deterministic shard (export capstone).
     """
     from .similarity import lsh_signature_sql
     sig = lsh_signature_sql()

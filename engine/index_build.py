@@ -346,6 +346,22 @@ def assign_ordinals(spark: SparkSession, df: DataFrame,
             .drop("_bkt", "_boff"))
 
 
+def remap_keep(sorted_ids: np.ndarray, ext: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Membership remap against a sorted id array -> (idx, keep): idx are
+    searchsorted insertion positions (== dense ordinals for members), keep
+    marks values actually present. THE single masking idiom behind every
+    dedup-aware run remap (tf + positional, streaming compaction + segment
+    merge) — those paths are byte-identity-tested against the batch build,
+    so they must all mask identically; keep the logic here, next to
+    alias_map_of, not copy-pasted per caller."""
+    idx = np.searchsorted(sorted_ids, ext)
+    if not sorted_ids.size:
+        return idx, np.zeros(ext.size, dtype=bool)
+    idxc = np.minimum(idx, sorted_ids.size - 1)
+    return idx, (idx < sorted_ids.size) & (sorted_ids[idxc] == ext)
+
+
 def alias_map_of(doc_meta: DataFrame) -> DataFrame:
     """Duplicate-content rows -> (doc_id, canonical_doc_id) where canonical
     = min doc_id per content_sha256 — the reference contentSeen analog

@@ -37,6 +37,7 @@ import pyarrow as pa
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from . import index_build as ib
 from .checkpoint import BuildManifest
 from .index_build import INDEX_SCHEMA
 from .streaming import RUN_SCHEMA, _merge_sorting
@@ -61,11 +62,7 @@ def _decode_to_runs_factory(ext_of_old: np.ndarray, union_sorted: np.ndarray,
                                   rb.column("postings").to_pylist()):
                 old_ords, tfs = decode_postings(bytes(blob))
                 ext = ext_of_old[old_ords]
-                idx = np.searchsorted(union_sorted, ext)
-                idxc = np.minimum(idx, max(union_sorted.size - 1, 0))
-                keep = ((idx < union_sorted.size)
-                        & (union_sorted[idxc] == ext)) \
-                    if union_sorted.size else np.zeros(ext.size, dtype=bool)
+                idx, keep = ib.remap_keep(union_sorted, ext)
                 if not keep.any():
                     continue
                 new_ords = idx[keep].astype(np.int64)
@@ -120,11 +117,7 @@ def _decode_pos_to_runs_factory(ext_of_old: np.ndarray,
                 old_ords, counts, pos = decode_position_row(
                     bytes(ords_b), bytes(cnt_b), bytes(pos_b))
                 ext = ext_of_old[old_ords]
-                idx = np.searchsorted(union_sorted, ext)
-                idxc = np.minimum(idx, max(union_sorted.size - 1, 0))
-                keep = ((idx < union_sorted.size)
-                        & (union_sorted[idxc] == ext)) \
-                    if union_sorted.size else np.zeros(ext.size, dtype=bool)
+                idx, keep = ib.remap_keep(union_sorted, ext)
                 if not keep.any():
                     continue
                 if not keep.all():

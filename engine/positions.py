@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import varint_decode, varint_encode
-from .index_build import ordinal_content_pairs, partition_token_arrays
+from .index_build import (
+    ordinal_content_pairs,
+    partition_token_arrays,
+    remap_keep,
+)
 from .tokenizer import tokenize
 
 POS_RUN_SCHEMA = ("term string, salt int, ids binary, counts binary, "
@@ -242,11 +246,7 @@ def _remap_pos_runs_factory(ext_sorted: np.ndarray, n_docs: int,
                                                  pos_col):
                 ext = np.frombuffer(ids_b, dtype=np.int64)
                 counts = np.frombuffer(cnt_b, dtype=np.int32)
-                idx = np.searchsorted(ext_sorted, ext)
-                idxc = np.minimum(idx, max(ext_sorted.size - 1, 0))
-                keep = ((idx < ext_sorted.size)
-                        & (ext_sorted[idxc] == ext)) \
-                    if ext_sorted.size else np.zeros(ext.size, dtype=bool)
+                idx, keep = remap_keep(ext_sorted, ext)
                 if not keep.any():
                     continue
                 if not keep.all():
@@ -453,7 +453,14 @@ class PhraseEngine:
     term decodes fully (it is small), every later term fetches+decodes
     ONLY the storage blocks that still hold candidate docs (parquet
     pushdown on (term, block)) — a stopword in the phrase costs a few
-    blocks, not its whole position stream."""
+    blocks, not its whole position stream.
+
+    Regimes: the DRIVER matching paths key on global ordinal*2^32+pos
+    and are valid for ordinals < 2^31 — comfortably above their
+    documented <=10^8-doc low-latency regime. The *_distributed paths
+    rebase ordinals per storage block (local ordinal < 2^14) before
+    keying, so they are overflow-free at ANY corpus size and resolve
+    their top-k through a k-row broadcast join (no driver arrays)."""
 
     #: decoded-block cache budget — LRU-evicted past this many (term, block)
     #: entries, so a long-lived serve process holds bounded driver memory
@@ -671,26 +678,25 @@ class PhraseEngine:
         occ = self._term_occ(terms)
         if any(occ[t] == 0 for t in set(terms)):
             return []
-        # fetch keys for every slot, rarest term first to seed candidates
+        # fetch keys for every slot, rarest term first: its blocks bound
+        # every later fetch (a matching doc must contain the rarest term,
+        # so restricting to its blocks is a correct superset)
         order = sorted(range(len(terms)), key=lambda j: (occ[terms[j]], j))
-        keys: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        keys: dict[int, np.ndarray] = {}
         cand_blocks = None
         for j in order:
             t = terms[j]
             o, c, p = self._fetch_blocks(t, cand_blocks)
             kj = np.repeat(o, c) * _SHIFT + p
-            keys[j] = (kj, p)
+            keys[j] = kj
             if kj.size == 0:
                 return []
-            blocks = np.unique(
-                (kj // _SHIFT) >> np.int64(POS_BLOCK_BITS))
-            cand_blocks = blocks if cand_blocks is None else np.unique(
-                np.concatenate((cand_blocks, blocks)))
-            # candidate docs can only shrink to the rarest term's docs;
-            # keeping the union of fetched blocks is a correct superset
-        valid = keys[len(terms) - 1][0]
+            if cand_blocks is None:
+                cand_blocks = np.unique(
+                    (kj // _SHIFT) >> np.int64(POS_BLOCK_BITS))
+        valid = keys[len(terms) - 1]
         for j in range(len(terms) - 2, -1, -1):
-            kj, _pj = keys[j]
+            kj = keys[j]
             # positions of valid (j+1)-chains, shifted back into slot j's
             # window: p_j survives iff p_{j+1} in (p_j, p_j + slop]
             pv = (valid % _SHIFT).astype(np.int64)
@@ -717,6 +723,10 @@ class PhraseEngine:
         shift = int(_SHIFT)
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            # ordinals REBASE to the block (ordinal - block<<BITS < 2^14)
+            # before keying: global ordinal*2^32 keys would wrap int64
+            # past 2^31 docs — exactly the regime this path serves
+            base = np.int64(int(pdf["block"].iloc[0]) << POS_BLOCK_BITS)
             by_term = {}
             for r in pdf.itertuples(index=False):
                 by_term[r.term] = decode_position_row(
@@ -727,14 +737,14 @@ class PhraseEngine:
                 return empty
             o1, c1, p1 = by_term[t1]
             o2, c2, p2 = by_term[t2]
-            k1 = np.repeat(o1, c1) * np.int64(shift) + p1
-            k2 = np.repeat(o2, c2) * np.int64(shift) + p2
+            k1 = np.repeat(o1 - base, c1) * np.int64(shift) + p1
+            k2 = np.repeat(o2 - base, c2) * np.int64(shift) + p2
             matched = _near_match(k1, k2, p2, slop)
             if matched.size == 0:
                 return empty
             uniq, n_occ = np.unique(matched // np.int64(shift),
                                     return_counts=True)
-            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64) + base,
                                  "n_occ": n_occ.astype(np.int64)})
 
         tset = [t1] if t1 == t2 else [t1, t2]
@@ -765,6 +775,8 @@ class PhraseEngine:
         m = len(terms)
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            # per-block ordinal rebase — see search_near_distributed
+            base = np.int64(int(pdf["block"].iloc[0]) << POS_BLOCK_BITS)
             by_term = {}
             for r in pdf.itertuples(index=False):
                 by_term[r.term] = decode_position_row(
@@ -776,7 +788,7 @@ class PhraseEngine:
             keys = {}
             for j in range(m):
                 o, c, p = by_term[terms[j]]
-                keys[j] = np.repeat(o, c) * np.int64(shift) + p
+                keys[j] = np.repeat(o - base, c) * np.int64(shift) + p
                 if keys[j].size == 0:
                     return empty
             valid = keys[m - 1]
@@ -787,7 +799,7 @@ class PhraseEngine:
                     return empty
             uniq, n_occ = np.unique(valid // np.int64(shift),
                                     return_counts=True)
-            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64) + base,
                                  "n_occ": n_occ.astype(np.int64)})
 
         hits = (self.pos_df.where(F.col("term").isin(tset))
@@ -817,6 +829,9 @@ class PhraseEngine:
         shift = int(_SHIFT)
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            # per-block ordinal rebase: global ordinal*2^32 keys would
+            # wrap int64 past 2^31 docs — the regime this path serves
+            base = np.int64(int(pdf["block"].iloc[0]) << POS_BLOCK_BITS)
             by_term = {}
             for r in pdf.itertuples(index=False):  # <= |terms| rows
                 by_term[r.term] = decode_position_row(
@@ -830,7 +845,7 @@ class PhraseEngine:
             match = None
             for j, t in ordered:
                 ords, counts, pos = by_term[t]
-                keys = np.repeat(ords, counts) * np.int64(shift) \
+                keys = np.repeat(ords - base, counts) * np.int64(shift) \
                     + pos - np.int64(j)
                 if j:
                     keys = keys[pos >= j]
@@ -840,7 +855,7 @@ class PhraseEngine:
                     return empty
             uniq, n_occ = np.unique(match // np.int64(shift),
                                     return_counts=True)
-            return pd.DataFrame({"ordinal": uniq.astype(np.int64),
+            return pd.DataFrame({"ordinal": uniq.astype(np.int64) + base,
                                  "n_occ": n_occ.astype(np.int64)})
 
         hits = (self.pos_df.where(F.col("term").isin(tset))

@@ -259,11 +259,15 @@ class SearchEngine:
                 if rounded:
                     # rounding-safe cut: a skipped candidate must not even
                     # be able to ROUND to the k-th best's rounded score —
-                    # s < round(θ,6) - 5e-7 ⟹ round(s,6) < round(θ,6),
+                    # s < round(θ,6) - 6e-7 ⟹ round(s,6) < round(θ,6),
                     # while ≥k scored docs have s ≥ θ ⟹ round(s) ≥ round(θ)
                     # (round is monotone), so no skipped doc can enter the
-                    # rounded top-k even on a doc_id tie
-                    theta = round(theta, 6) - 5e-7
+                    # rounded top-k even on a doc_id tie. Uses np.round
+                    # (the SAME rounding _topk ranks by — its scaling
+                    # error is ~1e-10 at these magnitudes) with a 6e-7
+                    # margin that absorbs it while staying under the
+                    # 1e-6 grid spacing the argument needs
+                    theta = float(np.round(theta, 6)) - 6e-7
                 # every candidate with ub STRICTLY below θ can never enter
                 # the top-k (even on ties) — chop the tail in one binary
                 # search on the descending-ub array

@@ -38,6 +38,7 @@ from .index_build import (
     _merge_runs_sorting,
     with_doc_identity,
 )
+from .index_build import remap_keep as ib_remap_keep
 
 # backwards-compat alias (merge.py and older callers import it from here)
 _merge_sorting = _merge_runs_sorting
@@ -122,11 +123,7 @@ def _remap_runs_factory(ext_sorted: np.ndarray, n_docs: int, n_salts: int):
             o_terms, out_ids, out_tfs, out_salt, out_n = [], [], [], [], []
             for term, ids_b, tfs_b in zip(terms, ids_col, tfs_col):
                 ext = np.frombuffer(ids_b, dtype=np.int64)
-                idx = np.searchsorted(ext_sorted, ext)
-                idxc = np.minimum(idx, max(ext_sorted.size - 1, 0))
-                keep = ((idx < ext_sorted.size)
-                        & (ext_sorted[idxc] == ext)) \
-                    if ext_sorted.size else np.zeros(ext.size, dtype=bool)
+                idx, keep = ib_remap_keep(ext_sorted, ext)
                 if not keep.any():
                     continue
                 if not keep.all():
@@ -286,8 +283,36 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
 
     # ---- positional store (present iff the ingest ran with_positions) ----
     if os.path.exists(os.path.join(work_dir, "pos_partials")):
+        _check_pos_coverage(work_dir)
         from .positions import compact_positions
         compact_positions(spark, work_dir, out_dir,
                           n_salts=n_salts, partitions=partitions)
+
+
+def _committed_batches(work_dir: str, ckpt: str) -> int:
+    d = os.path.join(work_dir, ckpt, "commits")
+    if not os.path.isdir(d):
+        return 0
+    return sum(1 for f in os.listdir(d)
+               if not f.startswith(".") and f != "metadata")
+
+
+def _check_pos_coverage(work_dir: str) -> None:
+    """Mixed ingest guard: if some start_ingest runs dropped
+    with_positions, the position stream's checkpoint lags the tf stream's
+    and the compacted positional store would silently MISS those docs
+    (phrase search returns no hits for docs BM25 serves). The streams
+    share the exactly-once file source, so equal committed-batch counts
+    mean equal file coverage; on mismatch, re-running ingest with
+    --positions drains exactly the missed files from the positional
+    checkpoint."""
+    n_runs = _committed_batches(work_dir, "_ckpt_runs")
+    n_pos = _committed_batches(work_dir, "_ckpt_pos")
+    if n_pos < n_runs:
+        raise ValueError(
+            f"positional ingest lags the tf ingest ({n_pos} vs {n_runs} "
+            "committed micro-batches) — some files were ingested without "
+            "--positions; re-run ingest with --positions to catch up "
+            "before compacting")
 
 

@@ -200,6 +200,49 @@ def test_streamed_positions_match_batch(spark, tmp_path, monkeypatch):
         _pos_fingerprint(spark, out_batch)
 
 
+def test_mixed_position_ingest_rejected_then_recovers(spark, tmp_path):
+    """Mixed ingest (some waves without --positions) must NOT silently
+    compact a positional store that misses docs the tf index serves:
+    compact raises, and re-running ingest WITH positions drains exactly
+    the missed files from the positional checkpoint, after which the
+    compacted store is byte-identical to batch."""
+    from engine.positions import build_positions
+
+    pdf = make_corpus(160, seed=71)
+    wave1, wave2 = pdf.iloc[:90], pdf.iloc[90:]
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    corpus_to_spark(spark, wave1).coalesce(2).write.mode("append").parquet(src)
+    qs = start_ingest(spark, src, work, corpus_spark_schema(),
+                      with_positions=True)
+    for q in qs:
+        q.awaitTermination(300)
+    corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
+    qs = start_ingest(spark, src, work, corpus_spark_schema())  # NO positions
+    for q in qs:
+        q.awaitTermination(300)
+
+    import pytest
+    with pytest.raises(ValueError, match="lags the tf ingest"):
+        compact(spark, work, str(tmp_path / "bad"), partitions=4)
+
+    # catch-up: the positional stream resumes from ITS checkpoint
+    qs = start_ingest(spark, src, work, corpus_spark_schema(),
+                      with_positions=True)
+    for q in qs:
+        q.awaitTermination(300)
+    out = str(tmp_path / "idx")
+    compact(spark, work, out, partitions=4)
+
+    out_batch = str(tmp_path / "batch")
+    build_index(spark, corpus_to_spark(spark, pdf), out_batch,
+                n_salts=8, partitions=4)
+    build_positions(spark, corpus_to_spark(spark, pdf), out_batch,
+                    n_salts=8, partitions=4)
+    assert _pos_fingerprint(spark, out) == _pos_fingerprint(spark, out_batch)
+
+
 def test_compacted_index_serves_display_fields(spark, tmp_path):
     """A compacted (streamed) index must serve the same {url, title, body}
     surface as a batch build: the ingest carries the display metadata."""
