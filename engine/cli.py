@@ -81,6 +81,14 @@ def main(argv=None):
     pc.add_argument("--out", required=True)
     pc.add_argument("--salts", type=int, default=8)
     pc.add_argument("--partitions", type=int, default=16)
+    pc.add_argument("--incremental", action="store_true",
+                    help="consume only not-yet-compacted partials and merge "
+                         "with the previous generation (O(new data), not "
+                         "O(all partials ever)); serve the dir printed as "
+                         "'current'")
+    pc.add_argument("--no-dedup-content", action="store_true",
+                    help="skip the content-sha aliases stage (legacy "
+                         "partials without content_sha256)")
 
     pm = sub.add_parser("merge")
     pm.add_argument("--inputs", required=True,
@@ -88,6 +96,9 @@ def main(argv=None):
     pm.add_argument("--out", required=True)
     pm.add_argument("--salts", type=int, default=8)
     pm.add_argument("--partitions", type=int, default=16)
+    pm.add_argument("--no-dedup-content", action="store_true",
+                    help="skip cross-segment content dedup (legacy indexes "
+                         "without content_sha256 in their docs snapshots)")
 
     ps = sub.add_parser("serve")
     ps.add_argument("--index", required=True)
@@ -165,18 +176,30 @@ def main(argv=None):
         from engine.checkpoint import BuildManifest
         from engine.merge import merge_indexes
         merge_indexes(spark, args.inputs.split(","), args.out,
-                      n_salts=args.salts, partitions=args.partitions)
+                      n_salts=args.salts, partitions=args.partitions,
+                      dedup_content=not args.no_dedup_content)
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
     elif args.cmd == "serve":
         from engine.server import serve
         serve(spark, args.index, host=args.host, port=args.port,
               big=args.big)
     elif args.cmd == "compact":
-        from engine.streaming import compact
-        compact(spark, args.work, args.out, n_salts=args.salts,
-                partitions=args.partitions)
         from engine.checkpoint import BuildManifest
-        print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
+        if args.incremental:
+            from engine.streaming import compact_incremental
+            cur = compact_incremental(
+                spark, args.work, args.out, n_salts=args.salts,
+                partitions=args.partitions,
+                dedup_content=not args.no_dedup_content)
+            out = BuildManifest(cur).metrics()
+            out["current"] = cur
+            print(json.dumps(out, indent=1))
+        else:
+            from engine.streaming import compact
+            compact(spark, args.work, args.out, n_salts=args.salts,
+                    partitions=args.partitions,
+                    dedup_content=not args.no_dedup_content)
+            print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
 
 
 if __name__ == "__main__":

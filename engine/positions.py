@@ -338,12 +338,14 @@ def _pos_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
 
 def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
                       *, n_salts: int = 8,
-                      partitions: int | None = None) -> None:
+                      partitions: int | None = None,
+                      pos_files: list[str] | None = None) -> None:
     """Build the positional store of a compacted (streamed) index from the
     pos_partials the ingest emitted — byte-identical to batch
     build_positions over the same corpus (tests enforce, incl. duplicate
     content and the beyond-broadcast regime). Requires the compacted
-    docs/stats stages (ordinals) to exist in out_dir."""
+    docs/stats stages (ordinals) to exist in out_dir. pos_files restricts
+    the read to an explicit file subset (incremental segment path)."""
     from . import index_build as ib
     from .checkpoint import BuildManifest
     man = BuildManifest(out_dir)
@@ -353,7 +355,8 @@ def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
     n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
     docs = spark.read.parquet(man.stage_path("docs"))
     t0 = man.begin("positions")
-    runs = spark.read.parquet(os.path.join(work_dir, "pos_partials"))
+    runs = (spark.read.parquet(*pos_files) if pos_files
+            else spark.read.parquet(os.path.join(work_dir, "pos_partials")))
     if n_docs <= ib.BROADCAST_DOC_LIMIT:
         ext_sorted = (docs.select("doc_id").orderBy("doc_id")
                       .toPandas()["doc_id"].to_numpy(np.int64))

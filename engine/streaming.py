@@ -165,7 +165,11 @@ def _unpack_runs(batches):
 
 def compact(spark: SparkSession, work_dir: str, out_dir: str,
             n_salts: int = 8, partitions: int = 16,
-            dedup_content: bool = True) -> None:
+            dedup_content: bool = True,
+            run_files: list[str] | None = None,
+            doc_files: list[str] | None = None,
+            pos_files: list[str] | None = None,
+            exclude_docs: DataFrame | None = None) -> None:
     """Merge all streamed partial runs into a final index + docs + stats —
     same layout as engine.index_build.build_index output, loadable by
     SearchEngine. Byte-identical postings vs a batch build of the same
@@ -187,13 +191,24 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     remap has two regimes like the build's ordinal join: under
     BROADCAST_DOC_LIMIT a driver doc_id array closure-captures into the
     packed-run remap (fast path); past it the runs unpack to posting rows
-    and JOIN the partitioned ordinal map — no driver array anywhere."""
+    and JOIN the partitioned ordinal map — no driver array anywhere.
+
+    run_files/doc_files/pos_files restrict the compaction to an EXPLICIT
+    subset of partial files (the incremental path: compact_incremental
+    builds a segment from only the not-yet-compacted files). exclude_docs
+    (a doc_id DataFrame) drops docs already owned by a previous generation;
+    their postings fall out of the runs at remap since the canonical
+    ordinal set no longer contains them."""
     from . import index_build as ib
     from .checkpoint import BuildManifest
 
     man = BuildManifest(out_dir)
-    doc_stats = (spark.read.parquet(os.path.join(work_dir, "doc_stats"))
-                 .dropDuplicates(["doc_id"]))
+    doc_src = (spark.read.parquet(*doc_files) if doc_files
+               else spark.read.parquet(os.path.join(work_dir, "doc_stats")))
+    doc_stats = doc_src.dropDuplicates(["doc_id"])
+    if exclude_docs is not None:
+        doc_stats = doc_stats.join(exclude_docs.select("doc_id"),
+                                   "doc_id", "left_anti")
 
     from pyspark.sql import Observation
     if dedup_content and "content_sha256" not in doc_stats.columns:
@@ -232,7 +247,8 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
                has_output=False)
 
     t0 = man.begin("index")
-    runs = spark.read.parquet(os.path.join(work_dir, "run_partials"))
+    runs = (spark.read.parquet(*run_files) if run_files
+            else spark.read.parquet(os.path.join(work_dir, "run_partials")))
     docs = spark.read.parquet(man.stage_path("docs"))
     if n_docs <= ib.BROADCAST_DOC_LIMIT:
         # salt was doc_id-range based at ingest; recompute over dense
@@ -282,19 +298,28 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     man.commit("_lineage", t0, int(lobs.get["rows"] or 0))
 
     # ---- positional store (present iff the ingest ran with_positions) ----
-    if os.path.exists(os.path.join(work_dir, "pos_partials")):
+    if pos_files or os.path.exists(os.path.join(work_dir, "pos_partials")):
         _check_pos_coverage(work_dir)
         from .positions import compact_positions
         compact_positions(spark, work_dir, out_dir,
-                          n_salts=n_salts, partitions=partitions)
+                          n_salts=n_salts, partitions=partitions,
+                          pos_files=pos_files)
 
 
 def _committed_batches(work_dir: str, ckpt: str) -> int:
+    """Highest committed micro-batch ID (+1) for a stream checkpoint.
+
+    Uses the MAX numeric commit filename, not the file count: Spark purges
+    commit logs down to spark.sql.streaming.minBatchesToRetain (default
+    100) entries, so on a long-lived work dir both streams' counts plateau
+    at the retention window and a lagging stream would pass a count-based
+    guard. Batch IDs are monotone and survive retention purges."""
     d = os.path.join(work_dir, ckpt, "commits")
     if not os.path.isdir(d):
         return 0
-    return sum(1 for f in os.listdir(d)
-               if not f.startswith(".") and f != "metadata")
+    ids = [int(f) for f in os.listdir(d)
+           if not f.startswith(".") and f.isdigit()]
+    return (max(ids) + 1) if ids else 0
 
 
 def _check_pos_coverage(work_dir: str) -> None:
@@ -314,5 +339,195 @@ def _check_pos_coverage(work_dir: str) -> None:
             "committed micro-batches) — some files were ingested without "
             "--positions; re-run ingest with --positions to catch up "
             "before compacting")
+
+
+# ---------------------------------------------------------------------------
+# Incremental compaction: compact only NEW partials into a segment, merge
+# with the previous compacted generation — O(new data + prior index), not
+# O(all raw partials ever) (the reference re-indexes the whole crawl table
+# per run, README.md:19-21 — the anti-pattern this replaces).
+# ---------------------------------------------------------------------------
+
+def _sink_log_files(log_path: str) -> list[str]:
+    """Parse one streaming file-sink metadata log (v1: header line then one
+    JSON SinkFileStatus per line) -> local data-file paths."""
+    import json
+    out = []
+    with open(log_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or not line.startswith("{"):
+                continue
+            ent = json.loads(line)
+            p = ent.get("path", "")
+            if ent.get("action", "add") != "add" or not p:
+                continue
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            out.append(p)
+    return out
+
+
+def _committed_sink_files(sink_dir: str) -> list[str]:
+    """Data files the streaming parquet sink has COMMITTED — read from the
+    sink's _spark_metadata log (the exactly-once visible set; stray
+    uncommitted task files are excluded, exactly as spark.read.parquet on
+    the directory would exclude them). A `N.compact` log supersedes all
+    logs <= N; later numeric logs append. Falls back to listing part files
+    when the directory has no metadata log (batch-written partials)."""
+    meta = os.path.join(sink_dir, "_spark_metadata")
+    if not os.path.isdir(meta):
+        if not os.path.isdir(sink_dir):
+            return []
+        return sorted(
+            os.path.join(sink_dir, f) for f in os.listdir(sink_dir)
+            if f.startswith("part-") and not f.endswith(".crc"))
+    names = [n for n in os.listdir(meta) if not n.startswith(".")]
+    compacts = sorted((n for n in names if n.endswith(".compact")),
+                      key=lambda n: int(n.split(".")[0]))
+    files: list[str] = []
+    start = -1
+    if compacts:
+        start = int(compacts[-1].split(".")[0])
+        files += _sink_log_files(os.path.join(meta, compacts[-1]))
+    for n in sorted((n for n in names if n.isdigit()), key=int):
+        if int(n) > start:
+            files += _sink_log_files(os.path.join(meta, n))
+    return files
+
+
+def _compaction_state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_compaction", "state.json")
+
+
+def _load_compaction_state(out_dir: str) -> dict:
+    import json
+    p = _compaction_state_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"generations": []}
+
+
+def current_index_dir(out_dir: str) -> str:
+    """Resolve the CURRENT generation of an incrementally compacted index
+    (the dir to hand to SearchEngine). A plain compact()/build output dir
+    resolves to itself."""
+    cur = os.path.join(out_dir, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return os.path.join(out_dir, f.read().strip())
+    return out_dir
+
+
+def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
+                        *, n_salts: int = 8, partitions: int = 16,
+                        dedup_content: bool = True,
+                        keep_history: bool = False) -> str:
+    """Incremental compaction: each call consumes only the partial files
+    the PREVIOUS calls did not, builds them into a segment, and merges the
+    segment with the previous generation via merge_indexes — so the Nth
+    compaction costs O(new data + prior index size), never O(all partials
+    ever). Output layout under out_dir:
+
+      gen-00001/ ... gen-0000N/   full index dirs (SearchEngine-loadable)
+      CURRENT                     name of the live generation
+      _compaction/state.json      files consumed per generation
+
+    Returns the live generation dir (== current_index_dir(out_dir)).
+    Byte-identity: gen-N equals a monolithic batch build over every doc
+    ingested so far (test-enforced, positions included) because segment
+    compaction and merge_indexes are each byte-identity-preserving, and
+    cross-generation duplicate content collapses in the merge's aliases
+    stage exactly as a monolithic build would collapse it. Docs whose
+    doc_id already lives in the previous generation (a re-delivered file)
+    are excluded from the segment, mirroring the batch build's
+    dropDuplicates.
+
+    Old generations and the intermediate segment are pruned after the
+    CURRENT pointer swap unless keep_history=True."""
+    import json
+    import shutil
+
+    from .merge import merge_indexes
+
+    state = _load_compaction_state(out_dir)
+    seen_runs = {f for g in state["generations"] for f in g["run_files"]}
+    seen_docs = {f for g in state["generations"] for f in g["doc_files"]}
+    seen_pos = {f for g in state["generations"] for f in g["pos_files"]}
+
+    runs_all = _committed_sink_files(os.path.join(work_dir, "run_partials"))
+    docs_all = _committed_sink_files(os.path.join(work_dir, "doc_stats"))
+    pos_dir = os.path.join(work_dir, "pos_partials")
+    has_pos = os.path.isdir(pos_dir)
+    pos_all = _committed_sink_files(pos_dir) if has_pos else []
+
+    new_runs = [f for f in runs_all if f not in seen_runs]
+    new_docs = [f for f in docs_all if f not in seen_docs]
+    new_pos = [f for f in pos_all if f not in seen_pos]
+
+    prev = state["generations"][-1]["dir"] if state["generations"] else None
+    if prev is not None and not new_docs and not new_runs:
+        return os.path.join(out_dir, prev)
+    if not new_docs:
+        raise ValueError(
+            "compact_incremental: no committed doc_stats partials found "
+            f"under {work_dir} — run the ingest first")
+    if has_pos:
+        _check_pos_coverage(work_dir)
+
+    gen_id = len(state["generations"]) + 1
+    gen_name = f"gen-{gen_id:05d}"
+    gen_dir = os.path.join(out_dir, gen_name)
+    seg_dir = os.path.join(out_dir, "_compaction", f"seg-{gen_id:05d}")
+
+    if prev is None:
+        # first generation: the segment IS the index
+        compact(spark, work_dir, gen_dir, n_salts=n_salts,
+                partitions=partitions, dedup_content=dedup_content,
+                run_files=new_runs, doc_files=new_docs,
+                pos_files=new_pos or None)
+    else:
+        prev_dir = os.path.join(out_dir, prev)
+        # docs already owned by the previous generation (canonicals AND
+        # aliased-out ids) are excluded from the segment
+        owned = spark.read.parquet(
+            os.path.join(prev_dir, "docs")).select("doc_id")
+        from .checkpoint import BuildManifest
+        if BuildManifest(prev_dir).is_complete("aliases"):
+            owned = owned.unionByName(spark.read.parquet(
+                os.path.join(prev_dir, "aliases")).select("doc_id"))
+        compact(spark, work_dir, seg_dir, n_salts=n_salts,
+                partitions=partitions, dedup_content=dedup_content,
+                run_files=new_runs, doc_files=new_docs,
+                pos_files=new_pos or None, exclude_docs=owned)
+        merge_indexes(spark, [prev_dir, seg_dir], gen_dir,
+                      n_salts=n_salts, partitions=partitions,
+                      dedup_content=dedup_content)
+
+    state["generations"].append({
+        "gen": gen_id, "dir": gen_name, "run_files": new_runs,
+        "doc_files": new_docs, "pos_files": new_pos})
+    sp = _compaction_state_path(out_dir)
+    os.makedirs(os.path.dirname(sp), exist_ok=True)
+    tmp = sp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, sp)
+    cur_tmp = os.path.join(out_dir, "CURRENT.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(gen_name)
+    os.replace(cur_tmp, os.path.join(out_dir, "CURRENT"))
+
+    if not keep_history:
+        if os.path.isdir(seg_dir):
+            shutil.rmtree(seg_dir)
+        for g in state["generations"][:-1]:
+            d = os.path.join(out_dir, g["dir"])
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return gen_dir
 
 
