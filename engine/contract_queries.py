@@ -811,6 +811,13 @@ def q_pagerank_dominant(spark, sf_dir):
     edges = (dom.join(ex, "term")
              .where(F.col("doc_id") != F.col("dst"))
              .select(F.col("doc_id").alias("src"), "dst"))
+    # materialize the edge list once (same one-liner as
+    # connected_components, VERDICT r3 #6): without it every power
+    # iteration re-evaluates the window/dominant-term derivation, putting
+    # PR_ITERS copies of that subtree in the plan. The final ranks are
+    # checkpointed too so the edge blocks can be freed before returning —
+    # only the k-row result frame stays resident.
+    edges = edges.localCheckpoint(eager=True)
     pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - PR_DAMP) / n
     for _ in range(PR_ITERS):
@@ -821,7 +828,10 @@ def q_pagerank_dominant(spark, sf_dir):
               .select("doc_id",
                       F.round(F.lit(base) + PR_DAMP
                               * F.coalesce("m", F.lit(0.0)), 9).alias("pr")))
-    return pr.select("doc_id", F.round("pr", 6).alias("pr"))
+    out = (pr.select("doc_id", F.round("pr", 6).alias("pr"))
+           .localCheckpoint(eager=True))
+    _free_local_checkpoint(edges)
+    return out
 
 
 def _ngram_pairs_sql() -> str:
@@ -915,72 +925,111 @@ def _training_corpus_oracle() -> str:
           and d.lang in ({langs})"""
 
 
-CC_ITERS = 6  # label-propagation rounds (>> diameter of near-dup clusters)
+CC_MAX_ROUNDS = 64  # safety bound; convergence is DETECTED, not assumed
+
+
+def _free_local_checkpoint(df) -> None:
+    """Best-effort release of a localCheckpoint'd frame's storage blocks
+    (the frame must not be used afterwards — its lineage is truncated).
+    PySpark exposes no public unpersist for local checkpoints; reach the
+    LogicalRDD's backing RDD. A failure just leaves the blocks cached."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def connected_components(pairs, max_rounds: int = CC_MAX_ROUNDS):
+    """Connected components over an undirected pair graph as
+    CONVERGENCE-DETECTED min-label propagation (VERDICT r3 #2: a fixed
+    round count silently splits components deeper than the bound — real
+    web-scale dup graphs have long A≈B≈C… chains).
+
+    pairs: DataFrame with two int64 id columns (either orientation).
+    Returns (doc_id, cluster_id = min id of the component).
+
+    Each round is one join+groupBy (the Pregel-lite shape, messages
+    shuffle on src then dst — the standard partition-by-vertex exchange).
+    Self-loops carry each node's own label through the round, so every
+    iteration references `labels` exactly ONCE and the per-round plan is
+    O(1): each round's labels are localCheckpoint'd, so lineage never
+    grows and the pair-mining subtree behind `pairs` evaluates exactly
+    once per call. Convergence is exact and costs no extra pass: labels
+    are monotone non-increasing (new = min over neighbors incl. self),
+    so the per-round SUM of labels — computed over the just-materialized
+    checkpoint, a metadata-cheap agg — is strictly decreasing until the
+    fixpoint; an unchanged sum IS the fixpoint. Intermediate checkpoints
+    and the edge list are freed as rounds retire (ADVICE r3: the old code
+    accumulated checkpoint blocks per invocation); only the returned
+    frame's blocks stay resident — callers may _free_local_checkpoint it
+    after consuming."""
+    ida, idb = pairs.columns[:2]
+    edges = (pairs.select(F.col(ida).alias("src"), F.col(idb).alias("dst"))
+             .unionByName(pairs.select(F.col(idb).alias("src"),
+                                       F.col(ida).alias("dst"))))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    edges_sl = edges.unionByName(
+        nodes.select(F.col("doc_id").alias("src"),
+                     F.col("doc_id").alias("dst")))
+    edges_sl = edges_sl.localCheckpoint(eager=True)
+    labels = (edges_sl.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    # decimal(38,0) sum: exact over int64 labels, no overflow at any scale
+    lbl_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    cur = labels.agg(lbl_sum).collect()[0]["s"]
+    try:
+        for _ in range(max_rounds):
+            new = (edges_sl
+                   .join(labels.withColumnRenamed("doc_id", "src"), "src")
+                   .groupBy(F.col("dst").alias("doc_id"))
+                   .agg(F.min("cluster_id").alias("cluster_id"))
+                   .localCheckpoint(eager=True))
+            s = new.agg(lbl_sum).collect()[0]["s"]
+            _free_local_checkpoint(labels)
+            labels = new
+            if s == cur:   # fixpoint: no label moved this round
+                break
+            cur = s
+        else:
+            _free_local_checkpoint(labels)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "rounds — raise max_rounds (component diameter exceeds it)")
+    finally:
+        _free_local_checkpoint(edges_sl)
+    return labels
 
 
 def q_neardup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS via connected components over the n-gram
     Jaccard pair graph — the operator a training pipeline actually wants
-    (keep ONE doc per duplicate cluster, not a pair list). Min-label
-    propagation as join+groupBy rounds (the Pregel-lite shape): every
-    clustered doc converges to cluster_id = min doc_id of its component.
-    CC_ITERS bounds the label path length; at web scale the same loop runs
-    log(diameter) rounds with the large-star/small-star contraction, and
-    near-dup components are shallow by construction (they share shingles).
-    Oracle: the identical unrolled iterations in SQL."""
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("ida", "idb")
-    edges = (pairs.select(F.col("ida").alias("src"),
-                          F.col("idb").alias("dst"))
-             .unionByName(pairs.select(F.col("idb").alias("src"),
-                                       F.col("ida").alias("dst"))))
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    # self-loops carry each node's own label through the round, so every
-    # iteration references `labels` exactly ONCE — lineage grows LINEARLY
-    # in CC_ITERS. (A least/coalesce left-join, or a messages-union-labels
-    # formulation, references labels twice per round and doubles the plan
-    # tree every iteration: 2^CC_ITERS copies of the Jaccard pair-mining
-    # subtree by the end.)
-    edges_sl = edges.unionByName(
-        nodes.select(F.col("doc_id").alias("src"),
-                     F.col("doc_id").alias("dst")))
-    # materialize the (tiny) edge list once: every round references it,
-    # and without the checkpoint each round re-evaluates the shingle
-    # self-join behind it (measured 5.1 s -> ~1 s at sf0.1). This is the
-    # "build the graph once, iterate many" shape any Pregel round uses.
-    # labels seed from the CHECKPOINTED frame too (self-loops cover every
-    # node), so the pair subtree evaluates exactly once per call.
-    edges_sl = edges_sl.localCheckpoint(eager=True)
-    labels = (edges_sl.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("cluster_id", F.col("doc_id")))
-    for _ in range(CC_ITERS):
-        labels = (edges_sl
-                  .join(labels.withColumnRenamed("doc_id", "src"), "src")
-                  .groupBy(F.col("dst").alias("doc_id"))
-                  .agg(F.min("cluster_id").alias("cluster_id")))
-    return labels
+    (keep ONE doc per duplicate cluster, not a pair list). Every clustered
+    doc converges to cluster_id = min doc_id of its component; iteration
+    runs UNTIL the labels stop moving (connected_components), so deep
+    duplicate chains cluster correctly regardless of diameter. Oracle: the
+    transitive closure as a recursive CTE (converged by construction)."""
+    return connected_components(
+        q_ngram_jaccard_pairs(spark, sf_dir).select("ida", "idb"))
 
 
 def _neardup_clusters_oracle() -> str:
-    iters = "".join(f""",
-            l{k} as (
-              select l.doc_id,
-                     least(l.cluster_id,
-                           coalesce(m.nbr_min, l.cluster_id)) as cluster_id
-              from l{k - 1} l left join (
-                select e.dst as doc_id, min(l{k - 1}.cluster_id) as nbr_min
-                from edges e join l{k - 1} on e.src = l{k - 1}.doc_id
-                group by e.dst) m on l.doc_id = m.doc_id)"""
-                    for k in range(1, CC_ITERS + 1))
+    # converged formulation: min over the REACHABLE set via a recursive
+    # CTE (UNION dedups, so the closure terminates); equals the label-
+    # propagation fixpoint exactly
     return f"""
-            with pairs as (select ida, idb from ({_ngram_pairs_sql()})),
+            with recursive
+            pairs as (select ida, idb from ({_ngram_pairs_sql()})),
             edges as (
               select ida as src, idb as dst from pairs
               union all
               select idb as src, ida as dst from pairs),
-            l0 as (select distinct src as doc_id, src as cluster_id
-                   from edges)
-            {iters}
-            select doc_id, cluster_id from l{CC_ITERS}"""
+            reach as (
+              select distinct src as doc_id, src as r from edges
+              union
+              select rr.doc_id, e.dst as r
+              from reach rr join edges e on rr.r = e.src)
+            select doc_id, min(r) as cluster_id from reach group by doc_id"""
 
 
 # ---------------------------------------------------------------- simhash
