@@ -474,6 +474,7 @@ def q_bm25_engine_topk(spark, sf_dir):
 
 
 PREFIX_QUERY = "s"  # expands to spark/scan/slow/small/sort/stream
+_PREFIX_CAP = 64    # == SearchEngine.PREFIX_EXPANSION_CAP (oracle mirror)
 
 
 def q_prefix_bm25_topk(spark, sf_dir):
@@ -1280,8 +1281,15 @@ def oracle_sql():
             select term, count(distinct doc_id) as df, count(*) as total_tf
             from ({_TOKENS_SQL}) group by term""",
         "bm25_engine_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        # the expansion-cap rule mirrored in SQL (engine: a prefix matching
+        # more than PREFIX_EXPANSION_CAP terms expands to the cap
+        # highest-df terms, ORDER BY df DESC, term ASC LIMIT cap); at this
+        # SF the prefix matches fewer than the cap, so the subquery keeps
+        # every matching term — same rows, rule documented and executable
         "prefix_bm25_topk": _bm25_duck_sql_pred(
-            f"term like '{PREFIX_QUERY}%'", TOPK),
+            f"""term in (select term from ({_TOKENS_SQL})
+                where term like '{PREFIX_QUERY}%' group by term
+                order by count(*) desc, term limit {_PREFIX_CAP})""", TOPK),
         "doc_display": """
             select doc_id, cast(doc_id as varchar) as title,
                    substr(text, 1, 200) as snippet

@@ -291,10 +291,15 @@ class SearchEngine:
         """Terms starting with `prefix`, via a pushdown scan of the term
         dictionary (StringStartsWith reaches the parquet scan; the index is
         term-sorted so at scale this touches the prefix's row groups only).
-        A limit(cap+1) bounds what ever reaches the driver; a prefix
-        expanding past PREFIX_EXPANSION_CAP raises (silent truncation
-        would return BM25 over an arbitrary term subset), and ValueError
-        surfaces as HTTP 400 through the serving shim."""
+        A limit(cap+1) bounds what ever reaches the driver. A prefix
+        expanding past PREFIX_EXPANSION_CAP no longer errors (VERDICT r3
+        #7): it expands to the cap HIGHEST-df matching terms — a
+        DETERMINISTIC, documented subset (ORDER BY df DESC, term ASC LIMIT
+        cap: the high-df terms are the ones that dominate recall for a
+        wildcard; rare long-tail variants are the ones dropped), computed
+        as a distributed sort+limit so only cap rows reach the driver.
+        The big path (expand_prefix_big) and the contract oracle apply the
+        identical rule."""
         if not prefix:
             raise ValueError("empty wildcard prefix")
         cap = self.PREFIX_EXPANSION_CAP
@@ -302,9 +307,10 @@ class SearchEngine:
                 .where(F.col("term").startswith(prefix))
                 .select("term").limit(cap + 1).collect())
         if len(rows) > cap:
-            raise ValueError(
-                f"prefix '{prefix}*' matches more than {cap} terms; "
-                "use a longer prefix")
+            rows = (self.index_df
+                    .where(F.col("term").startswith(prefix))
+                    .orderBy(F.col("df").desc(), F.col("term"))
+                    .select("term").limit(cap).collect())
         return sorted(r["term"] for r in rows)
 
     def search_prefix(self, prefix: str, k: int = 10, rounded: bool = False
@@ -423,8 +429,15 @@ class SearchEngine:
 
 # ------------------------------------------------- fully-cluster query path
 
+#: stats of the last search_big_terms call (driver-side): total postings of
+#: the queried terms vs posting rows actually emitted by the decode stage
+#: (block-max pruning drops the rest before the exchange). Test/bench hook.
+last_big_prune_stats: dict[str, int] = {}
+
+
 def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
-               mode: str = "ranked", rounded: bool = False
+               mode: str = "ranked", rounded: bool = False,
+               prune: bool = True, index_df=None, docs_df=None
                ) -> list[tuple[int, int, float]]:
     """Query WITHOUT any driver-side doc arrays — the 10^12-doc serving
     path. ``SearchEngine`` keeps doc_len/doc_id as driver arrays (the
@@ -447,22 +460,146 @@ def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
     """
     terms = query_terms(query)
     return search_big_terms(spark, index_dir, terms, k=k, mode=mode,
-                            rounded=rounded)
+                            rounded=rounded, prune=prune,
+                            index_df=index_df, docs_df=docs_df)
+
+
+def _bm25_contrib_col(avgdl: float):
+    """JVM BM25 contribution with the exact float64 op order of
+    Bm25Oracle/_tfw: idf * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
+    over columns (idf, tf, dl)."""
+    tf = F.col("tf")
+    return (F.col("idf")
+            * ((tf * F.lit(K1 + 1.0))
+               / (tf + F.lit(K1) * (F.lit(1.0 - B)
+                                    + F.lit(B) * (F.col("dl")
+                                                  / F.lit(avgdl))))))
+
+
+def _tfw_zero_dl(tf):
+    """BM25 tf-weight upper bound at dl=0 (tfw is decreasing in dl and
+    doc_len >= 0, so this bounds every real tf-weight without the docs
+    scan a min(doc_len) would cost). Works on scalars and NumPy arrays."""
+    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B))
+
+
+#: ordinals the pruned big path will ship to executors as the candidate
+#: set (int64 -> ~8 B each; 4M = 32 MB, the same order as the gated driver
+#: arrays elsewhere). Past this, hot-term block gating is skipped.
+CANDIDATE_SHIP_LIMIT = 4_000_000
+
+
+def _collect_ordinals(index_df, terms: list[str]) -> np.ndarray:
+    """Sorted unique ordinals of the given terms' postings (the candidate
+    set for hot-term block gating) — one job over Σ df postings, fetched
+    as a single Arrow transfer (<= CANDIDATE_SHIP_LIMIT int64s, the gated
+    bounded-driver-array regime; never a docs/display materialization)."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            for blob in pdf["postings"]:
+                ids, _ = decode_postings(bytes(blob))
+                yield pd.DataFrame({"ordinal": ids})
+
+    tbl = (index_df.where(F.col("term").isin(terms))
+           .select("postings")
+           .mapInPandas(dec, schema="ordinal long")
+           .toArrow())
+    return np.unique(tbl.column("ordinal").to_numpy(zero_copy_only=False))
+
+
+def _big_theta(index_df, dl, rare_term: str, rare_idf: float, k: int,
+               avgdl: float):
+    """Phase-1 θ: the k-th best EXACT single-term BM25 contribution of the
+    rarest query term — a lower bound on the k-th best final score (totals
+    only add non-negative contributions), derived from one cheap job over
+    O(min df) postings. None when the term can't fill k slots."""
+    import pandas as pd
+
+    def explode(batches):
+        for pdf in batches:
+            for blob in pdf["postings"]:
+                ids, tfs = decode_postings(bytes(blob))
+                yield pd.DataFrame({"ordinal": ids,
+                                    "tf": tfs.astype(np.float64)})
+
+    sub = (index_df.where(F.col("term") == rare_term)
+           .select("postings")
+           .mapInPandas(explode, schema="ordinal long, tf double")
+           .join(dl, "ordinal")
+           .withColumn("idf", F.lit(rare_idf))
+           .select(_bm25_contrib_col(avgdl).alias("c"))
+           .orderBy(F.col("c").desc()).limit(k))
+    rows = sub.collect()
+    if len(rows) < k:
+        return None
+    return float(rows[-1]["c"])
 
 
 def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                      k: int = 10, mode: str = "ranked",
-                     rounded: bool = False) -> list[tuple[int, int, float]]:
+                     rounded: bool = False, prune: bool = True,
+                     index_df=None, docs_df=None
+                     ) -> list[tuple[int, int, float]]:
     """search_big over an explicit (already-normalized) term list — the
-    shared tail for plain queries and wildcard expansion."""
-    import pandas as pd
+    shared tail for plain queries and wildcard expansion. Callers serving
+    many queries pass pre-loaded (persisted) index_df/docs_df to skip the
+    per-query parquet re-read (SearchService big regime).
 
+    Block-max pruning (VERDICT r3 #3) on the ranked path: without it a
+    hot-term query moves the term's ENTIRE posting list through the
+    exchange. MaxScore-style, score-safe:
+
+    - θ = k-th best exact single-term score of the RAREST term (one job
+      over O(min df) postings, _big_theta);
+    - terms split into NON-ESSENTIAL N (longest ascending-ubmax prefix
+      with Σ ubmax < θ, from the index's max_tf scalars — a doc matching
+      only N scores below θ) and ESSENTIAL E (the rest; always contains
+      the rarest term, since ubmax(rare) ≥ θ);
+    - essential terms: the decode stage drops blocks whose bound
+      idf·tfw(block_max_tf, dl=0) + Σ_{t'≠t} ubmax(t') falls strictly
+      below θ (a doc there can't reach θ even with max help elsewhere);
+    - non-essential (hot) terms: only blocks CONTAINING a candidate —
+      a doc of the essential-postings union — are decoded+emitted, found
+      by a searchsorted of the candidate ordinals against the per-row
+      block_last_ids ranges, no decode needed to decide. The candidate
+      array ships to executors when Σ_E df ≤ CANDIDATE_SHIP_LIMIT (the
+      same gated-driver-array regime as BROADCAST_DOC_LIMIT elsewhere;
+      past the gate hot terms fall back to full emission — an all-hot
+      query has no small side to prune against anyway).
+
+    Score-safety (tests assert bitwise equality with the unpruned path):
+    any doc with true score ≥ θ keeps ALL its blocks (its essential
+    blocks pass the bound test — ub_block + REST ≥ its own score ≥ θ —
+    so it enters the candidate set, which keeps its hot blocks), hence
+    its computed score is complete and exact; every skipped or partially
+    scored doc is provably below θ and the ≥k phase-1 docs all score
+    ≥ θ, so the (score DESC, ordinal ASC) top-k is unchanged, ties
+    included. rounded mode prunes against round(θ,6)-6e-7 (same margin
+    argument as the driver engine's _ranked_pruned). Conjunctive mode
+    never prunes: a missing hot contribution would break the match-all
+    count.
+
+    The kept blob rows are still decoded (varint blocks are
+    byte-contiguous and the NumPy decode is memory-bandwidth cheap);
+    what pruning removes is the per-posting ROW volume downstream — the
+    exchange/join/agg, the actual distributed cost.
+    last_big_prune_stats records emitted vs total postings (Observation,
+    no extra action)."""
+    import pandas as pd
+    from pyspark.sql import Observation
+
+    global last_big_prune_stats
     n_docs, avgdl = load_stats(spark, index_dir)
     if not terms or k <= 0:
         return []
-    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    if docs_df is None:
+        docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
     meta = (index_df.where(F.col("term").isin(terms))
-            .select("term", "df").collect())
+            .select("term", "df", "max_tf").collect())
     if not meta or (mode == "conjunctive" and len(meta) < len(terms)):
         return []
     ordered = sorted(r["term"] for r in meta)
@@ -471,37 +608,87 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                                  / (dfs[t] + 0.5) + 1.0))
                  for i, t in enumerate(ordered)}
     n_required = len(meta) if mode == "conjunctive" else 1
+    docs = docs_df
+    dl = docs.select("ordinal", F.col("doc_len").cast("double").alias("dl"))
+
+    # ---- block-pruning state (ranked multi-term only) ----
+    skip_target: dict[str, float] = {}      # essential-term bound targets
+    noness: frozenset[str] = frozenset()    # candidate-gated hot terms
+    cand_sorted = None                      # sorted essential ordinals
+    if prune and mode == "ranked" and len(meta) >= 2:
+        rare = min(meta, key=lambda r: (int(r["df"]), r["term"]))
+        theta = _big_theta(index_df, dl, rare["term"],
+                           term_meta[rare["term"]][1], k, avgdl)
+        if theta is not None:
+            if rounded:
+                theta = float(np.round(theta, 6)) - 6e-7
+            ubmax = {r["term"]: term_meta[r["term"]][1]
+                     * _tfw_zero_dl(float(r["max_tf"])) for r in meta}
+            total_ub = sum(ubmax.values())
+            for t, ub in ubmax.items():
+                target = theta - (total_ub - ub)
+                if target > 0.0:    # else every block passes trivially
+                    skip_target[t] = target
+            n_set = []
+            acc = 0.0
+            for t in sorted(ubmax, key=lambda t: (ubmax[t], t)):
+                if acc + ubmax[t] >= theta:
+                    break
+                acc += ubmax[t]
+                n_set.append(t)
+            essential = [t for t in ubmax if t not in n_set]
+            if n_set and sum(dfs[t] for t in essential) \
+                    <= CANDIDATE_SHIP_LIMIT:
+                cand_sorted = _collect_ordinals(index_df, essential)
+                noness = frozenset(n_set)
+
+    idf_of = {t: v[1] for t, v in term_meta.items()}
 
     def explode_blobs(batches):
+        from .codec import BLOCK_SIZE
         for pdf in batches:
             outs = []
-            for term, blob in zip(pdf["term"], pdf["postings"]):
+            for term, blob, bmax, blast in zip(
+                    pdf["term"], pdf["postings"], pdf["block_max_tfs"],
+                    pdf["block_last_ids"]):
+                if term in noness:
+                    # keep only blocks holding >=1 candidate: block i spans
+                    # (last_ids[i-1], last_ids[i]] in ordinal space
+                    last_ids = np.asarray(blast, dtype=np.int64)
+                    lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
+                    keep_b = (np.searchsorted(cand_sorted, last_ids, "right")
+                              > np.searchsorted(cand_sorted, lo, "right"))
+                else:
+                    target = skip_target.get(term)
+                    if target is None:
+                        keep_b = None
+                    else:
+                        bounds = idf_of[term] * _tfw_zero_dl(
+                            np.asarray(bmax, dtype=np.float64))
+                        keep_b = bounds >= target  # skip iff STRICTLY below
+                if keep_b is not None and not keep_b.any():
+                    continue
                 ids, tfs = decode_postings(bytes(blob))
+                if keep_b is not None and not keep_b.all():
+                    keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
+                    ids, tfs = ids[keep], tfs[keep]
                 outs.append(pd.DataFrame(
                     {"ordinal": ids, "term_idx": term_meta[term][0],
                      "tf": tfs.astype(np.float64)}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
+    obs = Observation()
     cdf = (index_df.where(F.col("term").isin(terms))
-           .select("term", "postings")
+           .select("term", "postings", "block_max_tfs", "block_last_ids")
            .mapInPandas(explode_blobs,
-                        schema="ordinal long, term_idx int, tf double"))
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    dl = docs.select("ordinal", F.col("doc_len").cast("double").alias("dl"))
+                        schema="ordinal long, term_idx int, tf double")
+           .observe(obs, F.count(F.lit(1)).alias("emitted")))
     idf_df = F.broadcast(spark.createDataFrame(
         [(i, idf) for _, (i, idf) in term_meta.items()],
         "term_idx int, idf double"))
-    # exact float64 op order of Bm25Oracle/_tfw:
-    #   idf * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
-    tf = F.col("tf")
-    contrib = (F.col("idf")
-               * ((tf * F.lit(K1 + 1.0))
-                  / (tf + F.lit(K1) * (F.lit(1.0 - B)
-                                       + F.lit(B) * (F.col("dl")
-                                                     / F.lit(avgdl))))))
     scored = (cdf.join(dl, "ordinal").join(idf_df, "term_idx")
-              .withColumn("contrib", contrib)
+              .withColumn("contrib", _bm25_contrib_col(avgdl))
               .groupBy("ordinal")
               .agg(F.count("*").alias("nt"),
                    F.aggregate(
@@ -510,22 +697,90 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                        F.lit(0.0),
                        lambda acc, x: acc + x["contrib"]).alias("score"))
               .where(F.col("nt") >= n_required))
+    def _finish(result):
+        global last_big_prune_stats
+        if rounded:
+            scored.unpersist()
+        total_postings = sum(dfs.values())
+        emitted = int(obs.get["emitted"] or 0)
+        last_big_prune_stats = {
+            "postings_total": total_postings, "postings_emitted": emitted,
+            "postings_skipped": total_postings - emitted,
+            "pruned_terms": len(skip_target) + len(noness)}
+        return result
+
     if rounded:
-        # contract ordering: rank by round(score, 6), doc_id tie-break —
-        # still a distributed sort+limit, k rows to the driver
-        scored = scored.withColumn("score", F.round("score", 6))
+        # contract ordering: rank by round(score, 6), doc_id tie-break.
+        # ADVICE r3: rank with the SAME np.round the driver engine uses
+        # (F.round is HALF_UP, np.round half-even — a grid-boundary score
+        # could order differently across the bitwise-compared paths).
+        # Two-pass: unrounded top-k gives the boundary; every doc whose
+        # ROUNDED score could reach the k-th rounded value has unrounded
+        # score >= round(θ_k,6)-6e-7 (round is monotone), so that bounded
+        # slice is fetched and ranked in NumPy exactly like _topk.
+        # The scored frame is persisted across the two passes (released
+        # before returning) so the decode+join+agg pipeline runs once.
+        scored = scored.persist()
+        top_rows = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
+                    .limit(k).select("ordinal", "score").collect())
+        if not top_rows:
+            return _finish([])
+        if len(top_rows) >= k:
+            cutoff = float(np.round(
+                float(top_rows[-1]["score"]), 6)) - 6e-7
+            tie_cap = max(4 * k, 1024)
+            cand_rows = (scored.where(F.col("score") >= cutoff)
+                         .orderBy(F.col("score").desc(), F.col("ordinal"))
+                         .limit(tie_cap)
+                         .select("ordinal", "score").collect())
+            if len(cand_rows) >= tie_cap:
+                # pathological grid-boundary mass tie: stay distributed
+                # with HALF_UP ordering (positive scores: identical to
+                # the oracle's round-half-away) instead of shipping an
+                # unbounded tie set to the driver
+                cand_rows = (scored
+                             .withColumn("score", F.round("score", 6))
+                             .orderBy(F.col("score").desc(),
+                                      F.col("ordinal"))
+                             .limit(k).select("ordinal", "score")
+                             .collect())
+                pairs = [(int(r["ordinal"]), float(r["score"]))
+                         for r in cand_rows]
+            else:
+                ords = np.array([r["ordinal"] for r in cand_rows],
+                                dtype=np.int64)
+                scs = np.round(np.array([r["score"] for r in cand_rows],
+                                        dtype=np.float64), 6)
+                order = np.lexsort((ords, -scs))[:k]
+                pairs = [(int(ords[j]), float(scs[j])) for j in order]
+        else:
+            ords = np.array([r["ordinal"] for r in top_rows],
+                            dtype=np.int64)
+            scs = np.round(np.array([r["score"] for r in top_rows],
+                                    dtype=np.float64), 6)
+            order = np.lexsort((ords, -scs))[:k]
+            pairs = [(int(ords[j]), float(scs[j])) for j in order]
+        top = spark.createDataFrame(pairs, "ordinal long, score double")
+        id_rows = (F.broadcast(top)
+                   .join(docs.select("ordinal", "doc_id"), "ordinal")
+                   .collect())
+        id_of = {int(r["ordinal"]): int(r["doc_id"]) for r in id_rows}
+        return _finish([(i + 1, id_of[o], s)
+                        for i, (o, s) in enumerate(pairs)])
+
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)
             .join(docs.select("ordinal", "doc_id"), "ordinal")
             .orderBy(F.col("score").desc(), F.col("ordinal"))
             .collect())
-    return [(i + 1, int(r["doc_id"]), float(r["score"]))
-            for i, r in enumerate(rows)]
+    return _finish([(i + 1, int(r["doc_id"]), float(r["score"]))
+                    for i, r in enumerate(rows)])
 
 
 def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
-                      k: int = 10, rounded: bool = False
+                      k: int = 10, rounded: bool = False,
+                      index_df=None, docs_df=None
                       ) -> list[tuple[int, int, float]]:
     """Wildcard `prefix*` on the zero-driver-array path: the expansion is
     a pushdown StringStartsWith scan of the term dictionary capped at
@@ -534,21 +789,30 @@ def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
     errors as SearchEngine.search_prefix (tests assert equality)."""
     if not prefix:
         raise ValueError("empty wildcard prefix")
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    terms = expand_prefix_big(index_df, prefix)
+    return search_big_terms(spark, index_dir, terms, k=k, mode="ranked",
+                            rounded=rounded, index_df=index_df,
+                            docs_df=docs_df)
+
+
+def expand_prefix_big(index_df, prefix: str) -> list[str]:
+    """Wildcard expansion on the big path — same semantics as
+    SearchEngine.expand_prefix (shared cap + df-ranked overflow rule)."""
     cap = SearchEngine.PREFIX_EXPANSION_CAP
-    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
     rows = (index_df.where(F.col("term").startswith(prefix))
             .select("term").limit(cap + 1).collect())
     if len(rows) > cap:
-        raise ValueError(
-            f"prefix '{prefix}*' matches more than {cap} terms; "
-            "use a longer prefix")
-    terms = sorted(r["term"] for r in rows)
-    return search_big_terms(spark, index_dir, terms, k=k, mode="ranked",
-                            rounded=rounded)
+        rows = (index_df.where(F.col("term").startswith(prefix))
+                .orderBy(F.col("df").desc(), F.col("term"))
+                .select("term").limit(cap).collect())
+    return sorted(r["term"] for r in rows)
 
 
 def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
-                     k: int = 300, threshold: float = 0.3
+                     k: int = 300, threshold: float = 0.3,
+                     index_df=None, docs_df=None
                      ) -> list[tuple[int, int, float]]:
     """The reference's TF-IDF scoring (Searcher.java:108,113,139-159,196)
     on the zero-driver-array path — bitwise equal to
@@ -572,7 +836,8 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
     terms = query_terms(query)
     if not terms or k <= 0:
         return []
-    index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
     meta = (index_df.where(F.col("term").isin(terms))
             .select("term", "df").collect())
     if not meta:
@@ -605,7 +870,8 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
                   F.lit(0.0),
                   lambda acc, x: acc + x["contrib"]).alias("score"))
               .where(F.col("score") > threshold))
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = (docs_df if docs_df is not None
+            else spark.read.parquet(os.path.join(index_dir, "docs")))
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)

@@ -154,6 +154,29 @@ def test_big_service_matches_driver_and_never_materializes(
         assert got, case  # every case must actually return hits
     assert calls["n"] == 0  # nothing in the big path materializes docs
     assert big_svc._phrase._ext_ids_arr is None  # driver array never built
+    big_svc.close()
+
+
+def test_big_service_warm_start(spark, built_index):
+    """VERDICT r3 #8: the big regime persists the index/docs frames at
+    construction so repeated queries reuse cached partitions instead of
+    re-reading parquet; repeats stay byte-identical and close() releases
+    the cache."""
+    out, _man = built_index
+    svc = SearchService(spark, out, big=True)
+    try:
+        assert svc._index_df.storageLevel.useMemory
+        assert svc._docs_df.storageLevel.useMemory
+        first = svc.search_payload("def return", k=5)
+        assert first and svc.search_payload("def return", k=5) == first
+        # the persisted index is genuinely cached after the first query
+        jsc = spark.sparkContext._jsc.sc()
+        infos = jsc.getRDDStorageInfo()
+        assert any(infos[i].numCachedPartitions() > 0
+                   for i in range(len(infos)))
+    finally:
+        svc.close()
+    assert svc._index_df is None
 
 
 def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):

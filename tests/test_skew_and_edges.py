@@ -149,6 +149,103 @@ def test_duplicate_doc_ids_fail_fast(spark, tmp_path):
         build_index(spark, corpus, str(tmp_path / "dup_idx"))
 
 
+@pytest.fixture(scope="module")
+def hot_rare_setup(spark, tmp_path_factory):
+    """5,000 docs all containing 'hot' (40 posting blocks of 128) and a
+    'needle' term in only 6 of them — the hot+rare shape where block-max
+    pruning on the big path must drop most of the hot posting list."""
+    rng = np.random.default_rng(11)
+    rows = []
+    needle_docs = {17, 800, 1604, 2989, 3777, 4444}
+    for i in range(5000):
+        toks = ["hot"] * int(rng.integers(1, 4)) + [
+            f"w{int(rng.integers(0, 50))}" for _ in range(10)]
+        if i in needle_docs:
+            toks.append("needle")
+        rng.shuffle(toks)
+        rows.append((f"o/r{i%7}", f"p/{i}.py", f"c{i:05d}", "python",
+                     " ".join(toks)))
+    pdf = _mk(rows)
+    out = str(tmp_path_factory.mktemp("hotrare") / "idx")
+    build_index(spark, corpus_to_spark(spark, pdf), out,
+                n_salts=4, partitions=4)
+    return pdf, out
+
+
+def test_search_big_block_pruning_skips_and_stays_bitwise(spark,
+                                                          hot_rare_setup):
+    """VERDICT r3 #3: the zero-driver-array path must use the block-max
+    metadata — a hot+rare ranked query emits only the candidate-bearing
+    hot blocks (most postings never reach the exchange) while returning
+    results bitwise equal to the unpruned path, the driver engine, and
+    the oracle, in plain AND rounded regimes."""
+    from engine import query as Q
+
+    pdf, out = hot_rare_setup
+    eng = SearchEngine(spark, out)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    q = "hot needle"
+    for rounded in (False, True):
+        want = eng.search(q, k=5, mode="ranked", rounded=rounded)
+        got = Q.search_big(spark, out, q, k=5, rounded=rounded)
+        stats = Q.last_big_prune_stats
+        assert got == want, (rounded, got, want)
+        assert Q.search_big(spark, out, q, k=5, rounded=rounded,
+                            prune=False) == want
+        # the hot list is 5000 postings in 40 blocks; only blocks holding
+        # one of the 6 needle docs (<= 6) may survive
+        assert stats["pruned_terms"] >= 1, stats
+        assert stats["postings_skipped"] >= 5000 - 6 * 128, stats
+        assert stats["postings_emitted"] + stats["postings_skipped"] == \
+            stats["postings_total"]
+    assert eng.search(q, k=5) == oracle.topk(q, 5)
+    # three-term query (two hot-ish, one rare) stays bitwise equal too
+    q3 = "hot w3 needle"
+    want3 = eng.search(q3, k=5, mode="ranked")
+    assert Q.search_big(spark, out, q3, k=5) == want3
+    # conjunctive never prunes and stays equal
+    wantc = eng.search(q, k=5, mode="conjunctive")
+    assert Q.search_big(spark, out, q, k=5, mode="conjunctive") == wantc
+    assert Q.last_big_prune_stats["postings_skipped"] == 0
+
+
+def test_prefix_overflow_expands_to_top_df_subset(spark, tmp_path):
+    """VERDICT r3 #7: a wildcard matching more terms than the cap no
+    longer errors — it expands to the cap highest-df terms (df DESC, term
+    ASC), identically on the driver and big paths, and the BM25 result
+    equals a ranked OR over exactly that subset."""
+    import itertools
+
+    from engine.query import expand_prefix_big, search_big_terms
+
+    # 80 distinct terms sharing prefix 'px'; term j appears in j+1 docs
+    suffixes = ["".join(p) for p in itertools.product(
+        "abcdefghi", repeat=2)][:80]
+    terms = [f"px{s}" for s in suffixes]
+    rows = []
+    for i in range(81):
+        toks = ["base"] + [t for j, t in enumerate(terms) if i <= j]
+        rows.append((f"o/r", f"p/{i}.py", f"c{i:03d}", "python",
+                     " ".join(toks)))
+    pdf = _mk(rows)
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus_to_spark(spark, pdf), out,
+                n_salts=2, partitions=2)
+    eng = SearchEngine(spark, out)
+    # df(term j) = j+1 -> top-64 by df = the LAST 64 terms; ties none
+    expected = sorted(terms[-64:])
+    got = eng.expand_prefix("px")
+    assert got == expected
+    index_df = spark.read.parquet(f"{out}/index")
+    assert expand_prefix_big(index_df, "px") == expected
+    want = eng.search(" ".join(expected), k=10, mode="ranked")
+    assert eng.search_prefix("px", k=10) == want
+    assert search_big_terms(spark, out, expected, k=10) == want
+    # under the cap nothing changes: full expansion, sorted
+    assert eng.expand_prefix("pxa") == sorted(
+        t for t in terms if t.startswith("pxa"))
+
+
 def test_pruned_traversal_actually_skips(spark, skew_setup, monkeypatch):
     """The block-max traversal must genuinely skip low-upper-bound
     candidates on a skewed corpus (hot term in all 600 docs), while staying
