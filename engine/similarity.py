@@ -38,8 +38,12 @@ DIM = 64
 LSH_SEED = 42
 IVF_K = 8                # number of IVF cells — FIXED, decoupled from N
 IVF_LLOYD_ITERS = 2      # Lloyd refinements, over the training sample only
-IVF_SAMPLE_MOD = 2       # deterministic md5 training sample:
-IVF_SAMPLE_TAKE = 1      #   hv % IVF_SAMPLE_MOD < IVF_SAMPLE_TAKE (~50%)
+IVF_SAMPLE_SIZE = 256    # FIXED-SIZE deterministic training sample: the
+#                          sample_size lowest-(hv, vec_id) vectors. A
+#                          fraction-of-N sample (r3: hv % 2) still touched
+#                          5x10^8 vectors at 10^9; a fixed cap keeps Lloyd
+#                          at O(sample_size x K) at ANY corpus size, and
+#                          selection is one distributed top-S (TakeOrdered)
 IVF_NPROBE = 2
 NEARDUP_MIN_SIM = 0.3    # corpus max pairwise cosine is ~0.48
 
@@ -130,13 +134,16 @@ def _hv(col) -> "F.Column":
                   16, 10).cast("long")
 
 
-def training_sample(emb_n: DataFrame) -> DataFrame:
-    """The deterministic md5-hash sample centroid training runs over —
-    training volume is O(sample x K), never O(N x K) (plan-tested). At
-    10^9+ vectors the MOD/TAKE knobs shrink this to a fixed-size slice
-    while the final assignment still covers every vector."""
+def training_sample(emb_n: DataFrame,
+                    sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
+    """The deterministic FIXED-SIZE sample centroid training runs over:
+    the sample_size lowest-(hv, vec_id) vectors, hv being the md5 hash
+    rule — hash-pseudorandom, SQL-mirrored (`order by hv, vec_id limit
+    S`). Selection is a distributed top-S (TakeOrderedAndProject — one
+    scan, S rows out); training volume is O(sample_size x K) REGARDLESS
+    of N (plan-tested), never the r3 fraction-of-N posture."""
     return (emb_n.withColumn("hv", _hv(F.col("vec_id")))
-            .where(F.col("hv") % IVF_SAMPLE_MOD < IVF_SAMPLE_TAKE))
+            .orderBy("hv", "vec_id").limit(sample_size))
 
 
 def _init_centroids(samp: DataFrame, k: int = IVF_K) -> DataFrame:
@@ -186,32 +193,39 @@ def _lloyd_step(samp: DataFrame, cents: DataFrame) -> DataFrame:
             .withColumn("cn", F.sqrt(_dot("ce", "ce"))))
 
 
-def trained_centroids(emb: DataFrame) -> DataFrame:
+def trained_centroids(emb: DataFrame, *, ivf_k: int = IVF_K,
+                      sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
     """IVF_LLOYD_ITERS Lloyd refinements of the hash-sample init — the
-    whole training loop touches ONLY the training sample (r2 trained over
-    all N with K tied to N; now K is fixed and volume is O(sample x K) per
-    iteration). The final per-vector assignment (with_ivf_cell) still runs
-    over every vector, once, against the trained literals."""
+    whole training loop touches ONLY the fixed-size training sample (r2
+    trained over all N with K tied to N; r3 over a fraction of N). The
+    final per-vector assignment (with_ivf_cell) still runs over every
+    vector, once, against the trained literals. ivf_k/sample_size are
+    dials like the LSH planes/tables — threaded through the SQL mirror."""
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    samp = training_sample(emb_n)
-    cents = _init_centroids(samp)
+    samp = training_sample(emb_n, sample_size)
+    cents = _init_centroids(samp, ivf_k)
     for _ in range(IVF_LLOYD_ITERS):
         cents = _lloyd_step(samp, cents)
     return cents
 
 
-def with_ivf_cell(emb: DataFrame) -> DataFrame:
+def with_ivf_cell(emb: DataFrame, *, ivf_k: int = IVF_K,
+                  sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
     """Final assignment against the TRAINED centroids."""
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    return _assign(emb_n, trained_centroids(emb))
+    return _assign(emb_n, trained_centroids(
+        emb, ivf_k=ivf_k, sample_size=sample_size))
 
 
-def ivf_cells(spark, sf_dir) -> DataFrame:
-    assigned, _cents = ivf_index(spark, sf_dir)
+def ivf_cells(spark, sf_dir, *, ivf_k: int = IVF_K,
+              sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
+    assigned, _cents = ivf_index(spark, sf_dir, ivf_k=ivf_k,
+                                 sample_size=sample_size)
     return assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
 
 
-def materialized_centroids(spark, emb: DataFrame) -> DataFrame:
+def materialized_centroids(spark, emb: DataFrame, *, ivf_k: int = IVF_K,
+                           sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
     """Collect the (tiny, deterministic) trained centroid table to the
     driver and re-create it as a literal DataFrame. Every consumer of the
     centroids (assignment, query probes, candidate joins) would otherwise
@@ -219,45 +233,52 @@ def materialized_centroids(spark, emb: DataFrame) -> DataFrame:
     once PER reuse; K rows of literals cost one job total. This is exactly
     how a trained model table ships on a real cluster (train once, persist,
     broadcast)."""
-    rows = trained_centroids(emb).collect()
+    rows = trained_centroids(emb, ivf_k=ivf_k,
+                             sample_size=sample_size).collect()
     return F.broadcast(spark.createDataFrame(
         [(int(r["cid"]), list(r["ce"]), float(r["cn"])) for r in rows],
         "cid long, ce array<double>, cn double"))
 
 
-_IVF_INDEX: dict[str, tuple] = {}  # sf_dir -> (spark, assigned, cents)
+_IVF_INDEX: dict[tuple, tuple] = {}  # (sf_dir,k,S) -> (spark, asgn, cents)
 
 
-def ivf_index(spark, sf_dir) -> tuple:
-    """Build (once per process per sf_dir) the IVF index: trained centroid
-    literals + the PERSISTED cell-assignment table. An IVF index is a
-    built artifact exactly like the inverted index — train/assign once,
-    query many times; without the cache boundary every query's plan
-    re-contains (and Catalyst re-compiles, and Spark re-executes) the whole
-    training+assignment lineage. persist() here is the cluster-memory
-    analog of writing the index to storage (MEMORY_AND_DISK by default)."""
-    ent = _IVF_INDEX.get(sf_dir)
+def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
+              sample_size: int = IVF_SAMPLE_SIZE) -> tuple:
+    """Build (once per process per (sf_dir, geometry)) the IVF index:
+    trained centroid literals + the PERSISTED cell-assignment table. An
+    IVF index is a built artifact exactly like the inverted index —
+    train/assign once, query many times; without the cache boundary every
+    query's plan re-contains (and Catalyst re-compiles, and Spark
+    re-executes) the whole training+assignment lineage. persist() here is
+    the cluster-memory analog of writing the index to storage
+    (MEMORY_AND_DISK by default)."""
+    key = (sf_dir, ivf_k, sample_size)
+    ent = _IVF_INDEX.get(key)
     if ent is None or ent[0] is not spark:
         # cache entries are bound to the SparkSession that persisted them;
         # a new session (e.g. after spark.stop()) must rebuild, not hand
         # out DataFrames referencing a dead JVM gateway
         emb = _emb(spark, sf_dir)
         emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-        cents = materialized_centroids(spark, emb)
+        cents = materialized_centroids(spark, emb, ivf_k=ivf_k,
+                                       sample_size=sample_size)
         assigned = _assign(emb_n, cents).persist()
         assigned.count()  # materialize the index
-        _IVF_INDEX[sf_dir] = (spark, assigned, cents)
-    return _IVF_INDEX[sf_dir][1:]
+        _IVF_INDEX[key] = (spark, assigned, cents)
+    return _IVF_INDEX[key][1:]
 
 
 def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
-                 nprobe: int = IVF_NPROBE) -> DataFrame:
+                 nprobe: int = IVF_NPROBE, *, ivf_k: int = IVF_K,
+                 sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
     """IVF query: rank centroids per query, probe the top-nprobe cells,
     exact cosine re-rank within probed cells only."""
     from pyspark.sql import Window
     emb = _emb(spark, sf_dir)
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
-    assigned, cents = ivf_index(spark, sf_dir)
+    assigned, cents = ivf_index(spark, sf_dir, ivf_k=ivf_k,
+                                sample_size=sample_size)
     # query vectors come straight from the source (their OWN cell is
     # irrelevant to probing) so the NxK assignment pass runs exactly once —
     # for the candidate join below — instead of three times
@@ -335,11 +356,13 @@ def _sql_lloyd(a: str, out: str) -> str:
               from {out}_cl)"""
 
 
-def ivf_assign_sql() -> str:
+def ivf_assign_sql(ivf_k: int = IVF_K,
+                   sample_size: int = IVF_SAMPLE_SIZE) -> str:
     """DuckDB CTEs `emb`, `cents` (TRAINED), `assigned` mirroring
-    trained_centroids + with_ivf_cell: md5-hash training sample ->
-    (hv, vec_id)-ordered K-row init -> IVF_LLOYD_ITERS assign/mean rounds
-    over the SAMPLE -> final assignment over all vectors."""
+    trained_centroids + with_ivf_cell: fixed-size lowest-(hv, vec_id)
+    training sample -> K-row init -> IVF_LLOYD_ITERS assign/mean rounds
+    over the SAMPLE -> final assignment over all vectors. Generated from
+    the SAME constants as the Spark plan for any (ivf_k, sample_size)."""
     parts = [f"""
     emb as (select vec_id, embedding::DOUBLE[] as e,
                    sqrt(list_dot_product(embedding::DOUBLE[],
@@ -350,9 +373,9 @@ def ivf_assign_sql() -> str:
                       cast(('0x' || substr(md5(cast(vec_id as varchar)),
                                            1, 4)) as bigint) as hv
                from emb)
-             where hv % {IVF_SAMPLE_MOD} < {IVF_SAMPLE_TAKE}),
+             order by hv, vec_id limit {sample_size}),
     c0 as (select vec_id as cid, e as ce, nrm as cn from samp
-           order by hv, vec_id limit {IVF_K})"""]
+           order by hv, vec_id limit {ivf_k})"""]
     prev = "c0"
     for i in range(1, IVF_LLOYD_ITERS + 1):
         parts.append(_sql_assign("samp", prev, f"a{i}"))

@@ -202,9 +202,10 @@ def test_ivf_trained_centroids_beat_stride_init(spark):
     """The sample-trained Lloyd centroids must raise recall@5 (nprobe=2,
     all vectors as queries) over the untrained hash-sample init — i.e.
     training actually trains — and beat r2's all-N-trained 0.428 floor
-    (measured 0.4884 with K=8, 2 iterations, ~48% md5 sample). K must be
-    the FIXED IVF_K, decoupled from N, and the training sample a strict
-    subset of the corpus (VERDICT r2 #4)."""
+    (measured 0.5036 with K=8, 2 iterations, fixed-size 256 sample; was
+    0.4884 with the r3 ~48% fraction sample). K must be the FIXED IVF_K,
+    decoupled from N, and the training sample a strict subset of the
+    corpus capped at IVF_SAMPLE_SIZE (VERDICT r2 #4 + r3 #4)."""
     emb = sim._emb(spark, SF)
     pdf = emb.toPandas()
     E = np.stack(pdf["e"].to_numpy())
