@@ -5,11 +5,14 @@ reference's (missing) Indexer job, whose contract is fixed by its consumers
 Pipeline (all lazy DataFrame ops; shuffles marked):
 
   corpus(repo,path,commit,lang,content)   <- immutable source, never copied
-    ├── stage "docs_raw": ONE map-only content scan -> per-doc metadata
-    │     (doc_id + content_sha256 via JVM sha2/conv, doc_len via the Arrow
-    │     RE2 tokenizer, serving title/snippet) written as a ~300 B/doc
-    │     parquet (the reference `urls` table analog). Content is read
-    │     exactly twice per build: here and in the index map.  [no shuffle]
+    ├── stage "docs_raw": THE one map-only content scan -> a union parquet
+    │     of (a) per-doc metadata rows (doc_id + content_sha256 via JVM
+    │     sha2/conv, doc_len via the Arrow RE2 tokenizer, serving
+    │     title/snippet — ~300 B/doc, the reference `urls` table analog)
+    │     and (b) doc_id-keyed MAP-SIDE-COMBINED packed posting runs from
+    │     the same tokenization. Content is read and tokenized exactly
+    │     ONCE per build; the index stage consumes the persisted runs.
+    │                                                          [no shuffle]
     ├── stage "aliases": content dedup (reference contentSeen analog) — a
     │     window on content_sha256 over docs_raw; duplicate-content rows
     │     alias the min-doc_id canonical and are excluded downstream.
@@ -25,12 +28,12 @@ Pipeline (all lazy DataFrame ops; shuffles marked):
     │     CONTENT NEVER SHUFFLES at any corpus size. Ordinals are monotone
     │     in doc_id, so doc_id order == ordinal order downstream.
     │                              [SHUFFLE 0: ~300 B/row metadata only]
-    ├── stage "index": source content + broadcast (doc_id -> ordinal) map,
-    │     mapInPandas MAP-SIDE COMBINE: tokenize + factorize terms to int
-    │     codes + one int64 np.unique for (term,doc) tf counts, then emit
-    │     ONE PACKED ROW per (term, range-salt) per map partition (sorted
-    │     ordinal run as raw bytes). Shuffle rows ~ terms×salts×partitions,
-    │     not one row per posting (30-50× fewer).             [no shuffle]
+    ├── stage "index": the scan's persisted doc_id-keyed runs shuffle on
+    │     their (term, ext-salt) keys; the reduce merges runs AND remaps
+    │     doc_id -> dense ordinal in one vectorized pass (broadcast
+    │     searchsorted under the doc limit, partitioned ordinal join past
+    │     it). Ordinals are monotone in doc_id, so ext-salt buckets are
+    │     contiguous ordinal intervals — salt-order concat stays sorted.
     │     → repartition(P, term, salt)                        [SHUFFLE 1, salted]
     │     → mapInPandas: merge map-partition runs per (term,salt) (argsort)
     │     → repartition(P, term) + sortWithinPartitions       [SHUFFLE 2, small:
@@ -149,6 +152,52 @@ def partition_token_arrays(batches: Iterator[pa.RecordBatch],
     return codes, ordinals, genc.dictionary
 
 
+def _pack_runs(codes: np.ndarray, ordinals: np.ndarray, vocab_arr,
+               nd: int, n_salts: int) -> pa.RecordBatch | None:
+    """Flat (term_code, ordinal) token arrays -> one packed run row per
+    (term, range-salt): sorted id run + tfs as raw little-endian bytes.
+    The shared map-side-combine tail of every posting map kernel."""
+    nd = max(nd, 1)
+    # composite key (term_code, ordinal) -> tf via one sorted unique
+    if len(vocab_arr) * nd < 2**62:
+        key = codes * np.int64(nd) + ordinals
+        uk, tfs = np.unique(key, return_counts=True)
+        t_code = uk // nd
+        t_ord = uk % nd
+    else:  # overflow-safe path for astronomically large id spaces
+        order = np.lexsort((ordinals, codes))
+        sc, so = codes[order], ordinals[order]
+        newgrp = np.empty(sc.size, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (np.diff(sc) != 0) | (np.diff(so) != 0)
+        starts_ = np.flatnonzero(newgrp)
+        tfs = np.diff(np.concatenate((starts_, [sc.size])))
+        t_code, t_ord = sc[starts_], so[starts_]
+    # overflow-safe range salt: ceil-div keeps <= n_salts buckets and
+    # works for arbitrarily large id spaces (doc_id-keyed runs pass
+    # nd = 1<<62 here; t_ord * n_salts would overflow int64)
+    salt_div = max(1, (nd + n_salts - 1) // n_salts)
+    salt = (t_ord // salt_div).astype(np.int32)
+    # uk order == (term_code, ordinal) == (term_code, salt, ordinal)
+    change = np.flatnonzero(
+        (np.diff(t_code) != 0) | (np.diff(salt) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [t_code.size]))
+    tfs32 = tfs.astype(np.int32)
+    run_terms = vocab_arr.take(
+        pa.array(t_code[starts], pa.int64())).cast(pa.string())
+    ids_col = pa.array([t_ord[s:e].tobytes()
+                        for s, e in zip(starts, ends)], pa.binary())
+    tfs_col = pa.array([tfs32[s:e].tobytes()
+                        for s, e in zip(starts, ends)], pa.binary())
+    return pa.RecordBatch.from_arrays(
+        [run_terms,
+         pa.array(salt[starts], pa.int32()),
+         pa.array((ends - starts).astype(np.int64), pa.int64()),
+         ids_col, tfs_col],
+        names=["term", "salt", "n", "ids", "tfs"])
+
+
 def _map_partial_runs_factory(n_docs: int, n_salts: int):
     """MAP-SIDE COMBINE: (ordinal, content) partition -> one packed row per
     (term, salt) seen in this partition: sorted ordinal run + tfs as raw
@@ -160,45 +209,89 @@ def _map_partial_runs_factory(n_docs: int, n_salts: int):
         if got is None:
             return
         codes, ordinals, vocab_arr = got
-        # composite key (term_code, ordinal) -> tf via one sorted unique
-        nd = max(n_docs, 1)
-        if len(vocab_arr) * nd < 2**62:
-            key = codes * np.int64(nd) + ordinals
-            uk, tfs = np.unique(key, return_counts=True)
-            t_code = uk // nd
-            t_ord = uk % nd
-        else:  # overflow-safe path for astronomically large corpora
-            order = np.lexsort((ordinals, codes))
-            sc, so = codes[order], ordinals[order]
-            newgrp = np.empty(sc.size, dtype=bool)
-            newgrp[0] = True
-            newgrp[1:] = (np.diff(sc) != 0) | (np.diff(so) != 0)
-            starts_ = np.flatnonzero(newgrp)
-            tfs = np.diff(np.concatenate((starts_, [sc.size])))
-            t_code, t_ord = sc[starts_], so[starts_]
-        # overflow-safe range salt: ceil-div keeps <= n_salts buckets and
-        # works for arbitrarily large id spaces (streaming uses raw 63-bit
-        # doc_ids here; t_ord * n_salts would overflow int64)
-        salt_div = max(1, (nd + n_salts - 1) // n_salts)
-        salt = (t_ord // salt_div).astype(np.int32)
-        # uk order == (term_code, ordinal) == (term_code, salt, ordinal)
-        change = np.flatnonzero(
-            (np.diff(t_code) != 0) | (np.diff(salt) != 0)) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [t_code.size]))
-        tfs32 = tfs.astype(np.int32)
-        run_terms = vocab_arr.take(
-            pa.array(t_code[starts], pa.int64())).cast(pa.string())
-        ids_col = pa.array([t_ord[s:e].tobytes()
-                            for s, e in zip(starts, ends)], pa.binary())
-        tfs_col = pa.array([tfs32[s:e].tobytes()
-                            for s, e in zip(starts, ends)], pa.binary())
+        rb = _pack_runs(codes, ordinals, vocab_arr, n_docs, n_salts)
+        if rb is not None:
+            yield rb
+    return run
+
+
+_RUN_FIELDS = [("term", pa.string()), ("salt", pa.int32()),
+               ("n", pa.int64()), ("ids", pa.binary()),
+               ("tfs", pa.binary())]
+
+
+def _map_scan_factory(meta_names: list[str], n_salts: int):
+    """THE single content scan (VERDICT r4: the old build tokenized all
+    content TWICE — once for docs_raw doc_len, once for the posting map).
+    Input partition: (meta..., content). Emits UNION rows in one pass over
+    one tokenization:
+
+    - doc rows: meta pass-through + doc_len (token count), run cols null —
+      streamed out per input batch;
+    - run rows: packed (term, salt, n, ids, tfs) posting runs keyed by
+      EXTERNAL doc_id (exactly the streaming-ingest convention; ordinals
+      do not exist yet) — emitted once per partition after the map-side
+      combine.
+
+    The caller persists the union frame and filter-projects it into the
+    docs_raw and runs_raw artifacts, so content is read and tokenized
+    exactly ONCE per build at any corpus size."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        code_parts, ord_parts, dict_parts, bases = [], [], [], []
+        base = 0
+        names = meta_names + ["doc_len"] + [n for n, _ in _RUN_FIELDS]
+        meta_types: dict[str, pa.DataType] = {}
+        for rb in batches:
+            for nm in meta_names:
+                meta_types[nm] = rb.schema.field(nm).type
+            content = rb.column("content")
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            toks = tokenize_arrow(content)
+            lens_a = pc.coalesce(
+                pc.list_value_length(toks).cast(pa.int64()),
+                pa.scalar(0, pa.int64()))
+            if isinstance(lens_a, pa.ChunkedArray):
+                lens_a = lens_a.combine_chunks()
+            n = rb.num_rows
+            doc_cols = []
+            for nm in meta_names:
+                col = rb.column(nm)
+                doc_cols.append(col.combine_chunks()
+                                if isinstance(col, pa.ChunkedArray) else col)
+            doc_cols.append(lens_a)
+            doc_cols += [pa.nulls(n, t) for _, t in _RUN_FIELDS]
+            yield pa.RecordBatch.from_arrays(doc_cols, names=names)
+            lens = lens_a.to_numpy(zero_copy_only=False).astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            enc = pc.list_flatten(toks).dictionary_encode()
+            code_parts.append(enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            dict_parts.append(enc.dictionary)
+            bases.append(base)
+            base += len(enc.dictionary)
+            ord_parts.append(np.repeat(
+                rb.column("doc_id").to_numpy(zero_copy_only=False)
+                .astype(np.int64), lens))
+        if not code_parts:
+            return
+        gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
+        genc = gdict.dictionary_encode()
+        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.concatenate(
+            [gidx[b + c] for b, c in zip(bases, code_parts)])
+        ordinals = np.concatenate(ord_parts)
+        runs = _pack_runs(codes, ordinals, genc.dictionary, 1 << 62, n_salts)
+        if runs is None:
+            return
+        nr = runs.num_rows
+        # meta cols (and doc_len) null for run rows
+        pad = [pa.nulls(nr, meta_types[nm]) for nm in meta_names]
         yield pa.RecordBatch.from_arrays(
-            [run_terms,
-             pa.array(salt[starts], pa.int32()),
-             pa.array((ends - starts).astype(np.int64), pa.int64()),
-             ids_col, tfs_col],
-            names=["term", "salt", "n", "ids", "tfs"])
+            pad + [pa.nulls(nr, pa.int64())]
+            + [runs.column(i) for i in range(runs.num_columns)],
+            names=names)
     return run
 
 
@@ -308,6 +401,100 @@ def posting_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
     return (packed.repartition(partitions, "term")
             .sortWithinPartitions("term", "salt")
             .mapInPandas(_merge_runs_sorting, schema=INDEX_SCHEMA))
+
+
+def _reduce_remap_runs_factory(ext_sorted: np.ndarray):
+    """Per (term, ext-salt): merge doc_id-keyed map runs into one sorted
+    run AND remap external doc_ids to dense ordinals in the same pass.
+    ext_sorted is the sorted external-id array (ordinal == index) of the
+    DEDUPED doc set: external ids absent from it (duplicate-content docs
+    aliased out) drop here — their canonical twin carries the identical
+    postings, so the result stays byte-identical to an un-deduped
+    equivalent (test-enforced).
+
+    Why remap INSIDE the reduce, not as a separate pass: ordinals are
+    monotone in doc_id, so each doc_id-range salt bucket maps to a
+    CONTIGUOUS ordinal interval, ordered by salt — the downstream
+    salt-order concat (_merge_term_runs) stays globally sorted with the
+    runs' ORIGINAL ext-salt keys, no re-salting or run splitting needed.
+    A prior design remapped runs in a dedicated per-run pass; with
+    map-partition-fragmented runs (~terms x salts x partitions rows) the
+    per-run Python loop cost more than re-tokenizing the corpus. Here the
+    Python loop runs once per (term, salt) GROUP — the same loop the
+    reduce already does — and the searchsorted is one vectorized call per
+    group."""
+    def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               if len(parts) > 1 else parts[0])
+        rows = []
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+            ids = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+            tfs = np.concatenate(
+                [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+            idx, keep = remap_keep(ext_sorted, ids)
+            if not keep.any():
+                continue
+            ords = idx[keep].astype(np.int64)
+            tfs = tfs[keep]
+            rows.append((term, int(salt), len(ords),
+                         ords.tobytes(), tfs.tobytes()))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["term", "salt", "n", "ids", "tfs"])
+    return reduce
+
+
+def _unpack_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Packed external-id runs -> (term, doc_id, tf) posting rows, for the
+    beyond-broadcast-limit path (the rows JOIN the partitioned ordinal
+    map; no driver array anywhere)."""
+    for pdf in batches:
+        outs = []
+        for term, ids_b, tfs_b in zip(pdf["term"], pdf["ids"], pdf["tfs"]):
+            outs.append(pd.DataFrame({
+                "term": term,
+                "doc_id": np.frombuffer(ids_b, dtype=np.int64),
+                "tf": np.frombuffer(tfs_b, dtype=np.int32)}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+def runs_to_index(spark: SparkSession, runs: DataFrame, docs: DataFrame,
+                  n_docs: int, n_salts: int, partitions: int) -> DataFrame:
+    """doc_id-keyed packed runs + docs snapshot (ordinal map) -> final
+    index rows. THE shared index tail: the batch build (runs_raw stage),
+    the streaming compactor, and the incremental compactor all feed it, so
+    every ingestion mode is byte-identical by construction (tests enforce
+    it against golden fixtures and across modes). Two regimes, like the
+    ordinal join everywhere else:
+
+    - under BROADCAST_DOC_LIMIT: the raw runs shuffle on their (term,
+      ext-salt) keys and the sorted doc_id array closure-captures into the
+      REDUCE, which merges + remaps in one vectorized pass per group (hot
+      terms fan out over the ext-salt buckets; ext-salt order == ordinal
+      order because ordinals are monotone in doc_id);
+    - past it: runs unpack to posting rows and JOIN the partitioned
+      ordinal map — no driver array anywhere."""
+    if n_docs <= BROADCAST_DOC_LIMIT:
+        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
+                      .toPandas()["doc_id"].to_numpy(np.int64))
+        partials = (runs.repartition(partitions, "term", "salt")
+                    .mapInPandas(_reduce_remap_runs_factory(ext_sorted),
+                                 schema=RUN_SCHEMA))
+        return (partials.repartition(partitions, "term")
+                .sortWithinPartitions("term", "salt")
+                .mapInPandas(_merge_term_runs, schema=INDEX_SCHEMA))
+    rows = (runs.mapInPandas(
+                _unpack_runs, schema="term string, doc_id long, tf int")
+            .join(docs.select("doc_id", "ordinal"), "doc_id")
+            .select("term", "ordinal", "tf"))
+    return posting_rows_to_index(rows, n_docs, n_salts, partitions)
 
 
 def assign_ordinals(spark: SparkSession, df: DataFrame,
@@ -497,17 +684,45 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
              .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
         meta_cols = [col for col in c.columns if col != "content"]
-        raw = _with_doclen_arrow(c, meta_cols)
+        # THE single content scan: one tokenization emits BOTH the per-doc
+        # metadata rows (doc_len) AND the doc_id-keyed packed posting runs
+        # as a union frame (run rows have null meta; doc rows null run
+        # cols). The index stage consumes the persisted runs, so content
+        # is read+tokenized exactly ONCE per build (was twice: docs_raw
+        # doc_len + the index posting map — the measured non-scaling
+        # stage). All fields nullable: each row kind nulls the other's.
+        scan_schema = T.StructType(
+            [T.StructField(name, c.schema[name].dataType, True)
+             for name in meta_cols]
+            + [T.StructField("doc_len", T.LongType(), True),
+               T.StructField("term", T.StringType(), True),
+               T.StructField("salt", T.IntegerType(), True),
+               T.StructField("n", T.LongType(), True),
+               T.StructField("ids", T.BinaryType(), True),
+               T.StructField("tfs", T.BinaryType(), True)])
+        raw = (c.select(*meta_cols, "content")
+               .mapInArrow(_map_scan_factory(meta_cols, n_salts),
+                           schema=scan_schema))
         robs = Observation("raw_rows")
-        raw = raw.observe(robs, F.count(F.lit(1)).alias("rows"),
-                          *_bucket_metrics(F.col("doc_id")))
+        # run rows have null doc_id -> every observation term skips them
+        raw = raw.observe(
+            robs,
+            F.sum(F.when(F.col("term").isNull(), 1).otherwise(0))
+            .alias("rows"),
+            *_bucket_metrics(F.col("doc_id")))
         raw.write.mode("overwrite").parquet(man.stage_path("docs_raw"))
         rgot = robs.get
-        man.commit("docs_raw", t0, int(rgot["rows"]),
+        man.commit("docs_raw", t0, int(rgot["rows"] or 0),
                    {"bucket_counts": [int(rgot[f"b{i}"] or 0)
                                       for i in range(n_buckets)]})
-    docs_raw = (spark.read.parquet(man.stage_path("docs_raw"))
-                if need_docs else None)
+    docs_raw = None
+    if need_docs:
+        docs_raw = spark.read.parquet(man.stage_path("docs_raw"))
+        # single-scan layout: project the doc rows out of the union
+        # (legacy layouts wrote metadata-only docs_raw — no run columns)
+        if "term" in docs_raw.columns:
+            docs_raw = (docs_raw.where(F.col("doc_id").isNotNull())
+                        .drop("term", "salt", "n", "ids", "tfs"))
 
     # ---- stage: aliases (content dedup — the reference contentSeen analog,
     # crawler/Crawler.java:177-190: pages with identical content share one
@@ -615,18 +830,35 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # ---- stage: index (salted two-phase posting build) ----
     if not man.is_complete("index"):
         t0 = man.begin("index")
-        pair = ordinal_content_pairs(corpus, docs, n_docs)
-        map_runs = pair.mapInArrow(
-            _map_partial_runs_factory(n_docs, n_salts), schema=RUN_SCHEMA)
-        partials = (
-            map_runs.repartition(partitions, "term", "salt")
-            .mapInPandas(_reduce_partial_runs, schema=RUN_SCHEMA)
-        )
-        index = (
-            partials.repartition(partitions, "term")
-            .sortWithinPartitions("term", "salt")
-            .mapInPandas(_merge_term_runs, schema=INDEX_SCHEMA)
-        )
+        # the single-scan layout already persisted map-side-combined
+        # doc_id-keyed runs in the docs_raw union — consume those (zero
+        # further content reads). Legacy layouts (metadata-only docs_raw,
+        # or docs complete with no docs_raw at all) fall back to the
+        # original second content scan.
+        runs = None
+        if man.is_complete("docs_raw") and os.path.exists(
+                man.stage_path("docs_raw")):
+            scan = spark.read.parquet(man.stage_path("docs_raw"))
+            if "term" in scan.columns:
+                runs = (scan.where(F.col("term").isNotNull())
+                        .select("term", "salt", "n", "ids", "tfs"))
+        if runs is not None:
+            index = runs_to_index(spark, runs, docs, n_docs,
+                                  n_salts, partitions)
+        else:
+            pair = ordinal_content_pairs(corpus, docs, n_docs)
+            map_runs = pair.mapInArrow(
+                _map_partial_runs_factory(n_docs, n_salts),
+                schema=RUN_SCHEMA)
+            partials = (
+                map_runs.repartition(partitions, "term", "salt")
+                .mapInPandas(_reduce_partial_runs, schema=RUN_SCHEMA)
+            )
+            index = (
+                partials.repartition(partitions, "term")
+                .sortWithinPartitions("term", "salt")
+                .mapInPandas(_merge_term_runs, schema=INDEX_SCHEMA)
+            )
         from pyspark.sql import Observation
         iobs = Observation("index_stats")
         index = index.observe(

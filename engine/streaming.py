@@ -25,20 +25,15 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-import pyarrow as pa
-import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index_build import (
-    INDEX_SCHEMA,
     RUN_SCHEMA,
     _map_partial_runs_factory,
     _merge_runs_sorting,
     with_doc_identity,
 )
-from .index_build import remap_keep as ib_remap_keep
 
 # backwards-compat alias (merge.py and older callers import it from here)
 _merge_sorting = _merge_runs_sorting
@@ -106,61 +101,6 @@ def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
           .option("checkpointLocation", os.path.join(work_dir, "_ckpt_pos"))
           .outputMode("append").trigger(**trigger).start())
     return q1, q2, q3
-
-
-def _remap_runs_factory(ext_sorted: np.ndarray, n_docs: int, n_salts: int):
-    """Remap partial runs from external doc_ids to dense ordinals.
-    ext_sorted is the sorted external-id array (ordinal == index) of the
-    DEDUPED doc set: external ids absent from it (duplicate-content docs
-    aliased out at compaction) are dropped from the run — their canonical
-    twin carries the identical postings, so the result stays byte-identical
-    to a batch build over the same corpus (test-enforced)."""
-    def remap(batches):
-        for rb in batches:
-            terms = rb.column("term").to_pylist()
-            ids_col = rb.column("ids").to_pylist()
-            tfs_col = rb.column("tfs").to_pylist()
-            o_terms, out_ids, out_tfs, out_salt, out_n = [], [], [], [], []
-            for term, ids_b, tfs_b in zip(terms, ids_col, tfs_col):
-                ext = np.frombuffer(ids_b, dtype=np.int64)
-                idx, keep = ib_remap_keep(ext_sorted, ext)
-                if not keep.any():
-                    continue
-                if not keep.all():
-                    idx = idx[keep]
-                    tfs_b = np.frombuffer(
-                        tfs_b, dtype=np.int32)[keep].tobytes()
-                ords = idx.astype(np.int64)
-                # runs were sorted by ext id -> ordinals are sorted too
-                o_terms.append(term)
-                out_ids.append(ords.tobytes())
-                out_tfs.append(tfs_b)
-                out_salt.append(int(ords[0] * n_salts // max(n_docs, 1)))
-                out_n.append(len(ords))
-            if o_terms:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(o_terms, pa.string()),
-                     pa.array(out_salt, pa.int32()),
-                     pa.array(out_n, pa.int64()),
-                     pa.array(out_ids, pa.binary()),
-                     pa.array(out_tfs, pa.binary())],
-                    names=["term", "salt", "n", "ids", "tfs"])
-    return remap
-
-
-def _unpack_runs(batches):
-    """Packed external-id runs -> (term, doc_id, tf) posting rows, for the
-    beyond-broadcast-limit compaction path."""
-    import pandas as pd
-    for pdf in batches:
-        outs = []
-        for term, ids_b, tfs_b in zip(pdf["term"], pdf["ids"], pdf["tfs"]):
-            outs.append(pd.DataFrame({
-                "term": term,
-                "doc_id": np.frombuffer(ids_b, dtype=np.int64),
-                "tf": np.frombuffer(tfs_b, dtype=np.int32)}))
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
 
 
 def compact(spark: SparkSession, work_dir: str, out_dir: str,
@@ -250,25 +190,14 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     runs = (spark.read.parquet(*run_files) if run_files
             else spark.read.parquet(os.path.join(work_dir, "run_partials")))
     docs = spark.read.parquet(man.stage_path("docs"))
-    if n_docs <= ib.BROADCAST_DOC_LIMIT:
-        # salt was doc_id-range based at ingest; recompute over dense
-        # ordinals. A streamed run may span ordinal-salt boundaries; remap
-        # assigns the salt of the run's FIRST ordinal and the final merge
-        # does a full argsort per term, so placement stays correct.
-        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
-                      .toPandas()["doc_id"].to_numpy(np.int64))
-        remapped = runs.mapInArrow(
-            _remap_runs_factory(ext_sorted, n_docs, n_salts),
-            schema=RUN_SCHEMA)
-        index = (remapped.repartition(partitions, "term")
-                 .sortWithinPartitions("term", "salt")
-                 .mapInPandas(_merge_sorting, schema=INDEX_SCHEMA))
-    else:
-        rows = (runs.mapInPandas(
-                    _unpack_runs, schema="term string, doc_id long, tf int")
-                .join(docs.select("doc_id", "ordinal"), "doc_id")
-                .select("term", "ordinal", "tf"))
-        index = ib.posting_rows_to_index(rows, n_docs, n_salts, partitions)
+    # THE shared index tail (index_build.runs_to_index) — the same code the
+    # batch build runs on its persisted scan runs, so batch and streamed
+    # corpora are byte-identical by construction. Streamed runs carry
+    # doc_id-range salts from ingest; ordinals are monotone in doc_id, so
+    # those buckets are contiguous ordinal intervals and the salted
+    # two-phase reduce/merge applies as-is (hot terms fan out over the
+    # ext-salt buckets instead of one per-term argsort reducer).
+    index = ib.runs_to_index(spark, runs, docs, n_docs, n_salts, partitions)
     # index metrics + lineage counts ride their write jobs' Observations —
     # no read-back agg or count actions (fixed driver latency per action
     # is the dominant small-build scaling-efficiency cost)

@@ -123,6 +123,72 @@ def test_fresh_rebuild_clears_stale_optional_stages(spark, tmp_path):
         SearchService(spark, out)._phrase_engine()
 
 
+def test_index_stage_hermetic_after_scan(spark, fixture_corpus_pdf,
+                                         tmp_path):
+    """The docs_raw union scan persists the map-side-combined posting runs,
+    so the index stage must need ZERO further content reads: resuming a
+    crash-before-index build against a corpus whose CONTENT has been
+    swapped out must still reproduce the original index byte-for-byte
+    (same doc keys -> same doc_ids; only the persisted runs are read)."""
+    import shutil
+
+    out = str(tmp_path / "hermetic")
+    pdf = fixture_corpus_pdf.head(150)
+    corpus = corpus_to_spark(spark, pdf)
+    build_index(spark, corpus, out, n_salts=4, partitions=4)
+    fp1 = _index_fingerprint(spark, out)
+
+    man_path = os.path.join(out, "manifest.json")
+    with open(man_path) as f:
+        state = json.load(f)
+    for stage in ("index", "_lineage"):
+        state["completed"].pop(stage)
+    with open(man_path, "w") as f:
+        json.dump(state, f)
+    shutil.rmtree(os.path.join(out, "index"))
+    shutil.rmtree(os.path.join(out, "_lineage"))
+
+    poisoned = pdf.copy()
+    poisoned["content"] = "poisoned sentinel tokens " + poisoned["content"]
+    build_index(spark, corpus_to_spark(spark, poisoned), out,
+                n_salts=4, partitions=4)
+    assert _index_fingerprint(spark, out) == fp1
+
+
+def test_legacy_metadata_only_docs_raw_falls_back(spark, fixture_corpus_pdf,
+                                                  tmp_path):
+    """A docs_raw written by the pre-union layout (metadata only, no run
+    columns) must rebuild the index via the second content scan and land
+    byte-identical."""
+    import shutil
+
+    out = str(tmp_path / "legacy_raw")
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(150))
+    build_index(spark, corpus, out, n_salts=4, partitions=4)
+    fp1 = _index_fingerprint(spark, out)
+
+    # rewrite docs_raw as the legacy metadata-only table
+    raw = spark.read.parquet(os.path.join(out, "docs_raw"))
+    legacy = (raw.where(raw["doc_id"].isNotNull())
+              .drop("term", "salt", "n", "ids", "tfs").toPandas())
+    shutil.rmtree(os.path.join(out, "docs_raw"))
+    (spark.createDataFrame(legacy).write
+     .parquet(os.path.join(out, "docs_raw")))
+
+    man_path = os.path.join(out, "manifest.json")
+    with open(man_path) as f:
+        state = json.load(f)
+    for stage in ("index", "_lineage"):
+        state["completed"].pop(stage)
+    with open(man_path, "w") as f:
+        json.dump(state, f)
+    shutil.rmtree(os.path.join(out, "index"))
+    shutil.rmtree(os.path.join(out, "_lineage"))
+
+    build_index(spark, corpus, out, n_salts=4, partitions=4)
+    assert _index_fingerprint(spark, out) == fp1
+
+
 def test_resume_on_legacy_layout_is_noop(spark, fixture_corpus_pdf,
                                          tmp_path):
     """An index dir whose manifest predates the docs_raw/aliases stages
