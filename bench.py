@@ -102,12 +102,13 @@ def _scaling_child(n_cores: int, base: str) -> None:
     (the sandbox VM is noisy, so best-of-N):
     - docs_per_sec: best of 2 timed FULL builds per child; each level runs twice, interleaved (4,16,4,16), best kept
     - map_docs_per_sec: min-wall of 3 runs of the dominant distributed
-      stage alone (tokenize -> map-side combined posting runs), which is
-      what actually scales with executors at 10^12-file size — the O(1)
-      driver actions amortize away on real multi-hour builds."""
+      stage alone (the single content scan: tokenize -> doc metadata +
+      map-side combined posting runs), which is what actually scales with
+      executors at 10^12-file size — the O(1) driver actions amortize away
+      on real multi-hour builds."""
     from pyspark.sql import functions as F
 
-    from engine.index_build import _map_partial_runs_factory, build_index
+    from engine.index_build import build_index, scan_union_frame
     spark = _build_session(f"local[{n_cores}]", max(8, n_cores * 2))
     try:
         out = os.path.join(base, f"out{n_cores}")
@@ -128,15 +129,11 @@ def _scaling_child(n_cores: int, base: str) -> None:
             best = wall if best is None else min(best, wall)
             shutil.rmtree(os.path.join(out, f"idx{i}"), ignore_errors=True)
 
-        c_in = corpus.withColumn("ordinal",
-                                 F.col("doc_id") % F.lit(SCALING_DOCS))
-        fn = _map_partial_runs_factory(SCALING_DOCS, 8)
-        sch = "term string, salt int, n long, ids binary, tfs binary"
+        scan = scan_union_frame(corpus, 8)
         map_best = None
         for _ in range(3):
             t0 = time.time()
-            (c_in.select("ordinal", "content")
-             .mapInArrow(fn, schema=sch).count())
+            scan.count()
             w = time.time() - t0
             map_best = w if map_best is None else min(map_best, w)
         shutil.rmtree(out, ignore_errors=True)

@@ -139,16 +139,12 @@ def main(argv=None):
                 corpus = (spark.read.schema(schema)
                           .option("header", True).option("multiLine", True)
                           .option("escape", '"').csv(args.input))
+        # --positions rides the SAME single content scan as the tf index
+        # (build_index with_positions) — one tokenization for everything
         man = build_index(spark, corpus, args.out, n_salts=args.salts,
                           partitions=args.partitions,
-                          resume=not args.no_resume)
-        if args.positions:
-            from engine.checkpoint import BuildManifest
-            from engine.positions import build_positions
-            build_positions(spark, corpus, args.out,
-                            n_salts=args.salts or 8,
-                            partitions=args.partitions)
-            man = BuildManifest(args.out)
+                          resume=not args.no_resume,
+                          with_positions=args.positions)
         print(json.dumps(man.metrics(), indent=1))
     elif args.cmd == "query":
         if args.mode == "phrase":

@@ -218,28 +218,37 @@ def _map_partial_runs_factory(n_docs: int, n_salts: int):
 _RUN_FIELDS = [("term", pa.string()), ("salt", pa.int32()),
                ("n", pa.int64()), ("ids", pa.binary()),
                ("tfs", pa.binary())]
+# positional run columns, always present in the union schema for schema
+# stability; populated only when the scan runs with_positions
+_POS_FIELDS = [("counts", pa.binary()), ("pos", pa.binary())]
 
 
-def _map_scan_factory(meta_names: list[str], n_salts: int):
+def _map_scan_factory(meta_names: list[str], n_salts: int,
+                      with_positions: bool = False):
     """THE single content scan (VERDICT r4: the old build tokenized all
-    content TWICE — once for docs_raw doc_len, once for the posting map).
-    Input partition: (meta..., content). Emits UNION rows in one pass over
-    one tokenization:
+    content TWICE — once for docs_raw doc_len, once for the posting map;
+    THREE times with a positional build). Input partition:
+    (meta..., content). Emits UNION rows in one pass over one tokenization:
 
-    - doc rows: meta pass-through + doc_len (token count), run cols null —
+    - doc rows (term null): meta pass-through + doc_len (token count) —
       streamed out per input batch;
-    - run rows: packed (term, salt, n, ids, tfs) posting runs keyed by
-      EXTERNAL doc_id (exactly the streaming-ingest convention; ordinals
-      do not exist yet) — emitted once per partition after the map-side
-      combine.
+    - tf run rows (tfs non-null): packed (term, salt, n, ids, tfs) posting
+      runs keyed by EXTERNAL doc_id (exactly the streaming-ingest
+      convention; ordinals do not exist yet) — emitted once per partition
+      after the map-side combine;
+    - position run rows (counts non-null, only with_positions): packed
+      (term, salt, ids, counts, pos) runs from the SAME token arrays
+      (positions._pack_pos_runs).
 
     The caller persists the union frame and filter-projects it into the
-    docs_raw and runs_raw artifacts, so content is read and tokenized
-    exactly ONCE per build at any corpus size."""
+    docs_raw / runs / position-runs artifacts, so content is read and
+    tokenized exactly ONCE per build at any corpus size."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        code_parts, ord_parts, dict_parts, bases = [], [], [], []
+        code_parts, ord_parts, pos_parts, dict_parts, bases = \
+            [], [], [], [], []
         base = 0
-        names = meta_names + ["doc_len"] + [n for n, _ in _RUN_FIELDS]
+        names = (meta_names + ["doc_len"] + [n for n, _ in _RUN_FIELDS]
+                 + [n for n, _ in _POS_FIELDS])
         meta_types: dict[str, pa.DataType] = {}
         for rb in batches:
             for nm in meta_names:
@@ -260,10 +269,12 @@ def _map_scan_factory(meta_names: list[str], n_salts: int):
                 doc_cols.append(col.combine_chunks()
                                 if isinstance(col, pa.ChunkedArray) else col)
             doc_cols.append(lens_a)
-            doc_cols += [pa.nulls(n, t) for _, t in _RUN_FIELDS]
+            doc_cols += [pa.nulls(n, t)
+                         for _, t in _RUN_FIELDS + _POS_FIELDS]
             yield pa.RecordBatch.from_arrays(doc_cols, names=names)
             lens = lens_a.to_numpy(zero_copy_only=False).astype(np.int64)
-            if lens.sum() == 0:
+            total = int(lens.sum())
+            if total == 0:
                 continue
             enc = pc.list_flatten(toks).dictionary_encode()
             code_parts.append(enc.indices.to_numpy(
@@ -274,6 +285,10 @@ def _map_scan_factory(meta_names: list[str], n_salts: int):
             ord_parts.append(np.repeat(
                 rb.column("doc_id").to_numpy(zero_copy_only=False)
                 .astype(np.int64), lens))
+            if with_positions:
+                doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos_parts.append(np.arange(total, dtype=np.int64)
+                                 - np.repeat(doc_starts, lens))
         if not code_parts:
             return
         gdict = pa.concat_arrays([d.cast(pa.string()) for d in dict_parts])
@@ -282,16 +297,31 @@ def _map_scan_factory(meta_names: list[str], n_salts: int):
         codes = np.concatenate(
             [gidx[b + c] for b, c in zip(bases, code_parts)])
         ordinals = np.concatenate(ord_parts)
+
+        def pad_union(rb_runs: pa.RecordBatch, run_names: list[str]):
+            """Run batch -> union batch: null-pad every column the run
+            kind does not carry, in union column order."""
+            nr = rb_runs.num_rows
+            have = {rb_runs.schema.names[i]: rb_runs.column(i)
+                    for i in range(rb_runs.num_columns)}
+            cols = [pa.nulls(nr, meta_types[nm]) for nm in meta_names]
+            cols.append(pa.nulls(nr, pa.int64()))  # doc_len
+            for nm, t in _RUN_FIELDS + _POS_FIELDS:
+                cols.append(have[nm] if nm in run_names
+                            else pa.nulls(nr, t))
+            return pa.RecordBatch.from_arrays(cols, names=names)
+
         runs = _pack_runs(codes, ordinals, genc.dictionary, 1 << 62, n_salts)
-        if runs is None:
-            return
-        nr = runs.num_rows
-        # meta cols (and doc_len) null for run rows
-        pad = [pa.nulls(nr, meta_types[nm]) for nm in meta_names]
-        yield pa.RecordBatch.from_arrays(
-            pad + [pa.nulls(nr, pa.int64())]
-            + [runs.column(i) for i in range(runs.num_columns)],
-            names=names)
+        if runs is not None:
+            yield pad_union(runs, ["term", "salt", "n", "ids", "tfs"])
+        if with_positions:
+            from .positions import _pack_pos_runs
+            prb = _pack_pos_runs(codes, ordinals,
+                                 np.concatenate(pos_parts),
+                                 genc.dictionary, 1 << 62, n_salts)
+            if prb is not None:
+                yield pad_union(prb, ["term", "salt", "ids",
+                                      "counts", "pos"])
     return run
 
 
@@ -465,8 +495,29 @@ def _unpack_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.concat(outs, ignore_index=True)
 
 
+def _doc_ids_sorted(docs: DataFrame, docs_path: str | None) -> np.ndarray:
+    """Sorted doc_id array of the docs snapshot (ordinal == index). When
+    the caller passes the snapshot's parquet path, read the one column
+    driver-side with pyarrow — no Spark action, no cluster round-trip (the
+    array is ≤ BROADCAST_DOC_LIMIT rows by contract, and per-action fixed
+    driver latency is the dominant small-build scaling cost). Falls back
+    to a Spark collect for non-local/virtual frames."""
+    if docs_path is not None:
+        try:
+            import pyarrow.dataset as pads
+            tbl = pads.dataset(docs_path, format="parquet").to_table(
+                columns=["doc_id"])
+            return np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+        except Exception:
+            pass
+    return np.sort(docs.select("doc_id").toPandas()["doc_id"]
+                   .to_numpy(np.int64))
+
+
 def runs_to_index(spark: SparkSession, runs: DataFrame, docs: DataFrame,
-                  n_docs: int, n_salts: int, partitions: int) -> DataFrame:
+                  n_docs: int, n_salts: int, partitions: int,
+                  docs_path: str | None = None) -> DataFrame:
     """doc_id-keyed packed runs + docs snapshot (ordinal map) -> final
     index rows. THE shared index tail: the batch build (runs_raw stage),
     the streaming compactor, and the incremental compactor all feed it, so
@@ -482,8 +533,7 @@ def runs_to_index(spark: SparkSession, runs: DataFrame, docs: DataFrame,
     - past it: runs unpack to posting rows and JOIN the partitioned
       ordinal map — no driver array anywhere."""
     if n_docs <= BROADCAST_DOC_LIMIT:
-        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
-                      .toPandas()["doc_id"].to_numpy(np.int64))
+        ext_sorted = _doc_ids_sorted(docs, docs_path)
         partials = (runs.repartition(partitions, "term", "salt")
                     .mapInPandas(_reduce_remap_runs_factory(ext_sorted),
                                  schema=RUN_SCHEMA))
@@ -616,12 +666,46 @@ def ordinal_content_pairs(corpus: DataFrame, docs: DataFrame,
 
 # ----------------------------------------------------------------- build stages
 
+def scan_union_frame(corpus: DataFrame, n_salts: int,
+                     with_positions: bool = False) -> DataFrame:
+    """THE single content scan as a lazy frame: per-doc metadata rows
+    (identity sha + doc_len + serving title/snippet) UNION doc_id-keyed
+    packed posting runs (and, with_positions, packed position runs), all
+    from one tokenization (_map_scan_factory). build_index persists this
+    as stage docs_raw; bench.py times it bare as the dominant distributed
+    stage of the build."""
+    c = with_doc_identity(corpus.where(F.col("content").isNotNull()))
+    c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
+         .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
+    meta_cols = [col for col in c.columns if col != "content"]
+    scan_schema = T.StructType(
+        [T.StructField(name, c.schema[name].dataType, True)
+         for name in meta_cols]
+        + [T.StructField("doc_len", T.LongType(), True),
+           T.StructField("term", T.StringType(), True),
+           T.StructField("salt", T.IntegerType(), True),
+           T.StructField("n", T.LongType(), True),
+           T.StructField("ids", T.BinaryType(), True),
+           T.StructField("tfs", T.BinaryType(), True),
+           T.StructField("counts", T.BinaryType(), True),
+           T.StructField("pos", T.BinaryType(), True)])
+    return (c.select(*meta_cols, "content")
+            .mapInArrow(_map_scan_factory(meta_cols, n_salts,
+                                          with_positions=with_positions),
+                        schema=scan_schema))
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 n_salts: int | None = None, partitions: int | None = None,
                 resume: bool = True,
-                dedup_content: bool = True) -> BuildManifest:
+                dedup_content: bool = True,
+                with_positions: bool = False) -> BuildManifest:
     """Run (or resume) the full build into
-    out_dir/{aliases,docs,index,stats,_lineage} + manifest.json."""
+    out_dir/{aliases,docs,index,stats,_lineage} + manifest.json.
+    with_positions also builds the phrase-search positional store
+    (out_dir/positions) from the SAME single content scan — one
+    tokenization feeds doc metadata, tf postings AND positions (the
+    post-hoc alternative, positions.build_positions, re-scans content)."""
     man = BuildManifest(out_dir)
     if not resume:
         # a FRESH build must also physically clear every stage output a
@@ -680,29 +764,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     if need_docs and not man.is_complete("docs_raw"):
         from pyspark.sql import Observation
         t0 = man.begin("docs_raw")
-        c = with_doc_identity(corpus)
-        c = (c.withColumn("title", F.element_at(F.split("path", "/"), -1))
-             .withColumn("snippet", F.substring("content", 1, SNIPPET_LEN)))
-        meta_cols = [col for col in c.columns if col != "content"]
         # THE single content scan: one tokenization emits BOTH the per-doc
         # metadata rows (doc_len) AND the doc_id-keyed packed posting runs
         # as a union frame (run rows have null meta; doc rows null run
         # cols). The index stage consumes the persisted runs, so content
         # is read+tokenized exactly ONCE per build (was twice: docs_raw
         # doc_len + the index posting map — the measured non-scaling
-        # stage). All fields nullable: each row kind nulls the other's.
-        scan_schema = T.StructType(
-            [T.StructField(name, c.schema[name].dataType, True)
-             for name in meta_cols]
-            + [T.StructField("doc_len", T.LongType(), True),
-               T.StructField("term", T.StringType(), True),
-               T.StructField("salt", T.IntegerType(), True),
-               T.StructField("n", T.LongType(), True),
-               T.StructField("ids", T.BinaryType(), True),
-               T.StructField("tfs", T.BinaryType(), True)])
-        raw = (c.select(*meta_cols, "content")
-               .mapInArrow(_map_scan_factory(meta_cols, n_salts),
-                           schema=scan_schema))
+        # stage).
+        raw = scan_union_frame(corpus, n_salts,
+                               with_positions=with_positions)
         robs = Observation("raw_rows")
         # run rows have null doc_id -> every observation term skips them
         raw = raw.observe(
@@ -714,15 +784,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         rgot = robs.get
         man.commit("docs_raw", t0, int(rgot["rows"] or 0),
                    {"bucket_counts": [int(rgot[f"b{i}"] or 0)
-                                      for i in range(n_buckets)]})
+                                      for i in range(n_buckets)],
+                    "with_positions": bool(with_positions)})
     docs_raw = None
     if need_docs:
         docs_raw = spark.read.parquet(man.stage_path("docs_raw"))
         # single-scan layout: project the doc rows out of the union
         # (legacy layouts wrote metadata-only docs_raw — no run columns)
         if "term" in docs_raw.columns:
+            drop = ["term", "salt", "n", "ids", "tfs"] + \
+                [c for c in ("counts", "pos") if c in docs_raw.columns]
             docs_raw = (docs_raw.where(F.col("doc_id").isNotNull())
-                        .drop("term", "salt", "n", "ids", "tfs"))
+                        .drop(*drop))
 
     # ---- stage: aliases (content dedup — the reference contentSeen analog,
     # crawler/Crawler.java:177-190: pages with identical content share one
@@ -840,11 +913,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
                 man.stage_path("docs_raw")):
             scan = spark.read.parquet(man.stage_path("docs_raw"))
             if "term" in scan.columns:
-                runs = (scan.where(F.col("term").isNotNull())
+                # tfs non-null distinguishes tf runs from position runs
+                runs = (scan.where(F.col("tfs").isNotNull())
                         .select("term", "salt", "n", "ids", "tfs"))
         if runs is not None:
             index = runs_to_index(spark, runs, docs, n_docs,
-                                  n_salts, partitions)
+                                  n_salts, partitions,
+                                  docs_path=man.stage_path("docs"))
         else:
             pair = ordinal_content_pairs(corpus, docs, n_docs)
             map_runs = pair.mapInArrow(
@@ -873,6 +948,39 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
             "n_salts": n_salts,
             "partitions": partitions,
         })
+
+    # ---- stage: positions (optional): the scan already persisted packed
+    # position runs when docs_raw ran with_positions — feed them to the
+    # shared positional tail, zero further content reads. A resume over a
+    # scan that carried no position rows (or a legacy layout) falls back
+    # to the post-hoc build_positions content scan. ----
+    if with_positions and not man.is_complete("positions"):
+        from .positions import build_positions, pos_runs_to_store
+        scan_has_pos = bool(
+            man.state["completed"].get("docs_raw", {})
+            .get("metrics", {}).get("with_positions"))
+        if scan_has_pos:
+            from pyspark.sql import Observation
+            t0 = man.begin("positions")
+            scan = spark.read.parquet(man.stage_path("docs_raw"))
+            pos_runs = (scan.where(F.col("counts").isNotNull())
+                        .select("term", "salt", "ids", "counts", "pos"))
+            posidx = pos_runs_to_store(
+                spark, pos_runs, docs, n_docs, n_salts, partitions,
+                docs_path=man.stage_path("docs"))
+            pobs = Observation("pos_stats")
+            posidx = posidx.observe(
+                pobs, F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df").alias("postings"))
+            posidx.write.mode("overwrite").parquet(
+                man.stage_path("positions"))
+            pgot = pobs.get
+            man.commit("positions", t0, int(pgot["n_terms"] or 0),
+                       {"postings_emitted": int(pgot["postings"] or 0),
+                        "n_salts": n_salts, "partitions": partitions})
+        else:
+            build_positions(spark, corpus, out_dir,
+                            n_salts=n_salts, partitions=partitions)
 
     # ---- stage: lineage (per-partition metrics rows; north-rule field set) ----
     if not man.is_complete("_lineage"):

@@ -180,13 +180,14 @@ def merge_positions(spark: SparkSession, index_dirs: list[str],
     docs = spark.read.parquet(man.stage_path("docs"))
     t0 = man.begin("positions")
     if n_docs <= ib.BROADCAST_DOC_LIMIT:
-        union_sorted = (docs.select("doc_id").orderBy("doc_id")
-                        .toPandas()["doc_id"].to_numpy(np.int64))
+        union_sorted = ib._doc_ids_sorted(docs, man.stage_path("docs"))
         runs = None
         for d in index_dirs:
-            ext_of_old = (spark.read.parquet(os.path.join(d, "docs"))
-                          .select("ordinal", "doc_id").orderBy("ordinal")
-                          .toPandas()["doc_id"].to_numpy(np.int64))
+            # ordinals are monotone in doc_id, so ordinal order == sorted
+            # doc_id order — the pyarrow driver-side read applies
+            ext_of_old = ib._doc_ids_sorted(
+                spark.read.parquet(os.path.join(d, "docs")),
+                os.path.join(d, "docs"))
             r = (spark.read.parquet(os.path.join(d, "positions"))
                  .select("term", "ords", "counts", "pos")
                  .mapInPandas(_decode_pos_to_runs_factory(
@@ -318,13 +319,13 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
     t0 = man.begin("index")
     docs = spark.read.parquet(man.stage_path("docs"))
     if n_union <= ib.BROADCAST_DOC_LIMIT:
-        union_sorted = (docs.select("doc_id").orderBy("doc_id")
-                        .toPandas()["doc_id"].to_numpy(np.int64))
+        union_sorted = ib._doc_ids_sorted(docs, man.stage_path("docs"))
         runs = None
         for d in index_dirs:
-            ext_of_old = (spark.read.parquet(os.path.join(d, "docs"))
-                          .select("ordinal", "doc_id").orderBy("ordinal")
-                          .toPandas()["doc_id"].to_numpy(np.int64))
+            # ordinal order == sorted doc_id order (monotone assignment)
+            ext_of_old = ib._doc_ids_sorted(
+                spark.read.parquet(os.path.join(d, "docs")),
+                os.path.join(d, "docs"))
             r = (spark.read.parquet(os.path.join(d, "index"))
                  .select("term", "postings")
                  .mapInArrow(_decode_to_runs_factory(

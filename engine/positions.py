@@ -67,51 +67,67 @@ def _reorder_segments(flat: np.ndarray, starts: np.ndarray,
     return flat[np.repeat(starts[order], c) + within]
 
 
+def _pack_pos_runs(codes: np.ndarray, ordinals: np.ndarray,
+                   positions: np.ndarray, vocab,
+                   nd: int, n_salts: int) -> pa.RecordBatch | None:
+    """Flat (term_code, ordinal, position) token arrays -> one packed
+    position run per (term, range-salt): sorted ordinals + per-doc
+    occurrence counts + flattened in-doc-order positions, all raw
+    little-endian bytes. The positional twin of index_build._pack_runs —
+    shared by the dedicated positional map kernel and the single-scan
+    build's union kernel."""
+    if codes.size == 0:
+        return None
+    positions = positions.astype(np.int32)
+    order = np.lexsort((positions, ordinals, codes))
+    codes, ordinals = codes[order], ordinals[order]
+    positions = positions[order]
+    # (code, ordinal) group boundaries -> per-doc occurrence counts
+    newdoc = np.empty(codes.size, dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = (np.diff(codes) != 0) | (np.diff(ordinals) != 0)
+    dstarts = np.flatnonzero(newdoc)
+    dcounts = np.diff(np.concatenate((dstarts, [codes.size]))) \
+        .astype(np.int32)
+    d_code = codes[dstarts]
+    d_ord = ordinals[dstarts]
+    salt_div = max(1, (max(nd, 1) + n_salts - 1) // n_salts)
+    d_salt = (d_ord // salt_div).astype(np.int32)
+    # (code, salt) run boundaries over the doc-level arrays
+    change = np.flatnonzero(
+        (np.diff(d_code) != 0) | (np.diff(d_salt) != 0)) + 1
+    rstarts = np.concatenate(([0], change))
+    rends = np.concatenate((change, [d_code.size]))
+    run_terms = vocab.take(
+        pa.array(d_code[rstarts], pa.int64())).cast(pa.string())
+    tok_starts = dstarts  # flat-position segment start per doc group
+    ids_col, cnt_col, pos_col = [], [], []
+    for s, e in zip(rstarts, rends):
+        ids_col.append(d_ord[s:e].tobytes())
+        cnt_col.append(dcounts[s:e].tobytes())
+        pos_col.append(
+            positions[tok_starts[s]:tok_starts[e - 1]
+                      + dcounts[e - 1]].tobytes())
+    return pa.RecordBatch.from_arrays(
+        [run_terms, pa.array(d_salt[rstarts], pa.int32()),
+         pa.array(ids_col, pa.binary()),
+         pa.array(cnt_col, pa.binary()),
+         pa.array(pos_col, pa.binary())],
+        names=["term", "salt", "ids", "counts", "pos"])
+
+
 def _map_pos_runs_factory(n_docs: int, n_salts: int):
     """(ordinal, content) partition -> packed per-(term, salt) position
-    runs: sorted ordinals + per-doc occurrence counts + flattened
-    in-doc-order positions, all as raw little-endian bytes."""
+    runs (_pack_pos_runs)."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         got = partition_token_arrays(batches, with_positions=True)
         if got is None:
             return
         codes, ordinals, positions, vocab = got
-        positions = positions.astype(np.int32)
-        order = np.lexsort((positions, ordinals, codes))
-        codes, ordinals = codes[order], ordinals[order]
-        positions = positions[order]
-        # (code, ordinal) group boundaries -> per-doc occurrence counts
-        newdoc = np.empty(codes.size, dtype=bool)
-        newdoc[0] = True
-        newdoc[1:] = (np.diff(codes) != 0) | (np.diff(ordinals) != 0)
-        dstarts = np.flatnonzero(newdoc)
-        dcounts = np.diff(np.concatenate((dstarts, [codes.size]))) \
-            .astype(np.int32)
-        d_code = codes[dstarts]
-        d_ord = ordinals[dstarts]
-        salt_div = max(1, (max(n_docs, 1) + n_salts - 1) // n_salts)
-        d_salt = (d_ord // salt_div).astype(np.int32)
-        # (code, salt) run boundaries over the doc-level arrays
-        change = np.flatnonzero(
-            (np.diff(d_code) != 0) | (np.diff(d_salt) != 0)) + 1
-        rstarts = np.concatenate(([0], change))
-        rends = np.concatenate((change, [d_code.size]))
-        run_terms = vocab.take(
-            pa.array(d_code[rstarts], pa.int64())).cast(pa.string())
-        tok_starts = dstarts  # flat-position segment start per doc group
-        ids_col, cnt_col, pos_col = [], [], []
-        for s, e in zip(rstarts, rends):
-            ids_col.append(d_ord[s:e].tobytes())
-            cnt_col.append(dcounts[s:e].tobytes())
-            pos_col.append(
-                positions[tok_starts[s]:tok_starts[e - 1]
-                          + dcounts[e - 1]].tobytes())
-        yield pa.RecordBatch.from_arrays(
-            [run_terms, pa.array(d_salt[rstarts], pa.int32()),
-             pa.array(ids_col, pa.binary()),
-             pa.array(cnt_col, pa.binary()),
-             pa.array(pos_col, pa.binary())],
-            names=["term", "salt", "ids", "counts", "pos"])
+        rb = _pack_pos_runs(codes, ordinals, positions, vocab,
+                            n_docs, n_salts)
+        if rb is not None:
+            yield rb
     return run
 
 
@@ -228,51 +244,77 @@ def _merge_pos_runs_sorting(batches: Iterator[pd.DataFrame]
         "term", "block", "df", "n", "ords", "counts", "pos"])
 
 
-def _remap_pos_runs_factory(ext_sorted: np.ndarray, n_docs: int,
-                            n_salts: int):
-    """Remap streamed position runs from external doc_ids to dense
-    ordinals. External ids absent from ext_sorted (duplicate-content docs
-    aliased out at compaction) drop segment-wise — the canonical twin
-    carries identical positions, keeping the store byte-identical to a
-    batch build_positions (test-enforced)."""
-    def remap(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            terms = rb.column("term").to_pylist()
-            ids_col = rb.column("ids").to_pylist()
-            cnt_col = rb.column("counts").to_pylist()
-            pos_col = rb.column("pos").to_pylist()
-            o_t, o_s, o_i, o_c, o_p = [], [], [], [], []
-            for term, ids_b, cnt_b, pos_b in zip(terms, ids_col, cnt_col,
-                                                 pos_col):
-                ext = np.frombuffer(ids_b, dtype=np.int64)
-                counts = np.frombuffer(cnt_b, dtype=np.int32)
-                idx, keep = remap_keep(ext_sorted, ext)
-                if not keep.any():
-                    continue
-                if not keep.all():
-                    pos = np.frombuffer(pos_b, dtype=np.int32)
-                    starts = np.concatenate(
-                        ([0], np.cumsum(counts[:-1], dtype=np.int64)))
-                    kept = np.flatnonzero(keep)
-                    pos_b = _reorder_segments(pos, starts, counts,
-                                              kept).tobytes()
-                    idx, counts = idx[keep], counts[keep]
-                    cnt_b = counts.tobytes()
-                ords = idx.astype(np.int64)
-                o_t.append(term)
-                o_s.append(int(ords[0] * n_salts // max(n_docs, 1)))
-                o_i.append(ords.tobytes())
-                o_c.append(cnt_b)
-                o_p.append(pos_b)
-            if o_t:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(o_t, pa.string()),
-                     pa.array(o_s, pa.int32()),
-                     pa.array(o_i, pa.binary()),
-                     pa.array(o_c, pa.binary()),
-                     pa.array(o_p, pa.binary())],
-                    names=["term", "salt", "ids", "counts", "pos"])
-    return remap
+def _reduce_remap_pos_runs_factory(ext_sorted: np.ndarray):
+    """Per (term, ext-salt): merge doc_id-keyed position runs into one
+    ordinal-sorted run AND remap external doc_ids to dense ordinals in the
+    same pass — the positional twin of
+    index_build._reduce_remap_runs_factory (see there for why reduce-side
+    remap with the runs' ORIGINAL ext-salt keys stays globally sorted:
+    ordinals are monotone in doc_id, so ext-salt buckets are contiguous
+    ordinal intervals). External ids absent from ext_sorted
+    (duplicate-content docs aliased out) drop segment-wise — the canonical
+    twin carries identical positions (byte-identity test-enforced)."""
+    def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               if len(parts) > 1 else parts[0])
+        rows = []
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+            ids = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in g["ids"]])
+            counts = np.concatenate(
+                [np.frombuffer(b, dtype=np.int32) for b in g["counts"]])
+            pos = np.concatenate(
+                [np.frombuffer(b, dtype=np.int32) for b in g["pos"]])
+            idx, keep = remap_keep(ext_sorted, ids)
+            order = np.argsort(ids, kind="stable")
+            order = order[keep[order]]  # sorted doc order, droppeds gone
+            if order.size == 0:
+                continue
+            starts = np.concatenate(
+                ([0], np.cumsum(counts[:-1], dtype=np.int64)))
+            rows.append((term, int(salt),
+                         idx[order].astype(np.int64).tobytes(),
+                         counts[order].tobytes(),
+                         _reorder_segments(pos, starts, counts,
+                                           order).tobytes()))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["term", "salt", "ids", "counts", "pos"])
+    return reduce
+
+
+def pos_runs_to_store(spark: SparkSession, runs: DataFrame, docs: DataFrame,
+                      n_docs: int, n_salts: int, partitions: int,
+                      docs_path: str | None = None) -> DataFrame:
+    """doc_id-keyed packed position runs + docs snapshot (ordinal map) ->
+    final positional store rows. THE shared positional tail — the
+    single-scan batch build, the streaming compactor, and the incremental
+    compactor all feed it, so every ingestion mode is byte-identical by
+    construction. Two regimes like index_build.runs_to_index:
+
+    - under BROADCAST_DOC_LIMIT: runs shuffle on their (term, ext-salt)
+      keys; the reduce merges + remaps in one vectorized pass per group
+      and the final merge is the salt-order concat fast path;
+    - past it: runs unpack to position rows and JOIN the partitioned
+      ordinal map — no driver array anywhere."""
+    from . import index_build as ib
+    if n_docs <= ib.BROADCAST_DOC_LIMIT:
+        ext_sorted = ib._doc_ids_sorted(docs, docs_path)
+        partials = (runs.repartition(partitions, "term", "salt")
+                    .mapInPandas(_reduce_remap_pos_runs_factory(ext_sorted),
+                                 schema=POS_RUN_SCHEMA))
+        return (partials.repartition(partitions, "term")
+                .sortWithinPartitions("term", "salt")
+                .mapInPandas(_merge_pos_runs, schema=POS_SCHEMA))
+    rows = (runs.mapInPandas(
+                _unpack_pos_runs,
+                schema="term string, doc_id long, position int")
+            .join(docs.select("doc_id", "ordinal"), "doc_id")
+            .select("term", "ordinal", "position"))
+    return _pos_rows_to_index(rows, n_docs, n_salts, partitions)
 
 
 def _unpack_pos_runs(batches: Iterator[pd.DataFrame]
@@ -357,24 +399,12 @@ def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
     t0 = man.begin("positions")
     runs = (spark.read.parquet(*pos_files) if pos_files
             else spark.read.parquet(os.path.join(work_dir, "pos_partials")))
-    if n_docs <= ib.BROADCAST_DOC_LIMIT:
-        ext_sorted = (docs.select("doc_id").orderBy("doc_id")
-                      .toPandas()["doc_id"].to_numpy(np.int64))
-        remapped = runs.mapInArrow(
-            _remap_pos_runs_factory(ext_sorted, n_docs, n_salts),
-            schema=POS_RUN_SCHEMA)
-        partials = (remapped.repartition(partitions, "term", "salt")
-                    .mapInPandas(_reduce_pos_runs, schema=POS_RUN_SCHEMA))
-        posidx = (partials.repartition(partitions, "term")
-                  .sortWithinPartitions("term", "salt")
-                  .mapInPandas(_merge_pos_runs_sorting, schema=POS_SCHEMA))
-    else:
-        rows = (runs.mapInPandas(
-                    _unpack_pos_runs,
-                    schema="term string, doc_id long, position int")
-                .join(docs.select("doc_id", "ordinal"), "doc_id")
-                .select("term", "ordinal", "position"))
-        posidx = _pos_rows_to_index(rows, n_docs, n_salts, partitions)
+    # THE shared positional tail — identical to what the single-scan batch
+    # build runs, so streamed and batch-built stores are byte-identical by
+    # construction (and hot terms fan out over the ext-salt buckets
+    # instead of one per-term argsort reducer).
+    posidx = pos_runs_to_store(spark, runs, docs, n_docs, n_salts,
+                               partitions, docs_path=man.stage_path("docs"))
     from pyspark.sql import Observation
     obs = Observation("compact_pos_stats")
     posidx = posidx.observe(obs, F.count(F.lit(1)).alias("n_terms"),

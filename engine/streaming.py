@@ -197,7 +197,8 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     # those buckets are contiguous ordinal intervals and the salted
     # two-phase reduce/merge applies as-is (hot terms fan out over the
     # ext-salt buckets instead of one per-term argsort reducer).
-    index = ib.runs_to_index(spark, runs, docs, n_docs, n_salts, partitions)
+    index = ib.runs_to_index(spark, runs, docs, n_docs, n_salts, partitions,
+                             docs_path=man.stage_path("docs"))
     # index metrics + lineage counts ride their write jobs' Observations —
     # no read-back agg or count actions (fixed driver latency per action
     # is the dominant small-build scaling-efficiency cost)

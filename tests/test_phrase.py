@@ -271,3 +271,62 @@ def test_lru_cache_bound_preserves_results(spark, built_index,
     assert len(tiny._cache) <= 1
     tiny.clear_cache()
     assert len(tiny._cache) == 0
+
+
+def test_single_scan_positions_byte_identical(spark, tmp_path):
+    """build_index(with_positions=True) builds the positional store from
+    the SAME single content scan as the tf index; its output must be
+    byte-identical to the post-hoc build_positions content re-scan —
+    including duplicate content aliased out, and in both broadcast
+    regimes."""
+    import engine.index_build as ib
+    from engine.corpus import corpus_to_spark, make_corpus
+    from engine.index_build import build_index
+    from engine.positions import build_positions
+    from tests.test_dedup import _with_duplicates
+    from tests.test_streaming import _fingerprint, _pos_fingerprint
+
+    pdf, _alias = _with_duplicates(make_corpus(220, seed=93), 18)
+    corpus = corpus_to_spark(spark, pdf)
+
+    a = str(tmp_path / "posthoc")
+    build_index(spark, corpus, a, n_salts=4, partitions=4)
+    build_positions(spark, corpus, a, n_salts=4, partitions=4)
+
+    b = str(tmp_path / "integrated")
+    build_index(spark, corpus, b, n_salts=4, partitions=4,
+                with_positions=True)
+    assert _fingerprint(spark, b) == _fingerprint(spark, a)
+    assert _pos_fingerprint(spark, b) == _pos_fingerprint(spark, a)
+
+    # beyond-broadcast regime: partitioned ordinal join path
+    import pytest  # noqa: F401
+    old = ib.BROADCAST_DOC_LIMIT
+    try:
+        ib.BROADCAST_DOC_LIMIT = 0
+        c = str(tmp_path / "integrated_big")
+        build_index(spark, corpus, c, n_salts=4, partitions=4,
+                    with_positions=True)
+    finally:
+        ib.BROADCAST_DOC_LIMIT = old
+    assert _pos_fingerprint(spark, c) == _pos_fingerprint(spark, a)
+
+
+def test_single_scan_positions_phrase_serves(spark, tmp_path):
+    """PhraseEngine over an integrated (single-scan) positional build must
+    answer phrase queries identically to one over a post-hoc build."""
+    from engine.corpus import corpus_to_spark, make_corpus
+    from engine.index_build import build_index
+    from engine.positions import PhraseEngine, build_positions
+
+    pdf = make_corpus(150, seed=94)
+    corpus = corpus_to_spark(spark, pdf)
+    a = str(tmp_path / "ph_a")
+    build_index(spark, corpus, a, n_salts=2, partitions=2)
+    build_positions(spark, corpus, a, n_salts=2, partitions=2)
+    b = str(tmp_path / "ph_b")
+    build_index(spark, corpus, b, n_salts=2, partitions=2,
+                with_positions=True)
+    ea, eb = PhraseEngine(spark, a), PhraseEngine(spark, b)
+    for q in ["join spark", "scan window", "slow fast", "order by key"]:
+        assert eb.search_phrase(q, k=20) == ea.search_phrase(q, k=20)
