@@ -955,29 +955,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
     # scan that carried no position rows (or a legacy layout) falls back
     # to the post-hoc build_positions content scan. ----
     if with_positions and not man.is_complete("positions"):
-        from .positions import build_positions, pos_runs_to_store
+        from .positions import build_positions, write_positions_stage
         scan_has_pos = bool(
             man.state["completed"].get("docs_raw", {})
             .get("metrics", {}).get("with_positions"))
         if scan_has_pos:
-            from pyspark.sql import Observation
-            t0 = man.begin("positions")
             scan = spark.read.parquet(man.stage_path("docs_raw"))
             pos_runs = (scan.where(F.col("counts").isNotNull())
                         .select("term", "salt", "ids", "counts", "pos"))
-            posidx = pos_runs_to_store(
-                spark, pos_runs, docs, n_docs, n_salts, partitions,
-                docs_path=man.stage_path("docs"))
-            pobs = Observation("pos_stats")
-            posidx = posidx.observe(
-                pobs, F.count(F.lit(1)).alias("n_terms"),
-                F.sum("df").alias("postings"))
-            posidx.write.mode("overwrite").parquet(
-                man.stage_path("positions"))
-            pgot = pobs.get
-            man.commit("positions", t0, int(pgot["n_terms"] or 0),
-                       {"postings_emitted": int(pgot["postings"] or 0),
-                        "n_salts": n_salts, "partitions": partitions})
+            write_positions_stage(spark, man, pos_runs, docs, n_docs,
+                                  n_salts, partitions)
         else:
             build_positions(spark, corpus, out_dir,
                             n_salts=n_salts, partitions=partitions)

@@ -378,35 +378,19 @@ def _pos_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
             .mapInPandas(_merge_pos_runs_sorting, schema=POS_SCHEMA))
 
 
-def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
-                      *, n_salts: int = 8,
-                      partitions: int | None = None,
-                      pos_files: list[str] | None = None) -> None:
-    """Build the positional store of a compacted (streamed) index from the
-    pos_partials the ingest emitted — byte-identical to batch
-    build_positions over the same corpus (tests enforce, incl. duplicate
-    content and the beyond-broadcast regime). Requires the compacted
-    docs/stats stages (ordinals) to exist in out_dir. pos_files restricts
-    the read to an explicit file subset (incremental segment path)."""
-    from . import index_build as ib
-    from .checkpoint import BuildManifest
-    man = BuildManifest(out_dir)
-    if man.is_complete("positions"):
-        return
-    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
-    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
-    docs = spark.read.parquet(man.stage_path("docs"))
-    t0 = man.begin("positions")
-    runs = (spark.read.parquet(*pos_files) if pos_files
-            else spark.read.parquet(os.path.join(work_dir, "pos_partials")))
-    # THE shared positional tail — identical to what the single-scan batch
-    # build runs, so streamed and batch-built stores are byte-identical by
-    # construction (and hot terms fan out over the ext-salt buckets
-    # instead of one per-term argsort reducer).
-    posidx = pos_runs_to_store(spark, runs, docs, n_docs, n_salts,
-                               partitions, docs_path=man.stage_path("docs"))
+def write_positions_stage(spark: SparkSession, man, pos_runs: DataFrame,
+                          docs: DataFrame, n_docs: int, n_salts: int,
+                          partitions: int) -> None:
+    """doc_id-keyed position runs -> positional store stage write +
+    manifest commit. THE one writer — build_index(with_positions), the
+    unified-stream compactor, and legacy compact_positions all call it, so
+    every ingestion mode runs the identical pos_runs_to_store tail (stage
+    metrics ride the write's Observation; no extra count job)."""
     from pyspark.sql import Observation
-    obs = Observation("compact_pos_stats")
+    t0 = man.begin("positions")
+    posidx = pos_runs_to_store(spark, pos_runs, docs, n_docs, n_salts,
+                               partitions, docs_path=man.stage_path("docs"))
+    obs = Observation("pos_stats")
     posidx = posidx.observe(obs, F.count(F.lit(1)).alias("n_terms"),
                             F.sum("df").alias("postings"))
     posidx.write.mode("overwrite").parquet(man.stage_path("positions"))
@@ -414,6 +398,31 @@ def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
     man.commit("positions", t0, int(got["n_terms"] or 0),
                {"postings_emitted": int(got["postings"] or 0),
                 "n_salts": n_salts, "partitions": partitions})
+
+
+def compact_positions(spark: SparkSession, work_dir: str, out_dir: str,
+                      *, n_salts: int = 8,
+                      partitions: int | None = None,
+                      pos_files: list[str] | None = None) -> None:
+    """Build the positional store of a compacted (streamed) index from the
+    pos_partials a LEGACY multi-stream ingest emitted — byte-identical to
+    batch build_positions over the same corpus (tests enforce, incl.
+    duplicate content and the beyond-broadcast regime). The unified-scan
+    layout does not come through here (compact() feeds the scan's position
+    rows straight to write_positions_stage). Requires the compacted
+    docs/stats stages (ordinals) to exist in out_dir. pos_files restricts
+    the read to an explicit file subset (incremental segment path)."""
+    from .checkpoint import BuildManifest
+    man = BuildManifest(out_dir)
+    if man.is_complete("positions"):
+        return
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+    n_docs = int(man.state["completed"]["stats"]["metrics"]["n_docs"])
+    docs = spark.read.parquet(man.stage_path("docs"))
+    runs = (spark.read.parquet(*pos_files) if pos_files
+            else spark.read.parquet(os.path.join(work_dir, "pos_partials")))
+    write_positions_stage(spark, man, runs, docs, n_docs, n_salts,
+                          partitions)
 
 
 def build_positions(spark: SparkSession, corpus: DataFrame, index_dir: str,

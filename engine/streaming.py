@@ -5,16 +5,19 @@ production 10^12-file corpus arrives continuously. This module adds an
 incremental path with the same final semantics as the batch build:
 
   readStream(file source, exactly-once tracking via checkpoint)
-    -> with_doc_identity (JVM)
-    -> mapInArrow map-side combine (same kernel as batch: packed
-       per-(term, salt) posting runs keyed by EXTERNAL doc_id)
-    -> append-mode parquet of partial runs
+    -> ONE union-scan stream (the batch build's scan_union_frame kernel:
+       one tokenization emits doc-metadata rows + packed per-(term, salt)
+       posting runs keyed by EXTERNAL doc_id + optional position runs)
+    -> append-mode parquet of union scan partials
 
-  compact(spark, partials_dir, out_dir)
-    -> assigns dense ordinals over ALL docs seen so far, remaps the runs'
-       doc_ids -> ordinals, merges + varint-encodes into a full index
-       (reuses the batch reducer/merger), byte-identical to a batch build
-       over the same corpus (test-enforced).
+  compact(spark, work_dir, out_dir)
+    -> filter-projects the row kinds, assigns dense ordinals over ALL
+       docs seen so far, and feeds the runs to the SAME index tails as
+       the batch build (runs_to_index / pos_runs_to_store: reduce-side
+       merge+remap per (term, ext-salt) group), byte-identical to a batch
+       build over the same corpus (test-enforced). Legacy multi-stream
+       work dirs (doc_stats + run_partials [+ pos_partials]) still
+       compact through the identical tails.
 
 Streaming partials store raw sorted doc_id runs (not ordinals): ordinals are
 corpus-global and can't be assigned until compaction. The remap at compaction
@@ -39,68 +42,75 @@ from .index_build import (
 _merge_sorting = _merge_runs_sorting
 
 
+def _ingest_meta_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "_ingest_meta.json")
+
+
+def _load_ingest_meta(work_dir: str) -> dict | None:
+    import json
+    p = _ingest_meta_path(work_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def start_ingest(spark: SparkSession, source_dir: str, work_dir: str,
                  corpus_schema, n_salts: int = 8,
                  trigger_available_now: bool = True,
                  with_positions: bool = False):
     """Start the streaming ingest of corpus parquet files landing in
-    source_dir. Emits posting partial-runs and doc stats under work_dir
-    (plus position partial-runs when with_positions — compacted into a
-    phrase-searchable positional store by compact()). Returns the
-    StreamingQuery handles (two, or three with positions)."""
+    source_dir: ONE stream, ONE tokenization per document — the same
+    union-scan kernel as the batch build (index_build.scan_union_frame)
+    emits doc-metadata rows + doc_id-keyed packed posting runs (+ position
+    runs when with_positions) into work_dir/scan_partials. compact()
+    filter-projects the row kinds. (The previous layout ran 2-3 separate
+    streams over the source — content was read and tokenized up to three
+    times per micro-batch, and a positional stream could silently lag the
+    tf stream; one atomic stream makes that divergence impossible.)
+    Returns a 1-tuple of the StreamingQuery handle.
+
+    with_positions is a WORK-DIR-LEVEL setting: the first ingest fixes it
+    (recorded in _ingest_meta.json) and later calls must match — a mix
+    would leave docs the tf index serves but the positional store misses,
+    the exact silent gap the old layout's coverage guard existed for.
+    Legacy (multi-stream) work dirs must finish with compact(); new
+    ingests into them are refused."""
+    import json
+
+    if os.path.isdir(os.path.join(work_dir, "_ckpt_runs")):
+        raise ValueError(
+            f"{work_dir} holds a legacy multi-stream ingest; compact() it "
+            "with this version (still supported) and start new ingests in "
+            "a fresh work_dir")
+    os.makedirs(work_dir, exist_ok=True)
+    meta = _load_ingest_meta(work_dir)
+    if meta is not None:
+        if bool(meta.get("with_positions")) != bool(with_positions):
+            raise ValueError(
+                "with_positions is fixed per work_dir at the first ingest "
+                f"(recorded: {meta.get('with_positions')}); a mixed ingest "
+                "would leave docs missing from the positional store — use "
+                "a fresh work_dir to change it")
+    else:
+        tmp = _ingest_meta_path(work_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"layout": "scan",
+                       "with_positions": bool(with_positions),
+                       "n_salts": int(n_salts)}, f)
+        os.replace(tmp, _ingest_meta_path(work_dir))
+
+    from .index_build import scan_union_frame
     stream = (spark.readStream.schema(corpus_schema)
               .parquet(source_dir))
-    stream = with_doc_identity(stream)
-
-    # identical kernel to the batch build, but keyed by external doc_id
-    # (dense ordinals are assigned at compaction); salt = high bits of the
-    # hash-uniform doc_id so runs stay range-bucketed.
-    map_fn = _map_partial_runs_factory(1 << 62, n_salts)
-
-    runs = (stream
-            .withColumnRenamed("doc_id", "_ext_id")
-            .withColumn("ordinal", F.col("_ext_id"))
-            .select("ordinal", "content")
-            .mapInArrow(map_fn, schema=RUN_SCHEMA))
-
-    from .index_build import SNIPPET_LEN
-    from .tokenizer import spark_token_count_expr
-    # full metadata row (identity + serving display fields), so a compacted
-    # index serves the same {url, title, body} surface as a batch build
-    docs = stream.select(
-        "doc_id", "repo", "path", "commit", "lang", "content_sha256",
-        F.element_at(F.split("path", "/"), -1).alias("title"),
-        F.substring("content", 1, SNIPPET_LEN).alias("snippet"),
-        spark_token_count_expr(F.col("content")).cast("long")
-        .alias("doc_len"))
-
+    scan = scan_union_frame(stream, n_salts, with_positions=with_positions)
     trigger = {"availableNow": True} if trigger_available_now else \
         {"processingTime": "10 seconds"}
-    q1 = (runs.writeStream.format("parquet")
-          .option("path", os.path.join(work_dir, "run_partials"))
-          .option("checkpointLocation", os.path.join(work_dir, "_ckpt_runs"))
-          .outputMode("append").trigger(**trigger).start())
-    q2 = (docs.writeStream.format("parquet")
-          .option("path", os.path.join(work_dir, "doc_stats"))
-          .option("checkpointLocation", os.path.join(work_dir, "_ckpt_docs"))
-          .outputMode("append").trigger(**trigger).start())
-    if not with_positions:
-        return q1, q2
-    # position runs ride the SAME shared tokenize kernel
-    # (partition_token_arrays with_positions=True) keyed by external
-    # doc_id, exactly like the tf runs — compacted by compact_positions
-    from .positions import POS_RUN_SCHEMA, _map_pos_runs_factory
-    pos_runs = (stream
-                .withColumnRenamed("doc_id", "_ext_id")
-                .withColumn("ordinal", F.col("_ext_id"))
-                .select("ordinal", "content")
-                .mapInArrow(_map_pos_runs_factory(1 << 62, n_salts),
-                            schema=POS_RUN_SCHEMA))
-    q3 = (pos_runs.writeStream.format("parquet")
-          .option("path", os.path.join(work_dir, "pos_partials"))
-          .option("checkpointLocation", os.path.join(work_dir, "_ckpt_pos"))
-          .outputMode("append").trigger(**trigger).start())
-    return q1, q2, q3
+    q = (scan.writeStream.format("parquet")
+         .option("path", os.path.join(work_dir, "scan_partials"))
+         .option("checkpointLocation", os.path.join(work_dir, "_ckpt_scan"))
+         .outputMode("append").trigger(**trigger).start())
+    return (q,)
 
 
 def compact(spark: SparkSession, work_dir: str, out_dir: str,
@@ -109,6 +119,7 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
             run_files: list[str] | None = None,
             doc_files: list[str] | None = None,
             pos_files: list[str] | None = None,
+            scan_files: list[str] | None = None,
             exclude_docs: DataFrame | None = None) -> None:
     """Merge all streamed partial runs into a final index + docs + stats —
     same layout as engine.index_build.build_index output, loadable by
@@ -133,18 +144,34 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     packed-run remap (fast path); past it the runs unpack to posting rows
     and JOIN the partitioned ordinal map — no driver array anywhere.
 
-    run_files/doc_files/pos_files restrict the compaction to an EXPLICIT
-    subset of partial files (the incremental path: compact_incremental
-    builds a segment from only the not-yet-compacted files). exclude_docs
-    (a doc_id DataFrame) drops docs already owned by a previous generation;
-    their postings fall out of the runs at remap since the canonical
-    ordinal set no longer contains them."""
+    Two work-dir layouts are accepted: the unified scan layout (ONE
+    stream wrote union rows into scan_partials — doc metadata, tf runs and
+    position runs split here by row-kind filters, which push down to the
+    parquet scan) and the legacy multi-stream layout (doc_stats +
+    run_partials [+ pos_partials] dirs). scan_files — or, for the legacy
+    layout, run_files/doc_files/pos_files — restricts the compaction to an
+    EXPLICIT subset of partial files (the incremental path:
+    compact_incremental builds a segment from only the not-yet-compacted
+    files). exclude_docs (a doc_id DataFrame) drops docs already owned by
+    a previous generation; their postings fall out of the runs at remap
+    since the canonical ordinal set no longer contains them."""
     from . import index_build as ib
     from .checkpoint import BuildManifest
 
     man = BuildManifest(out_dir)
-    doc_src = (spark.read.parquet(*doc_files) if doc_files
-               else spark.read.parquet(os.path.join(work_dir, "doc_stats")))
+    scan = None
+    scan_dir = os.path.join(work_dir, "scan_partials") if work_dir else None
+    if scan_files or (not doc_files and not run_files and scan_dir
+                      and os.path.isdir(scan_dir)):
+        scan = spark.read.parquet(*(scan_files or [scan_dir]))
+        run_cols = ["term", "salt", "n", "ids", "tfs"] + \
+            [c for c in ("counts", "pos") if c in scan.columns]
+        doc_src = (scan.where(F.col("doc_id").isNotNull())
+                   .drop(*run_cols))
+    elif doc_files:
+        doc_src = spark.read.parquet(*doc_files)
+    else:
+        doc_src = spark.read.parquet(os.path.join(work_dir, "doc_stats"))
     doc_stats = doc_src.dropDuplicates(["doc_id"])
     if exclude_docs is not None:
         doc_stats = doc_stats.join(exclude_docs.select("doc_id"),
@@ -187,8 +214,14 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
                has_output=False)
 
     t0 = man.begin("index")
-    runs = (spark.read.parquet(*run_files) if run_files
-            else spark.read.parquet(os.path.join(work_dir, "run_partials")))
+    if scan is not None:
+        # tfs non-null distinguishes tf runs from position runs
+        runs = (scan.where(F.col("tfs").isNotNull())
+                .select("term", "salt", "n", "ids", "tfs"))
+    elif run_files:
+        runs = spark.read.parquet(*run_files)
+    else:
+        runs = spark.read.parquet(os.path.join(work_dir, "run_partials"))
     docs = spark.read.parquet(man.stage_path("docs"))
     # THE shared index tail (index_build.runs_to_index) — the same code the
     # batch build runs on its persisted scan runs, so batch and streamed
@@ -228,7 +261,17 @@ def compact(spark: SparkSession, work_dir: str, out_dir: str,
     man.commit("_lineage", t0, int(lobs.get["rows"] or 0))
 
     # ---- positional store (present iff the ingest ran with_positions) ----
-    if pos_files or os.path.exists(os.path.join(work_dir, "pos_partials")):
+    if scan is not None:
+        meta = _load_ingest_meta(work_dir) if work_dir else None
+        if ((meta or {}).get("with_positions")
+                and not man.is_complete("positions")):
+            from .positions import write_positions_stage
+            pos_runs = (scan.where(F.col("counts").isNotNull())
+                        .select("term", "salt", "ids", "counts", "pos"))
+            write_positions_stage(spark, man, pos_runs, docs, n_docs,
+                                  n_salts, partitions)
+    elif pos_files or os.path.exists(os.path.join(work_dir,
+                                                  "pos_partials")):
         _check_pos_coverage(work_dir)
         from .positions import compact_positions
         compact_positions(spark, work_dir, out_dir,
@@ -384,29 +427,53 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
     from .merge import merge_indexes
 
     state = _load_compaction_state(out_dir)
-    seen_runs = {f for g in state["generations"] for f in g["run_files"]}
-    seen_docs = {f for g in state["generations"] for f in g["doc_files"]}
-    seen_pos = {f for g in state["generations"] for f in g["pos_files"]}
+    unified = os.path.isdir(os.path.join(work_dir, "scan_partials"))
+    if unified:
+        # unified scan layout: ONE partial-file set carries every row kind
+        seen_scan = {f for g in state["generations"]
+                     for f in g.get("scan_files", [])}
+        scan_all = _committed_sink_files(
+            os.path.join(work_dir, "scan_partials"))
+        new_scan = [f for f in scan_all if f not in seen_scan]
+        new_runs = new_docs = new_pos = []
+        prev = (state["generations"][-1]["dir"]
+                if state["generations"] else None)
+        if prev is not None and not new_scan:
+            return os.path.join(out_dir, prev)
+        if not new_scan:
+            raise ValueError(
+                "compact_incremental: no committed scan partials found "
+                f"under {work_dir} — run the ingest first")
+    else:
+        new_scan = []
+        seen_runs = {f for g in state["generations"]
+                     for f in g["run_files"]}
+        seen_docs = {f for g in state["generations"]
+                     for f in g["doc_files"]}
+        seen_pos = {f for g in state["generations"]
+                    for f in g["pos_files"]}
 
-    runs_all = _committed_sink_files(os.path.join(work_dir, "run_partials"))
-    docs_all = _committed_sink_files(os.path.join(work_dir, "doc_stats"))
-    pos_dir = os.path.join(work_dir, "pos_partials")
-    has_pos = os.path.isdir(pos_dir)
-    pos_all = _committed_sink_files(pos_dir) if has_pos else []
+        runs_all = _committed_sink_files(
+            os.path.join(work_dir, "run_partials"))
+        docs_all = _committed_sink_files(os.path.join(work_dir, "doc_stats"))
+        pos_dir = os.path.join(work_dir, "pos_partials")
+        has_pos = os.path.isdir(pos_dir)
+        pos_all = _committed_sink_files(pos_dir) if has_pos else []
 
-    new_runs = [f for f in runs_all if f not in seen_runs]
-    new_docs = [f for f in docs_all if f not in seen_docs]
-    new_pos = [f for f in pos_all if f not in seen_pos]
+        new_runs = [f for f in runs_all if f not in seen_runs]
+        new_docs = [f for f in docs_all if f not in seen_docs]
+        new_pos = [f for f in pos_all if f not in seen_pos]
 
-    prev = state["generations"][-1]["dir"] if state["generations"] else None
-    if prev is not None and not new_docs and not new_runs:
-        return os.path.join(out_dir, prev)
-    if not new_docs:
-        raise ValueError(
-            "compact_incremental: no committed doc_stats partials found "
-            f"under {work_dir} — run the ingest first")
-    if has_pos:
-        _check_pos_coverage(work_dir)
+        prev = (state["generations"][-1]["dir"]
+                if state["generations"] else None)
+        if prev is not None and not new_docs and not new_runs:
+            return os.path.join(out_dir, prev)
+        if not new_docs:
+            raise ValueError(
+                "compact_incremental: no committed doc_stats partials "
+                f"found under {work_dir} — run the ingest first")
+        if has_pos:
+            _check_pos_coverage(work_dir)
 
     gen_id = len(state["generations"]) + 1
     gen_name = f"gen-{gen_id:05d}"
@@ -417,8 +484,8 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
         # first generation: the segment IS the index
         compact(spark, work_dir, gen_dir, n_salts=n_salts,
                 partitions=partitions, dedup_content=dedup_content,
-                run_files=new_runs, doc_files=new_docs,
-                pos_files=new_pos or None)
+                run_files=new_runs or None, doc_files=new_docs or None,
+                pos_files=new_pos or None, scan_files=new_scan or None)
     else:
         prev_dir = os.path.join(out_dir, prev)
         # docs already owned by the previous generation (canonicals AND
@@ -431,15 +498,17 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
                 os.path.join(prev_dir, "aliases")).select("doc_id"))
         compact(spark, work_dir, seg_dir, n_salts=n_salts,
                 partitions=partitions, dedup_content=dedup_content,
-                run_files=new_runs, doc_files=new_docs,
-                pos_files=new_pos or None, exclude_docs=owned)
+                run_files=new_runs or None, doc_files=new_docs or None,
+                pos_files=new_pos or None, scan_files=new_scan or None,
+                exclude_docs=owned)
         merge_indexes(spark, [prev_dir, seg_dir], gen_dir,
                       n_salts=n_salts, partitions=partitions,
                       dedup_content=dedup_content)
 
     state["generations"].append({
         "gen": gen_id, "dir": gen_name, "run_files": new_runs,
-        "doc_files": new_docs, "pos_files": new_pos})
+        "doc_files": new_docs, "pos_files": new_pos,
+        "scan_files": new_scan})
     sp = _compaction_state_path(out_dir)
     os.makedirs(os.path.dirname(sp), exist_ok=True)
     tmp = sp + ".tmp"

@@ -61,9 +61,9 @@ def test_incremental_compaction_consumes_only_new(spark, tmp_path):
     assert _pos_fingerprint(spark, gen1) == _pos_fingerprint(spark, batch1)
 
     state1 = _load_compaction_state(out)
-    runs_after_1 = set(_committed_sink_files(
-        os.path.join(work, "run_partials")))
-    assert set(state1["generations"][0]["run_files"]) == runs_after_1
+    scans_after_1 = set(_committed_sink_files(
+        os.path.join(work, "scan_partials")))
+    assert set(state1["generations"][0]["scan_files"]) == scans_after_1
 
     # ---- round 2 ----
     _ingest_wave(spark, wave2, src, work, with_positions=True)
@@ -76,12 +76,10 @@ def test_incremental_compaction_consumes_only_new(spark, tmp_path):
     # generation 1 did not — none of round 1's inputs were re-read
     state2 = _load_compaction_state(out)
     g1, g2 = state2["generations"]
-    for key in ("run_files", "doc_files", "pos_files"):
-        assert not (set(g1[key]) & set(g2[key])), key
-        all_now = set(_committed_sink_files(os.path.join(
-            work, {"run_files": "run_partials", "doc_files": "doc_stats",
-                   "pos_files": "pos_partials"}[key])))
-        assert set(g1[key]) | set(g2[key]) == all_now, key
+    assert not (set(g1["scan_files"]) & set(g2["scan_files"]))
+    all_now = set(_committed_sink_files(
+        os.path.join(work, "scan_partials")))
+    assert set(g1["scan_files"]) | set(g2["scan_files"]) == all_now
 
     # byte-identity with the monolithic build over EVERYTHING ingested
     batch_all = str(tmp_path / "batch_all")

@@ -137,3 +137,28 @@ def test_prefix_expansion_pushes_down(spark, built_index):
         "'", "") or "StartsWith" in plan, plan
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "postings" not in rs[0], plan
+
+
+def test_scan_union_pushdown(spark, built_index):
+    """The single-scan union parquet must serve its three consumers with
+    pushed-down row-kind filters and pruned columns: the docs/aliases
+    stages read doc rows without the run blobs, and the index stage reads
+    tf-run rows without the metadata columns."""
+    out, _ = built_index
+    scan = spark.read.parquet(f"{out}/docs_raw")
+
+    docs_view = (scan.where(F.col("doc_id").isNotNull())
+                 .select("doc_id", "content_sha256", "doc_len"))
+    plan = _formatted(docs_view)
+    assert "PushedFilters: [IsNotNull(doc_id)]" in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for blob in ("ids", "tfs", "pos"):
+        assert blob not in rs, rs
+
+    runs_view = (scan.where(F.col("tfs").isNotNull())
+                 .select("term", "salt", "n", "ids", "tfs"))
+    plan = _formatted(runs_view)
+    assert "PushedFilters: [IsNotNull(tfs)]" in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for meta in ("content_sha256", "snippet", "title"):
+        assert meta not in rs, rs

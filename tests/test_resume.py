@@ -217,3 +217,23 @@ def test_resume_on_legacy_layout_is_noop(spark, fixture_corpus_pdf,
     assert not os.path.exists(os.path.join(out, "aliases"))
     assert "docs_raw" not in man2.state["completed"]
     assert _index_fingerprint(spark, out) == fp
+
+
+def test_with_positions_resume_over_posless_scan_falls_back(
+        spark, fixture_corpus_pdf, tmp_path):
+    """Resuming with_positions=True over a dir whose scan ran WITHOUT
+    position rows must fall back to the post-hoc content re-scan and still
+    produce a store byte-identical to an integrated positional build."""
+    from tests.test_streaming import _pos_fingerprint
+
+    corpus = corpus_to_spark(spark, fixture_corpus_pdf.head(120))
+    a = str(tmp_path / "posless")
+    build_index(spark, corpus, a, n_salts=2, partitions=2)  # no pos rows
+    build_index(spark, corpus, a, n_salts=2, partitions=2,
+                with_positions=True)  # resume: docs_raw has no pos rows
+    assert os.path.exists(os.path.join(a, "positions", "_SUCCESS"))
+
+    b = str(tmp_path / "integrated")
+    build_index(spark, corpus, b, n_salts=2, partitions=2,
+                with_positions=True)
+    assert _pos_fingerprint(spark, a) == _pos_fingerprint(spark, b)

@@ -27,15 +27,13 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
 
     # wave 1 lands, stream drains it (availableNow)
     corpus_to_spark(spark, wave1).coalesce(2).write.mode("append").parquet(src)
-    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    (q1,) = start_ingest(spark, src, work, corpus_spark_schema())
     q1.awaitTermination(300)
-    q2.awaitTermination(300)
 
     # wave 2 lands, stream resumes from checkpoint (exactly-once file source)
     corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
-    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    (q1,) = start_ingest(spark, src, work, corpus_spark_schema())
     q1.awaitTermination(300)
-    q2.awaitTermination(300)
 
     out_stream = str(tmp_path / "idx_stream")
     compact(spark, work, out_stream, partitions=4)
@@ -113,13 +111,11 @@ def test_streamed_duplicate_content_matches_batch(spark, tmp_path):
     work = str(tmp_path / "work")
     os.makedirs(src)
     corpus_to_spark(spark, wave1).coalesce(2).write.mode("append").parquet(src)
-    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    (q1,) = start_ingest(spark, src, work, corpus_spark_schema())
     q1.awaitTermination(300)
-    q2.awaitTermination(300)
     corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
-    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    (q1,) = start_ingest(spark, src, work, corpus_spark_schema())
     q1.awaitTermination(300)
-    q2.awaitTermination(300)
 
     out_stream = str(tmp_path / "idx_stream")
     compact(spark, work, out_stream, partitions=4)
@@ -200,12 +196,15 @@ def test_streamed_positions_match_batch(spark, tmp_path, monkeypatch):
         _pos_fingerprint(spark, out_batch)
 
 
-def test_mixed_position_ingest_rejected_then_recovers(spark, tmp_path):
-    """Mixed ingest (some waves without --positions) must NOT silently
-    compact a positional store that misses docs the tf index serves:
-    compact raises, and re-running ingest WITH positions drains exactly
-    the missed files from the positional checkpoint, after which the
-    compacted store is byte-identical to batch."""
+def test_mixed_position_ingest_rejected_up_front(spark, tmp_path):
+    """with_positions is a WORK-DIR-LEVEL setting under the unified scan
+    layout: the first ingest fixes it and a later ingest flipping it is
+    refused immediately (a mix would leave docs the tf index serves but
+    the positional store misses — the silent gap the legacy layout's
+    compact-time coverage guard could only catch later). The refused call
+    must leave the work dir fully usable."""
+    import pytest
+
     from engine.positions import build_positions
 
     pdf = make_corpus(160, seed=71)
@@ -218,16 +217,11 @@ def test_mixed_position_ingest_rejected_then_recovers(spark, tmp_path):
                       with_positions=True)
     for q in qs:
         q.awaitTermination(300)
+
+    with pytest.raises(ValueError, match="fixed per work_dir"):
+        start_ingest(spark, src, work, corpus_spark_schema())  # NO positions
+
     corpus_to_spark(spark, wave2).coalesce(2).write.mode("append").parquet(src)
-    qs = start_ingest(spark, src, work, corpus_spark_schema())  # NO positions
-    for q in qs:
-        q.awaitTermination(300)
-
-    import pytest
-    with pytest.raises(ValueError, match="lags the tf ingest"):
-        compact(spark, work, str(tmp_path / "bad"), partitions=4)
-
-    # catch-up: the positional stream resumes from ITS checkpoint
     qs = start_ingest(spark, src, work, corpus_spark_schema(),
                       with_positions=True)
     for q in qs:
@@ -243,6 +237,18 @@ def test_mixed_position_ingest_rejected_then_recovers(spark, tmp_path):
     assert _pos_fingerprint(spark, out) == _pos_fingerprint(spark, out_batch)
 
 
+def test_legacy_work_dir_refused_for_new_ingest(tmp_path):
+    """A work dir holding a legacy multi-stream ingest must be compacted
+    with its own layout, not silently mixed with a unified-scan stream."""
+    import pytest
+
+    from engine.streaming import start_ingest as si
+    work = str(tmp_path / "work")
+    os.makedirs(os.path.join(work, "_ckpt_runs"))
+    with pytest.raises(ValueError, match="legacy multi-stream"):
+        si(None, str(tmp_path / "src"), work, None)
+
+
 def test_compacted_index_serves_display_fields(spark, tmp_path):
     """A compacted (streamed) index must serve the same {url, title, body}
     surface as a batch build: the ingest carries the display metadata."""
@@ -252,9 +258,8 @@ def test_compacted_index_serves_display_fields(spark, tmp_path):
     work = str(tmp_path / "work")
     os.makedirs(src)
     corpus_to_spark(spark, pdf).coalesce(2).write.mode("append").parquet(src)
-    q1, q2 = start_ingest(spark, src, work, corpus_spark_schema())
+    (q1,) = start_ingest(spark, src, work, corpus_spark_schema())
     q1.awaitTermination(300)
-    q2.awaitTermination(300)
     out = str(tmp_path / "idx")
     compact(spark, work, out, partitions=4)
     svc = SearchService(spark, out)
