@@ -409,8 +409,15 @@ def _pack_posting_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         ids = g["ordinal"].to_numpy(np.int64)
         tfs = g["tf"].to_numpy(np.int32)
         order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+        if ids.size > 1:
+            first = np.empty(ids.size, dtype=bool)
+            first[0] = True
+            np.not_equal(ids[1:], ids[:-1], out=first[1:])
+            if not first.all():  # re-delivered docs (see reduce remap)
+                ids, tfs = ids[first], tfs[first]
         rows.append((term, int(salt), len(ids),
-                     ids[order].tobytes(), tfs[order].tobytes()))
+                     ids.tobytes(), tfs.tobytes()))
     yield pd.DataFrame(rows, columns=["term", "salt", "n", "ids", "tfs"])
 
 
@@ -467,6 +474,16 @@ def _reduce_remap_runs_factory(ext_sorted: np.ndarray):
                 [np.frombuffer(b, dtype=np.int32) for b in g["tfs"]])
             order = np.argsort(ids, kind="stable")
             ids, tfs = ids[order], tfs[order]
+            if ids.size > 1:
+                first = np.empty(ids.size, dtype=bool)
+                first[0] = True
+                np.not_equal(ids[1:], ids[:-1], out=first[1:])
+                if not first.all():
+                    # same doc_id twice = identical content RE-DELIVERED
+                    # as a new file (at-least-once producer); the doc rows
+                    # collapse via dropDuplicates, so collapse the runs
+                    # too — keep one copy (tfs are identical)
+                    ids, tfs = ids[first], tfs[first]
             idx, keep = remap_keep(ext_sorted, ids)
             if not keep.any():
                 continue

@@ -273,6 +273,15 @@ def _reduce_remap_pos_runs_factory(ext_sorted: np.ndarray):
             order = order[keep[order]]  # sorted doc order, droppeds gone
             if order.size == 0:
                 continue
+            if order.size > 1:
+                oi = ids[order]
+                first = np.empty(oi.size, dtype=bool)
+                first[0] = True
+                np.not_equal(oi[1:], oi[:-1], out=first[1:])
+                if not first.all():
+                    # re-delivered identical docs: keep one copy of the
+                    # doc's position segment (see tf reduce remap)
+                    order = order[first]
             starts = np.concatenate(
                 ([0], np.cumsum(counts[:-1], dtype=np.int64)))
             rows.append((term, int(salt),
@@ -350,6 +359,12 @@ def _pack_pos_rows(batches: Iterator[pd.DataFrame]
         pos = g["position"].to_numpy(np.int32)
         order = np.lexsort((pos, ords))
         ords, pos = ords[order], pos[order]
+        if ords.size > 1:
+            first = np.empty(ords.size, dtype=bool)
+            first[0] = True
+            first[1:] = (ords[1:] != ords[:-1]) | (pos[1:] != pos[:-1])
+            if not first.all():  # re-delivered docs: identical (ord, pos)
+                ords, pos = ords[first], pos[first]
         newdoc = np.empty(ords.size, dtype=bool)
         newdoc[0] = True
         newdoc[1:] = np.diff(ords) != 0

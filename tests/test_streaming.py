@@ -270,3 +270,51 @@ def test_compacted_index_serves_display_fields(spark, tmp_path):
         src_row = by_id[h["url"]]
         assert h["title"] == src_row.path.split("/")[-1]
         assert h["body"] == src_row.content[:200]
+def test_same_workdir_redelivery_collapses(spark, tmp_path):
+    """At-least-once producers re-land the SAME content as NEW files; the
+    exactly-once file source processes both, so a re-delivered doc's runs
+    appear twice in the partials (the doc rows collapse via
+    dropDuplicates, the runs used to survive -> delta-0 postings,
+    double-counted BM25). Compaction must collapse them: byte-identical
+    to a batch build over the single copy, tf index and positional store,
+    in both broadcast regimes."""
+    import engine.index_build as ib
+    from engine.positions import build_positions
+
+    pdf = make_corpus(120, seed=31)
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    for _ in range(2):  # the SAME corpus lands twice as distinct files
+        corpus_to_spark(spark, pdf).coalesce(2).write.mode("append") \
+            .parquet(src)
+        qs = start_ingest(spark, src, work, corpus_spark_schema(),
+                          with_positions=True)
+        for q in qs:
+            q.awaitTermination(300)
+
+    out = str(tmp_path / "idx")
+    compact(spark, work, out, partitions=4)
+
+    batch = str(tmp_path / "batch")
+    build_index(spark, corpus_to_spark(spark, pdf), batch,
+                n_salts=8, partitions=4)
+    build_positions(spark, corpus_to_spark(spark, pdf), batch,
+                    n_salts=8, partitions=4)
+    assert _fingerprint(spark, out) == _fingerprint(spark, batch)
+    assert _pos_fingerprint(spark, out) == _pos_fingerprint(spark, batch)
+
+    eng = SearchEngine(spark, out)
+    oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
+    assert eng.search("def return", k=10) == oracle.topk("def return", 10)
+
+    import pytest  # noqa: F401
+    old = ib.BROADCAST_DOC_LIMIT
+    try:
+        ib.BROADCAST_DOC_LIMIT = 0
+        out_fb = str(tmp_path / "idx_fb")
+        compact(spark, work, out_fb, partitions=4)
+    finally:
+        ib.BROADCAST_DOC_LIMIT = old
+    assert _fingerprint(spark, out_fb) == _fingerprint(spark, batch)
+    assert _pos_fingerprint(spark, out_fb) == _pos_fingerprint(spark, batch)
