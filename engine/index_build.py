@@ -440,11 +440,13 @@ def posting_rows_to_index(rows: DataFrame, n_docs: int, n_salts: int,
             .mapInPandas(_merge_runs_sorting, schema=INDEX_SCHEMA))
 
 
-def _reduce_remap_runs_factory(ext_sorted: np.ndarray):
+def _reduce_remap_runs_factory(ext_bc):
     """Per (term, ext-salt): merge doc_id-keyed map runs into one sorted
     run AND remap external doc_ids to dense ordinals in the same pass.
-    ext_sorted is the sorted external-id array (ordinal == index) of the
-    DEDUPED doc set: external ids absent from it (duplicate-content docs
+    ext_bc is a Spark Broadcast of (or, in tests, a bare) sorted
+    external-id array (ordinal == index) of the DEDUPED doc set — a
+    broadcast ships ONE copy per executor instead of re-serializing the
+    array (40 MB at the 5M-doc limit) into every task closure: external ids absent from it (duplicate-content docs
     aliased out) drop here — their canonical twin carries the identical
     postings, so the result stays byte-identical to an un-deduped
     equivalent (test-enforced).
@@ -464,6 +466,7 @@ def _reduce_remap_runs_factory(ext_sorted: np.ndarray):
         parts = [p for p in batches if len(p)]
         if not parts:
             return
+        ext_sorted = ext_bc.value if hasattr(ext_bc, "value") else ext_bc
         pdf = (pd.concat(parts, ignore_index=True)
                if len(parts) > 1 else parts[0])
         rows = []
@@ -543,16 +546,18 @@ def runs_to_index(spark: SparkSession, runs: DataFrame, docs: DataFrame,
     ordinal join everywhere else:
 
     - under BROADCAST_DOC_LIMIT: the raw runs shuffle on their (term,
-      ext-salt) keys and the sorted doc_id array closure-captures into the
-      REDUCE, which merges + remaps in one vectorized pass per group (hot
+      ext-salt) keys and the sorted doc_id array ships to the REDUCE as a
+      Spark broadcast (one copy per executor, not per task closure), which
+      merges + remaps in one vectorized pass per group (hot
       terms fan out over the ext-salt buckets; ext-salt order == ordinal
       order because ordinals are monotone in doc_id);
     - past it: runs unpack to posting rows and JOIN the partitioned
       ordinal map — no driver array anywhere."""
     if n_docs <= BROADCAST_DOC_LIMIT:
-        ext_sorted = _doc_ids_sorted(docs, docs_path)
+        ext_bc = spark.sparkContext.broadcast(
+            _doc_ids_sorted(docs, docs_path))
         partials = (runs.repartition(partitions, "term", "salt")
-                    .mapInPandas(_reduce_remap_runs_factory(ext_sorted),
+                    .mapInPandas(_reduce_remap_runs_factory(ext_bc),
                                  schema=RUN_SCHEMA))
         return (partials.repartition(partitions, "term")
                 .sortWithinPartitions("term", "salt")

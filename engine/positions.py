@@ -244,20 +244,22 @@ def _merge_pos_runs_sorting(batches: Iterator[pd.DataFrame]
         "term", "block", "df", "n", "ords", "counts", "pos"])
 
 
-def _reduce_remap_pos_runs_factory(ext_sorted: np.ndarray):
+def _reduce_remap_pos_runs_factory(ext_bc):
     """Per (term, ext-salt): merge doc_id-keyed position runs into one
     ordinal-sorted run AND remap external doc_ids to dense ordinals in the
     same pass — the positional twin of
-    index_build._reduce_remap_runs_factory (see there for why reduce-side
-    remap with the runs' ORIGINAL ext-salt keys stays globally sorted:
-    ordinals are monotone in doc_id, so ext-salt buckets are contiguous
-    ordinal intervals). External ids absent from ext_sorted
+    index_build._reduce_remap_runs_factory (see there for the broadcast
+    convention and why reduce-side remap with the runs' ORIGINAL ext-salt
+    keys stays globally sorted: ordinals are monotone in doc_id, so
+    ext-salt buckets are contiguous ordinal intervals). External ids
+    absent from the broadcast sorted-id array
     (duplicate-content docs aliased out) drop segment-wise — the canonical
     twin carries identical positions (byte-identity test-enforced)."""
     def reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
         if not parts:
             return
+        ext_sorted = ext_bc.value if hasattr(ext_bc, "value") else ext_bc
         pdf = (pd.concat(parts, ignore_index=True)
                if len(parts) > 1 else parts[0])
         rows = []
@@ -311,9 +313,10 @@ def pos_runs_to_store(spark: SparkSession, runs: DataFrame, docs: DataFrame,
       ordinal map — no driver array anywhere."""
     from . import index_build as ib
     if n_docs <= ib.BROADCAST_DOC_LIMIT:
-        ext_sorted = ib._doc_ids_sorted(docs, docs_path)
+        ext_bc = spark.sparkContext.broadcast(
+            ib._doc_ids_sorted(docs, docs_path))
         partials = (runs.repartition(partitions, "term", "salt")
-                    .mapInPandas(_reduce_remap_pos_runs_factory(ext_sorted),
+                    .mapInPandas(_reduce_remap_pos_runs_factory(ext_bc),
                                  schema=POS_RUN_SCHEMA))
         return (partials.repartition(partitions, "term")
                 .sortWithinPartitions("term", "salt")
