@@ -45,17 +45,25 @@ from .streaming import RUN_SCHEMA, _merge_sorting
 DEFAULT_N_SALTS = 8
 
 
-def _decode_to_runs_factory(ext_of_old: np.ndarray, union_sorted: np.ndarray,
+def _decode_to_runs_factory(ext_of_old_bc, union_sorted_bc,
                             n_docs: int, n_salts: int):
     """index rows (term, postings) of ONE input -> remapped packed runs.
-    union_sorted holds the DEDUPED union doc set: external ids absent from
-    it (duplicate-content docs aliased out cross-segment) drop from the
-    run — their canonical twin in another segment carries the identical
-    postings, keeping the merge byte-identical to a monolithic build."""
+    The remap arrays arrive as Spark Broadcasts (or bare arrays in tests)
+    — one copy per executor, not one per task closure (they reach 40 MB
+    each at the broadcast doc limit). union_sorted holds the DEDUPED
+    union doc set: external ids absent from it (duplicate-content docs
+    aliased out cross-segment) drop from the run — their canonical twin
+    in another segment carries the identical postings, keeping the merge
+    byte-identical to a monolithic build."""
     from .codec import decode_postings
     salt_div = max(1, (n_docs + n_salts - 1) // n_salts)
 
     def run(batches):
+        ext_of_old = (ext_of_old_bc.value
+                      if hasattr(ext_of_old_bc, "value") else ext_of_old_bc)
+        union_sorted = (union_sorted_bc.value
+                        if hasattr(union_sorted_bc, "value")
+                        else union_sorted_bc)
         for rb in batches:
             terms, salts, ns, ids_col, tfs_col = [], [], [], [], []
             for term, blob in zip(rb.column("term").to_pylist(),
@@ -100,16 +108,21 @@ def _decode_to_rows(batches):
             yield pd.concat(outs, ignore_index=True)
 
 
-def _decode_pos_to_runs_factory(ext_of_old: np.ndarray,
-                                union_sorted: np.ndarray,
+def _decode_pos_to_runs_factory(ext_of_old_bc, union_sorted_bc,
                                 n_docs: int, n_salts: int):
     """positional-store rows (term, ords, counts, pos) of ONE input ->
-    remapped packed position runs (POS_RUN_SCHEMA). Aliased-out docs
+    remapped packed position runs (POS_RUN_SCHEMA); remap arrays as
+    Broadcasts like _decode_to_runs_factory. Aliased-out docs
     (cross-segment duplicate content) drop segment-wise; both ordinal maps
     are monotone so runs stay sorted."""
     from .positions import _reorder_segments, decode_position_row
 
     def run(batches):
+        ext_of_old = (ext_of_old_bc.value
+                      if hasattr(ext_of_old_bc, "value") else ext_of_old_bc)
+        union_sorted = (union_sorted_bc.value
+                        if hasattr(union_sorted_bc, "value")
+                        else union_sorted_bc)
         for pdf in batches:
             rows = []
             for term, ords_b, cnt_b, pos_b in zip(
@@ -180,18 +193,19 @@ def merge_positions(spark: SparkSession, index_dirs: list[str],
     docs = spark.read.parquet(man.stage_path("docs"))
     t0 = man.begin("positions")
     if n_docs <= ib.BROADCAST_DOC_LIMIT:
-        union_sorted = ib._doc_ids_sorted(docs, man.stage_path("docs"))
+        union_bc = spark.sparkContext.broadcast(
+            ib._doc_ids_sorted(docs, man.stage_path("docs")))
         runs = None
         for d in index_dirs:
             # ordinals are monotone in doc_id, so ordinal order == sorted
             # doc_id order — the pyarrow driver-side read applies
-            ext_of_old = ib._doc_ids_sorted(
+            ext_bc = spark.sparkContext.broadcast(ib._doc_ids_sorted(
                 spark.read.parquet(os.path.join(d, "docs")),
-                os.path.join(d, "docs"))
+                os.path.join(d, "docs")))
             r = (spark.read.parquet(os.path.join(d, "positions"))
                  .select("term", "ords", "counts", "pos")
                  .mapInPandas(_decode_pos_to_runs_factory(
-                     ext_of_old, union_sorted, n_docs, n_salts),
+                     ext_bc, union_bc, n_docs, n_salts),
                      schema=POS_RUN_SCHEMA))
             runs = r if runs is None else runs.unionByName(r)
         partials = (runs.repartition(partitions, "term", "salt")
@@ -319,17 +333,18 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
     t0 = man.begin("index")
     docs = spark.read.parquet(man.stage_path("docs"))
     if n_union <= ib.BROADCAST_DOC_LIMIT:
-        union_sorted = ib._doc_ids_sorted(docs, man.stage_path("docs"))
+        union_bc = spark.sparkContext.broadcast(
+            ib._doc_ids_sorted(docs, man.stage_path("docs")))
         runs = None
         for d in index_dirs:
             # ordinal order == sorted doc_id order (monotone assignment)
-            ext_of_old = ib._doc_ids_sorted(
+            ext_bc = spark.sparkContext.broadcast(ib._doc_ids_sorted(
                 spark.read.parquet(os.path.join(d, "docs")),
-                os.path.join(d, "docs"))
+                os.path.join(d, "docs")))
             r = (spark.read.parquet(os.path.join(d, "index"))
                  .select("term", "postings")
                  .mapInArrow(_decode_to_runs_factory(
-                     ext_of_old, union_sorted, n_union, n_salts),
+                     ext_bc, union_bc, n_union, n_salts),
                      schema=RUN_SCHEMA))
             runs = r if runs is None else runs.unionByName(r)
         index = (runs.repartition(partitions, "term")
