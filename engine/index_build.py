@@ -1020,8 +1020,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
 
 
 def load_stats(spark: SparkSession, out_dir: str) -> tuple[int, float]:
+    n_docs, total_len = load_stats_totals(out_dir)
+    return n_docs, (total_len / n_docs) if n_docs else 0.0
+
+
+def load_stats_totals(out_dir: str) -> tuple[int, int]:
+    """(n_docs, total_len) as the INTEGERS the stats stage recorded — the
+    federated path sums these across segments so its avgdl division is
+    bit-identical to the merged index's (a float avgdl re-weighted by
+    n_docs would drift in the last ulp and break rank-identity)."""
     man = BuildManifest(out_dir)
     m = man.state["completed"]["stats"]["metrics"]
-    n_docs = int(m["n_docs"])
-    avgdl = (int(m["total_len"]) / n_docs) if n_docs else 0.0
-    return n_docs, avgdl
+    return int(m["n_docs"]), int(m["total_len"])

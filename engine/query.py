@@ -540,12 +540,22 @@ def _big_theta(index_df, dl, rare_term: str, rare_idf: float, k: int,
 def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                      k: int = 10, mode: str = "ranked",
                      rounded: bool = False, prune: bool = True,
-                     index_df=None, docs_df=None
+                     index_df=None, docs_df=None,
+                     global_stats: tuple[int, float] | None = None,
+                     df_global: dict[str, int] | None = None
                      ) -> list[tuple[int, int, float]]:
     """search_big over an explicit (already-normalized) term list — the
     shared tail for plain queries and wildcard expansion. Callers serving
     many queries pass pre-loaded (persisted) index_df/docs_df to skip the
     per-query parquet re-read (SearchService big regime).
+
+    global_stats=(n_docs, avgdl) and df_global (term -> corpus-wide df)
+    override this index's own statistics — the federated multi-segment
+    path (search_big_federated): each segment scores its docs with the
+    FEDERATION's BM25 weights so per-segment top-ks merge exactly.
+    Segment-local df/max_tf still drive the pruning geometry (rarest-term
+    choice, candidate-ship gating) — θ stays a valid lower bound because
+    it is an exact k-th best single-term score under the global weights.
 
     Block-max pruning (VERDICT r3 #3) on the ranked path: without it a
     hot-term query moves the term's ENTIRE posting list through the
@@ -591,7 +601,8 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
     from pyspark.sql import Observation
 
     global last_big_prune_stats
-    n_docs, avgdl = load_stats(spark, index_dir)
+    n_docs, avgdl = (global_stats if global_stats is not None
+                     else load_stats(spark, index_dir))
     if not terms or k <= 0:
         return []
     if index_df is None:
@@ -603,9 +614,11 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
     if not meta or (mode == "conjunctive" and len(meta) < len(terms)):
         return []
     ordered = sorted(r["term"] for r in meta)
-    dfs = {r["term"]: int(r["df"]) for r in meta}
-    term_meta = {t: (i, math.log((n_docs - dfs[t] + 0.5)
-                                 / (dfs[t] + 0.5) + 1.0))
+    dfs = {r["term"]: int(r["df"]) for r in meta}  # segment-local (pruning)
+    dfs_rank = ({t: int(df_global.get(t, dfs[t])) for t in dfs}
+                if df_global is not None else dfs)
+    term_meta = {t: (i, math.log((n_docs - dfs_rank[t] + 0.5)
+                                 / (dfs_rank[t] + 0.5) + 1.0))
                  for i, t in enumerate(ordered)}
     n_required = len(meta) if mode == "conjunctive" else 1
     docs = docs_df
@@ -639,13 +652,18 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
             essential = [t for t in ubmax if t not in n_set]
             if n_set and sum(dfs[t] for t in essential) \
                     <= CANDIDATE_SHIP_LIMIT:
-                cand_sorted = _collect_ordinals(index_df, essential)
+                # ship as a Spark broadcast — ONE copy per executor, not a
+                # re-serialized task-closure copy (32 MB at the gate limit;
+                # same pattern as the remap doc_id array in runs_to_index)
+                cand_sorted = spark.sparkContext.broadcast(
+                    _collect_ordinals(index_df, essential))
                 noness = frozenset(n_set)
 
     idf_of = {t: v[1] for t, v in term_meta.items()}
 
     def explode_blobs(batches):
         from .codec import BLOCK_SIZE
+        cand = cand_sorted.value if cand_sorted is not None else None
         for pdf in batches:
             outs = []
             for term, blob, bmax, blast in zip(
@@ -656,8 +674,8 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                     # (last_ids[i-1], last_ids[i]] in ordinal space
                     last_ids = np.asarray(blast, dtype=np.int64)
                     lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
-                    keep_b = (np.searchsorted(cand_sorted, last_ids, "right")
-                              > np.searchsorted(cand_sorted, lo, "right"))
+                    keep_b = (np.searchsorted(cand, last_ids, "right")
+                              > np.searchsorted(cand, lo, "right"))
                 else:
                     target = skip_target.get(term)
                     if target is None:
@@ -701,6 +719,10 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
         global last_big_prune_stats
         if rounded:
             scored.unpersist()
+        if cand_sorted is not None:
+            # release the executor-side candidate copies; a long-lived
+            # serving session would otherwise accumulate one per query
+            cand_sorted.unpersist()
         total_postings = sum(dfs.values())
         emitted = int(obs.get["emitted"] or 0)
         last_big_prune_stats = {
@@ -776,6 +798,79 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
             .collect())
     return _finish([(i + 1, int(r["doc_id"]), float(r["score"]))
                     for i, r in enumerate(rows)])
+
+
+def search_big_federated(spark: SparkSession, index_dirs: list[str],
+                         query: str, k: int = 10, mode: str = "ranked",
+                         rounded: bool = False, prune: bool = True
+                         ) -> list[tuple[int, int, float]]:
+    """BM25 top-k over a FEDERATION of doc-disjoint index segments —
+    rank-identical to searching the physically merged index, without the
+    merge (the Lucene NRT shape: streaming.serving_view hands this the
+    [current generation, fresh uncompacted segment] pair so queries see
+    newly ingested docs immediately).
+
+    Exactness: every doc lives in exactly ONE segment (serving_view /
+    compact_incremental enforce doc-disjointness), so a doc's full BM25
+    score is computable inside its own segment — provided the WEIGHTS are
+    the federation's, not the segment's. So: global n_docs = Σ n_docs_i,
+    global avgdl = Σ total_len_i / Σ n_docs_i, global df(t) = Σ df_i(t)
+    (disjoint doc sets ⇒ dfs add), each shipped into search_big_terms via
+    global_stats/df_global. Per-segment top-k under those global weights
+    then contains the global top-k's members from that segment, and the
+    k×S driver-side merge sorts by (score DESC, doc_id ASC) — identical
+    to the merged index's (score DESC, ordinal ASC) because ordinals are
+    monotone in doc_id within AND across segments after a merge. Tests
+    assert list equality vs search_big on merge_indexes' output.
+
+    A term absent from one segment simply contributes nothing there (its
+    docs don't contain it); conjunctive mode short-circuits per segment
+    when any query term is missing from that segment's dictionary."""
+    terms = query_terms(query)
+    return search_big_terms_federated(spark, index_dirs, terms, k=k,
+                                      mode=mode, rounded=rounded,
+                                      prune=prune)
+
+
+def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
+                               terms: list[str], k: int = 10,
+                               mode: str = "ranked", rounded: bool = False,
+                               prune: bool = True
+                               ) -> list[tuple[int, int, float]]:
+    """search_big_federated over an explicit term list (see there)."""
+    if not terms or k <= 0 or not index_dirs:
+        return []
+    from .index_build import load_stats_totals
+    totals = [load_stats_totals(d) for d in index_dirs]
+    n_total = sum(n for n, _ in totals)
+    if n_total == 0:
+        return []
+    # integer sums, ONE division — bit-identical to the merged index's
+    # avgdl (see load_stats_totals)
+    avgdl = sum(t for _, t in totals) / n_total
+    # corpus-wide df per query term: one pushdown dictionary probe per
+    # segment (O(|terms|) rows each — the same tiny job search_big_terms
+    # itself runs for meta)
+    idx_dfs = []
+    df_map: dict[str, int] = {}
+    for d in index_dirs:
+        idx = spark.read.parquet(os.path.join(d, "index"))
+        idx_dfs.append(idx)
+        for r in (idx.where(F.col("term").isin(terms))
+                  .select("term", "df").collect()):
+            df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df"])
+    if mode == "conjunctive" and len(df_map) < len(set(terms)):
+        return []
+    merged: list[tuple[int, float]] = []
+    for d, idx in zip(index_dirs, idx_dfs):
+        for _, doc_id, score in search_big_terms(
+                spark, d, terms, k=k, mode=mode, rounded=rounded,
+                prune=prune, index_df=idx,
+                global_stats=(n_total, avgdl), df_global=df_map):
+            merged.append((doc_id, score))
+    merged.sort(key=lambda t: (-t[1], t[0]))
+    return [(i + 1, doc_id, score)
+            for i, (doc_id, score) in enumerate(merged[:k])]
 
 
 def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,

@@ -395,6 +395,75 @@ def current_index_dir(out_dir: str) -> str:
     return out_dir
 
 
+def _discover_new_partials(work_dir: str, state: dict,
+                           caller: str) -> tuple[str | None, dict | None]:
+    """Committed partial files under work_dir that no generation in
+    `state` has consumed yet. Returns (prev_gen_name, new) where new is a
+    dict {scan_files, run_files, doc_files, pos_files} — or None when
+    nothing new exists (the caller no-ops on the previous generation).
+    Raises when the work dir holds no committed partials at all AND no
+    generation exists (nothing was ever ingested). Shared by
+    compact_incremental (which consumes the files) and serving_view
+    (which reads them without consuming)."""
+    prev = (state["generations"][-1]["dir"]
+            if state["generations"] else None)
+    empty = {"scan_files": [], "run_files": [], "doc_files": [],
+             "pos_files": []}
+    if os.path.isdir(os.path.join(work_dir, "scan_partials")):
+        # unified scan layout: ONE partial-file set carries every row kind
+        seen_scan = {f for g in state["generations"]
+                     for f in g.get("scan_files", [])}
+        scan_all = _committed_sink_files(
+            os.path.join(work_dir, "scan_partials"))
+        new_scan = [f for f in scan_all if f not in seen_scan]
+        if not new_scan:
+            if prev is None:
+                raise ValueError(
+                    f"{caller}: no committed scan partials found under "
+                    f"{work_dir} — run the ingest first")
+            return prev, None
+        return prev, {**empty, "scan_files": new_scan}
+    seen_runs = {f for g in state["generations"] for f in g["run_files"]}
+    seen_docs = {f for g in state["generations"] for f in g["doc_files"]}
+    seen_pos = {f for g in state["generations"] for f in g["pos_files"]}
+    runs_all = _committed_sink_files(os.path.join(work_dir, "run_partials"))
+    docs_all = _committed_sink_files(os.path.join(work_dir, "doc_stats"))
+    pos_dir = os.path.join(work_dir, "pos_partials")
+    has_pos = os.path.isdir(pos_dir)
+    pos_all = _committed_sink_files(pos_dir) if has_pos else []
+    new_runs = [f for f in runs_all if f not in seen_runs]
+    new_docs = [f for f in docs_all if f not in seen_docs]
+    new_pos = [f for f in pos_all if f not in seen_pos]
+    if not new_docs and not new_runs:
+        if prev is None:
+            raise ValueError(
+                f"{caller}: no committed doc_stats partials found under "
+                f"{work_dir} — run the ingest first")
+        return prev, None
+    if not new_docs:
+        raise ValueError(
+            f"{caller}: no committed doc_stats partials found under "
+            f"{work_dir} — run the ingest first")
+    if has_pos:
+        _check_pos_coverage(work_dir)
+    return prev, {"scan_files": [], "run_files": new_runs,
+                  "doc_files": new_docs, "pos_files": new_pos}
+
+
+def _owned_doc_ids(spark: SparkSession, prev_dir: str) -> DataFrame:
+    """doc_ids a previous generation already owns (canonicals AND
+    aliased-out ids) — excluded from a new segment so the segment set
+    stays doc-disjoint (a re-delivered file mirrors the batch build's
+    dropDuplicates)."""
+    from .checkpoint import BuildManifest
+    owned = spark.read.parquet(
+        os.path.join(prev_dir, "docs")).select("doc_id")
+    if BuildManifest(prev_dir).is_complete("aliases"):
+        owned = owned.unionByName(spark.read.parquet(
+            os.path.join(prev_dir, "aliases")).select("doc_id"))
+    return owned
+
+
 def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
                         *, n_salts: int = 8, partitions: int = 16,
                         dedup_content: bool = True,
@@ -427,53 +496,12 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
     from .merge import merge_indexes
 
     state = _load_compaction_state(out_dir)
-    unified = os.path.isdir(os.path.join(work_dir, "scan_partials"))
-    if unified:
-        # unified scan layout: ONE partial-file set carries every row kind
-        seen_scan = {f for g in state["generations"]
-                     for f in g.get("scan_files", [])}
-        scan_all = _committed_sink_files(
-            os.path.join(work_dir, "scan_partials"))
-        new_scan = [f for f in scan_all if f not in seen_scan]
-        new_runs = new_docs = new_pos = []
-        prev = (state["generations"][-1]["dir"]
-                if state["generations"] else None)
-        if prev is not None and not new_scan:
-            return os.path.join(out_dir, prev)
-        if not new_scan:
-            raise ValueError(
-                "compact_incremental: no committed scan partials found "
-                f"under {work_dir} — run the ingest first")
-    else:
-        new_scan = []
-        seen_runs = {f for g in state["generations"]
-                     for f in g["run_files"]}
-        seen_docs = {f for g in state["generations"]
-                     for f in g["doc_files"]}
-        seen_pos = {f for g in state["generations"]
-                    for f in g["pos_files"]}
-
-        runs_all = _committed_sink_files(
-            os.path.join(work_dir, "run_partials"))
-        docs_all = _committed_sink_files(os.path.join(work_dir, "doc_stats"))
-        pos_dir = os.path.join(work_dir, "pos_partials")
-        has_pos = os.path.isdir(pos_dir)
-        pos_all = _committed_sink_files(pos_dir) if has_pos else []
-
-        new_runs = [f for f in runs_all if f not in seen_runs]
-        new_docs = [f for f in docs_all if f not in seen_docs]
-        new_pos = [f for f in pos_all if f not in seen_pos]
-
-        prev = (state["generations"][-1]["dir"]
-                if state["generations"] else None)
-        if prev is not None and not new_docs and not new_runs:
-            return os.path.join(out_dir, prev)
-        if not new_docs:
-            raise ValueError(
-                "compact_incremental: no committed doc_stats partials "
-                f"found under {work_dir} — run the ingest first")
-        if has_pos:
-            _check_pos_coverage(work_dir)
+    prev, new = _discover_new_partials(work_dir, state,
+                                       "compact_incremental")
+    if new is None:
+        return os.path.join(out_dir, prev)
+    new_scan, new_runs = new["scan_files"], new["run_files"]
+    new_docs, new_pos = new["doc_files"], new["pos_files"]
 
     gen_id = len(state["generations"]) + 1
     gen_name = f"gen-{gen_id:05d}"
@@ -488,14 +516,7 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
                 pos_files=new_pos or None, scan_files=new_scan or None)
     else:
         prev_dir = os.path.join(out_dir, prev)
-        # docs already owned by the previous generation (canonicals AND
-        # aliased-out ids) are excluded from the segment
-        owned = spark.read.parquet(
-            os.path.join(prev_dir, "docs")).select("doc_id")
-        from .checkpoint import BuildManifest
-        if BuildManifest(prev_dir).is_complete("aliases"):
-            owned = owned.unionByName(spark.read.parquet(
-                os.path.join(prev_dir, "aliases")).select("doc_id"))
+        owned = _owned_doc_ids(spark, prev_dir)
         compact(spark, work_dir, seg_dir, n_salts=n_salts,
                 partitions=partitions, dedup_content=dedup_content,
                 run_files=new_runs or None, doc_files=new_docs or None,
@@ -530,3 +551,64 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
     return gen_dir
 
 
+
+
+def serving_view(spark: SparkSession, work_dir: str, out_dir: str,
+                 *, n_salts: int = 8, partitions: int = 16,
+                 dedup_content: bool = True) -> list[str]:
+    """Near-real-time serving view: the index dirs that together cover
+    EVERY doc ingested so far — the CURRENT compacted generation plus,
+    when uncompacted partials exist, a fresh UNMERGED segment built from
+    exactly those files — WITHOUT running a merge. Hand the list to
+    query.search_big_federated: per-segment top-k under GLOBAL BM25 stats
+    is exact vs the physically merged index because generations and
+    segments are doc-disjoint (every doc scores fully inside the one
+    segment that owns it), so queries see freshly ingested docs at
+    segment-build cost, not merge cost — the Lucene NRT-reader shape.
+
+    The segment caches under out_dir/_serving keyed by the fingerprint of
+    its input file set: repeated calls between ingests reuse it; a call
+    after new ingests builds the superseding segment and prunes the old
+    one; a call after compact_incremental (which consumes the files)
+    returns just the new generation and drops the stale segment.
+
+    Freshness trade-off (dedup): content duplicated ACROSS the view's
+    members is served as distinct docs until the next compact_incremental
+    collapses it in the merge's aliases stage; re-delivered doc_ids are
+    excluded from the segment (doc-disjointness holds regardless).
+    Within each member, content dedup applies as usual."""
+    import hashlib
+    import shutil
+
+    state = _load_compaction_state(out_dir)
+    prev, new = _discover_new_partials(work_dir, state, "serving_view")
+    dirs = [os.path.join(out_dir, prev)] if prev else []
+    serv_root = os.path.join(out_dir, "_serving")
+    if new is None:
+        shutil.rmtree(serv_root, ignore_errors=True)  # consumed -> stale
+        return dirs
+    all_new = sorted(new["scan_files"] + new["run_files"]
+                     + new["doc_files"] + new["pos_files"])
+    fp = hashlib.sha256("\n".join(all_new).encode()).hexdigest()[:16]
+    seg = os.path.join(serv_root, f"seg-{fp}")
+    done = os.path.join(seg, "_SERVING_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(seg, ignore_errors=True)
+        if os.path.isdir(serv_root):    # prune superseded segments
+            for n in os.listdir(serv_root):
+                if n != f"seg-{fp}":
+                    shutil.rmtree(os.path.join(serv_root, n),
+                                  ignore_errors=True)
+        owned = (_owned_doc_ids(spark, os.path.join(out_dir, prev))
+                 if prev else None)
+        compact(spark, work_dir, seg, n_salts=n_salts,
+                partitions=partitions, dedup_content=dedup_content,
+                scan_files=new["scan_files"] or None,
+                run_files=new["run_files"] or None,
+                doc_files=new["doc_files"] or None,
+                pos_files=new["pos_files"] or None,
+                exclude_docs=owned)
+        with open(done, "w") as f:
+            f.write("\n".join(all_new))
+    dirs.append(seg)
+    return dirs
