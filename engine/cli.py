@@ -13,9 +13,15 @@ Usage:
           incl. the positional store when the ingest ran --positions)
   merge   --inputs DIR,DIR,... --out DIR  (segment merge: N built indexes ->
           one, byte-identical to a monolithic build over the union)
-  serve   --index DIR [--host H] [--port P] [--big]  (HTTP shim: GET /search
-          returns the reference Searcher's {url, rank_score, title, body}
-          JSON; --big = zero-driver-array 10^12-doc regime)
+  delete  --work DIR --ids 1,2,... [--ids-file F]  (tombstone the ids'
+          content-identity classes: logical at next serve refresh,
+          physical at next compact --incremental — which is then
+          byte-identical to a batch build over the survivors)
+  serve   --index DIR [--host H] [--port P] [--big] [--work WORK]
+          (HTTP shim: GET /search returns the reference Searcher's
+          {url, rank_score, title, body} JSON; --big = zero-driver-array
+          10^12-doc regime; --work = NRT federated view over the current
+          generation + fresh uncompacted segment, GET /refresh re-resolves)
   bench   (delegates to bench.py's main)
 
 `build --input DIR` expects a parquet table in the input_hint shape
@@ -100,6 +106,17 @@ def main(argv=None):
                     help="skip cross-segment content dedup (legacy indexes "
                          "without content_sha256 in their docs snapshots)")
 
+    pd_ = sub.add_parser("delete")
+    pd_.add_argument("--work", required=True,
+                     help="streaming work dir (tombstones land in "
+                          "WORK/deletes/)")
+    pd_.add_argument("--ids", default=None,
+                     help="comma-separated doc_ids to delete (the whole "
+                          "content-identity class of each dies: canonical "
+                          "+ every alias)")
+    pd_.add_argument("--ids-file", default=None,
+                     help="file with one doc_id per line")
+
     ps = sub.add_parser("serve")
     ps.add_argument("--index", required=True)
     ps.add_argument("--host", default="127.0.0.1")
@@ -107,6 +124,11 @@ def main(argv=None):
     ps.add_argument("--big", action="store_true",
                     help="10^12-doc regime: search_big + distributed "
                          "phrase + k-row display joins, no driver maps")
+    ps.add_argument("--work", default=None,
+                    help="streaming work dir: serve the NRT federated "
+                         "view (current generation + fresh uncompacted "
+                         "segment; GET /refresh re-resolves it) — "
+                         "--index is the compact --incremental out dir")
 
     sub.add_parser("bench")
 
@@ -116,6 +138,23 @@ def main(argv=None):
         sys.path.insert(0, ".")
         import bench
         bench.main()
+        return
+    if args.cmd == "delete":
+        # pure driver-side metadata write — no Spark session needed
+        from engine.deletes import delete_docs
+        ids: list[int] = []
+        if args.ids:
+            ids += [int(x) for x in args.ids.split(",") if x.strip()]
+        if args.ids_file:
+            with open(args.ids_file) as f:
+                ids += [int(ln) for ln in f if ln.strip()]
+        if not ids:
+            p.error("delete: pass --ids and/or --ids-file")
+        path = delete_docs(args.work, ids)
+        print(json.dumps({"tombstones": path, "n_ids": len(set(ids)),
+                          "effect": "logical at next serve refresh, "
+                                    "physical at next compact "
+                                    "--incremental"}))
         return
 
     spark = _spark(args)
@@ -178,7 +217,7 @@ def main(argv=None):
     elif args.cmd == "serve":
         from engine.server import serve
         serve(spark, args.index, host=args.host, port=args.port,
-              big=args.big)
+              big=args.big, work_dir=args.work)
     elif args.cmd == "compact":
         from engine.checkpoint import BuildManifest
         if args.incremental:

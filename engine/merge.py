@@ -244,7 +244,8 @@ def merge_positions(spark: SparkSession, index_dirs: list[str],
 def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
                   *, n_salts: int = DEFAULT_N_SALTS,
                   partitions: int = 16,
-                  dedup_content: bool = True) -> BuildManifest:
+                  dedup_content: bool = True,
+                  tombstones=None) -> BuildManifest:
     """Merge built indexes (each an index_build/compact output dir) into a
     new index dir with the same layout, loadable by SearchEngine.
 
@@ -256,7 +257,18 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
     monolithic build over the union corpus even with cross-segment
     duplicates (test-enforced). The inputs' own alias maps are re-pointed
     at the global canonicals and unioned into the output's aliases stage,
-    so serving resolves every historical alias."""
+    so serving resolves every historical alias.
+
+    tombstones (a doc_id DataFrame, deletes.tombstones_frame) applies
+    PHYSICAL deletes in the same pass: the dead docs' content classes
+    (deletes.filter_dead) leave the union metadata before ordinals are
+    assigned, so their postings and positions drop at the ordinal remap —
+    remap_keep masks ids absent from the union doc set, the identical
+    mechanism that drops duplicate-content docs — and every statistic
+    (N, avgdl, df, block maxes) is recomputed. The result is
+    byte-identical to a monolithic batch build over the surviving corpus
+    (test-enforced, positions included). A single-input merge with
+    tombstones is the standalone delete-compaction."""
     from . import index_build as ib
     man = BuildManifest(out_dir)
 
@@ -274,21 +286,37 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str], out_dir: str,
             "merge_indexes(dedup_content=True) needs content_sha256 in the "
             "input docs snapshots; pass dedup_content=False for legacy "
             "indexes")
+
+    # inputs' own alias maps (lazy — also resolve tombstoned aliases)
+    parts = []
+    for d in index_dirs:
+        if BuildManifest(d).is_complete("aliases"):
+            parts.append(spark.read.parquet(os.path.join(d, "aliases"))
+                         .select("doc_id", "canonical_doc_id"))
+    ia_all = None
+    for p in parts:
+        ia_all = p if ia_all is None else ia_all.unionByName(p)
+
+    dead = None
+    if tombstones is not None:
+        from .deletes import filter_dead
+        union, dead = filter_dead(union, ia_all, tombstones)
+
     if dedup_content:
         t0 = man.begin("aliases")
         cross = ib.alias_map_of(union)
         # inputs' own alias maps, re-pointed: an input canonical that is
         # itself aliased cross-segment chains to the global canonical
         # (chains have length <= 2 because inputs are internally deduped)
-        parts = []
-        for d in index_dirs:
-            if BuildManifest(d).is_complete("aliases"):
-                parts.append(spark.read.parquet(os.path.join(d, "aliases"))
-                             .select("doc_id", "canonical_doc_id"))
         if parts:
-            ia = parts[0]
-            for p in parts[1:]:
-                ia = ia.unionByName(p)
+            ia = ia_all
+            if dead is not None:
+                # alias rows of tombstoned classes die with their class
+                # (dead is sha-closed: an alias's canonical is dead iff
+                # the alias's own content is)
+                ia = ia.join(
+                    dead.withColumnRenamed("doc_id", "canonical_doc_id"),
+                    "canonical_doc_id", "left_anti")
             repoint = cross.select(
                 F.col("doc_id").alias("canonical_doc_id"),
                 F.col("canonical_doc_id").alias("_global"))

@@ -550,6 +550,59 @@ class PhraseEngine:
         self._cache_max = (cache_max_blocks if cache_max_blocks is not None
                            else self.CACHE_MAX_BLOCKS)
         self._occ: dict[str, int] = {}  # total occurrences per term
+        # logical-delete exclusion (deletes.py): sorted dead ordinals
+        self._excl_arr: np.ndarray | None = None
+        self._excl_bc = None
+
+    def set_exclusions(self, ordinals) -> None:
+        """Logical deletes (deletes.member_exclusions): a sorted
+        dead-ordinal array excluded from every subsequent result set on
+        BOTH matching regimes. Occurrence counts and relative ranking of
+        surviving docs are unchanged — phrase/NEAR matching is doc-local
+        — so exclusion here equals filtering the full result list (the
+        Lucene stats-until-merge contract, test-enforced). One Spark
+        broadcast per call (refresh-time, not per query); None clears."""
+        if self._excl_bc is not None:
+            self._excl_bc.unpersist()
+            self._excl_bc = None
+        self._excl_arr = None
+        if ordinals is not None and len(ordinals):
+            arr = np.sort(np.asarray(ordinals, dtype=np.int64))
+            self._excl_arr = arr
+            self._excl_bc = self.spark.sparkContext.broadcast(arr)
+
+    def _mask_dead(self, uniq: np.ndarray, n_occ: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Drop logically deleted ordinals from driver-path hits."""
+        exc = self._excl_arr
+        if exc is None or uniq.size == 0:
+            return uniq, n_occ
+        pos = np.searchsorted(exc, uniq)
+        pos_c = np.minimum(pos, exc.size - 1)
+        dead = (pos < exc.size) & (exc[pos_c] == uniq)
+        if dead.any():
+            return uniq[~dead], n_occ[~dead]
+        return uniq, n_occ
+
+    def _filter_hits(self, hits: DataFrame) -> DataFrame:
+        """Drop logically deleted ordinals from distributed hit rows —
+        BEFORE the top-k sort+limit, so exclusion is exact. The dead set
+        rides the refresh-time broadcast; hit frames are tiny (matching
+        docs only), so the extra Arrow hop is noise."""
+        bc = self._excl_bc
+        if bc is None:
+            return hits
+
+        def f(batches):
+            exc = bc.value
+            for pdf in batches:
+                u = pdf["ordinal"].to_numpy(np.int64)
+                pos = np.searchsorted(exc, u)
+                pos_c = np.minimum(pos, exc.size - 1)
+                dead = (pos < exc.size) & (exc[pos_c] == u)
+                yield pdf[~dead] if dead.any() else pdf
+
+        return hits.mapInPandas(f, schema="ordinal long, n_occ long")
 
     def _cache_put(self, key: tuple[str, int], val) -> None:
         self._cache[key] = val
@@ -580,6 +633,7 @@ class PhraseEngine:
         """(ordinal, n_occ) hit rows -> [(rank, doc_id, n_occ)] via
         distributed sort+limit and a k-row broadcast join to doc_id —
         ordinal asc == doc_id asc, so tie-breaks carry. No driver array."""
+        hits = self._filter_hits(hits)
         top = (hits.orderBy(F.col("n_occ").desc(), "ordinal").limit(k)
                .select("ordinal", "n_occ"))
         rows = (F.broadcast(top)
@@ -674,6 +728,7 @@ class PhraseEngine:
                 return []
         doc_ords = (match // _SHIFT).astype(np.int64)
         uniq, n_occ = np.unique(doc_ords, return_counts=True)
+        uniq, n_occ = self._mask_dead(uniq, n_occ)
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
@@ -712,6 +767,7 @@ class PhraseEngine:
         if matched.size == 0:
             return []
         uniq, n_occ = np.unique(matched // _SHIFT, return_counts=True)
+        uniq, n_occ = self._mask_dead(uniq, n_occ)
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
@@ -764,6 +820,7 @@ class PhraseEngine:
             if valid.size == 0:
                 return []
         uniq, n_occ = np.unique(valid // _SHIFT, return_counts=True)
+        uniq, n_occ = self._mask_dead(uniq, n_occ)
         ordr = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(ordr)]

@@ -509,18 +509,48 @@ def _collect_ordinals(index_df, terms: list[str]) -> np.ndarray:
     return np.unique(tbl.column("ordinal").to_numpy(zero_copy_only=False))
 
 
+def _mask_excluded(ids: np.ndarray, tfs: np.ndarray, exc: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop postings whose ordinal is in the sorted exclusion array `exc`
+    — the LOGICAL-delete filter (deletes.py): applied at decode, the whole
+    query pipeline behaves as if the index simply lacked those postings,
+    so every downstream step (θ, pruning, conjunctive counting, top-k) is
+    exact over the surviving docs under the index's as-built statistics
+    (Lucene's stats-until-merge semantics)."""
+    pos = np.searchsorted(exc, ids)
+    pos_c = np.minimum(pos, exc.size - 1)
+    dead = (pos < exc.size) & (exc[pos_c] == ids)
+    if dead.any():
+        return ids[~dead], tfs[~dead]
+    return ids, tfs
+
+
+def _excl_value(exclude) -> np.ndarray | None:
+    """Unwrap a Spark Broadcast (serving path: ONE executor copy per
+    refresh, not per query) or pass a bare sorted array (tests) through."""
+    if exclude is None:
+        return None
+    arr = exclude.value if hasattr(exclude, "value") else exclude
+    return arr if arr is not None and arr.size else None
+
+
 def _big_theta(index_df, dl, rare_term: str, rare_idf: float, k: int,
-               avgdl: float):
+               avgdl: float, exclude=None):
     """Phase-1 θ: the k-th best EXACT single-term BM25 contribution of the
     rarest query term — a lower bound on the k-th best final score (totals
     only add non-negative contributions), derived from one cheap job over
-    O(min df) postings. None when the term can't fill k slots."""
+    O(min df) postings. None when the term can't fill k slots. Logical
+    deletes mask here too: θ derived over surviving docs stays a valid
+    lower bound for the surviving top-k."""
     import pandas as pd
 
     def explode(batches):
+        exc = _excl_value(exclude)
         for pdf in batches:
             for blob in pdf["postings"]:
                 ids, tfs = decode_postings(bytes(blob))
+                if exc is not None:
+                    ids, tfs = _mask_excluded(ids, tfs, exc)
                 yield pd.DataFrame({"ordinal": ids,
                                     "tf": tfs.astype(np.float64)})
 
@@ -542,12 +572,21 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                      rounded: bool = False, prune: bool = True,
                      index_df=None, docs_df=None,
                      global_stats: tuple[int, float] | None = None,
-                     df_global: dict[str, int] | None = None
+                     df_global: dict[str, int] | None = None,
+                     exclude=None
                      ) -> list[tuple[int, int, float]]:
     """search_big over an explicit (already-normalized) term list — the
     shared tail for plain queries and wildcard expansion. Callers serving
     many queries pass pre-loaded (persisted) index_df/docs_df to skip the
     per-query parquet re-read (SearchService big regime).
+
+    exclude: sorted dead-ordinal array (or its Broadcast — the serving
+    path creates ONE per refresh) of LOGICALLY deleted docs
+    (deletes.member_exclusions): masked at blob decode, so θ, pruning,
+    conjunctive counts and the top-k are all exact over the surviving
+    docs while N/avgdl/df stay as built (Lucene stats-until-merge).
+    Block bounds computed from as-built max_tf stay valid upper bounds —
+    a dead doc holding the block max only makes pruning conservative.
 
     global_stats=(n_docs, avgdl) and df_global (term -> corpus-wide df)
     override this index's own statistics — the federated multi-segment
@@ -631,7 +670,8 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
     if prune and mode == "ranked" and len(meta) >= 2:
         rare = min(meta, key=lambda r: (int(r["df"]), r["term"]))
         theta = _big_theta(index_df, dl, rare["term"],
-                           term_meta[rare["term"]][1], k, avgdl)
+                           term_meta[rare["term"]][1], k, avgdl,
+                           exclude=exclude)
         if theta is not None:
             if rounded:
                 theta = float(np.round(theta, 6)) - 6e-7
@@ -664,6 +704,7 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
     def explode_blobs(batches):
         from .codec import BLOCK_SIZE
         cand = cand_sorted.value if cand_sorted is not None else None
+        exc = _excl_value(exclude)
         for pdf in batches:
             outs = []
             for term, blob, bmax, blast in zip(
@@ -690,6 +731,8 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                 if keep_b is not None and not keep_b.all():
                     keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
                     ids, tfs = ids[keep], tfs[keep]
+                if exc is not None and ids.size:
+                    ids, tfs = _mask_excluded(ids, tfs, exc)
                 outs.append(pd.DataFrame(
                     {"ordinal": ids, "term_idx": term_meta[term][0],
                      "tf": tfs.astype(np.float64)}))
@@ -832,45 +875,140 @@ def search_big_federated(spark: SparkSession, index_dirs: list[str],
                                       prune=prune)
 
 
-def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
-                               terms: list[str], k: int = 10,
-                               mode: str = "ranked", rounded: bool = False,
-                               prune: bool = True
-                               ) -> list[tuple[int, int, float]]:
-    """search_big_federated over an explicit term list (see there)."""
-    if not terms or k <= 0 or not index_dirs:
-        return []
+def _federation_weights(spark, index_dirs: list[str], terms: list[str],
+                        idx_dfs: list | None = None):
+    """Corpus-wide BM25/TF-IDF weights of a doc-disjoint federation:
+    (n_total, avgdl, df_map, idx_dfs). n_docs/total_len are INTEGER sums
+    with one division (bit-identical to the merged index's avgdl); df(t)
+    sums per-segment dfs via one pushdown dictionary probe per segment
+    (O(|terms|) rows each — the same tiny job search_big_terms itself
+    runs for meta)."""
     from .index_build import load_stats_totals
     totals = [load_stats_totals(d) for d in index_dirs]
     n_total = sum(n for n, _ in totals)
-    if n_total == 0:
-        return []
-    # integer sums, ONE division — bit-identical to the merged index's
-    # avgdl (see load_stats_totals)
-    avgdl = sum(t for _, t in totals) / n_total
-    # corpus-wide df per query term: one pushdown dictionary probe per
-    # segment (O(|terms|) rows each — the same tiny job search_big_terms
-    # itself runs for meta)
-    idx_dfs = []
+    avgdl = (sum(t for _, t in totals) / n_total) if n_total else 0.0
+    if idx_dfs is None:
+        idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
+                   for d in index_dirs]
     df_map: dict[str, int] = {}
-    for d in index_dirs:
-        idx = spark.read.parquet(os.path.join(d, "index"))
-        idx_dfs.append(idx)
+    for idx in idx_dfs:
         for r in (idx.where(F.col("term").isin(terms))
                   .select("term", "df").collect()):
             df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df"])
+    return n_total, avgdl, df_map, idx_dfs
+
+
+def _merge_federated(per: list[tuple[int, float]], k: int
+                     ) -> list[tuple[int, int, float]]:
+    """k×S per-segment rows -> global top-k by (score DESC, doc_id ASC) —
+    identical to the merged index's (score DESC, ordinal ASC) because
+    ordinals are monotone in doc_id within and across segments."""
+    per.sort(key=lambda t: (-t[1], t[0]))
+    return [(i + 1, doc_id, score)
+            for i, (doc_id, score) in enumerate(per[:k])]
+
+
+def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
+                               terms: list[str], k: int = 10,
+                               mode: str = "ranked", rounded: bool = False,
+                               prune: bool = True,
+                               idx_dfs: list | None = None,
+                               docs_dfs: list | None = None,
+                               excludes: list | None = None
+                               ) -> list[tuple[int, int, float]]:
+    """search_big_federated over an explicit term list (see there).
+    idx_dfs/docs_dfs: per-segment pre-loaded (persisted) frames — the
+    federated serving warm path. excludes: per-segment dead-ordinal
+    arrays/Broadcasts (logical deletes, deletes.member_exclusions) —
+    exclusion inside each segment's top-k keeps the k×S merge exact over
+    the surviving docs; the federation weights stay as built (Lucene
+    stats-until-merge)."""
+    if not terms or k <= 0 or not index_dirs:
+        return []
+    n_total, avgdl, df_map, idx_dfs = _federation_weights(
+        spark, index_dirs, terms, idx_dfs)
+    if n_total == 0:
+        return []
     if mode == "conjunctive" and len(df_map) < len(set(terms)):
         return []
     merged: list[tuple[int, float]] = []
-    for d, idx in zip(index_dirs, idx_dfs):
+    for i, (d, idx) in enumerate(zip(index_dirs, idx_dfs)):
         for _, doc_id, score in search_big_terms(
                 spark, d, terms, k=k, mode=mode, rounded=rounded,
                 prune=prune, index_df=idx,
-                global_stats=(n_total, avgdl), df_global=df_map):
+                docs_df=docs_dfs[i] if docs_dfs else None,
+                global_stats=(n_total, avgdl), df_global=df_map,
+                exclude=excludes[i] if excludes else None):
             merged.append((doc_id, score))
-    merged.sort(key=lambda t: (-t[1], t[0]))
-    return [(i + 1, doc_id, score)
-            for i, (doc_id, score) in enumerate(merged[:k])]
+    return _merge_federated(merged, k)
+
+
+def search_big_tfidf_federated(spark: SparkSession, index_dirs: list[str],
+                               query: str, k: int = 300,
+                               threshold: float = 0.3,
+                               idx_dfs: list | None = None,
+                               docs_dfs: list | None = None,
+                               excludes: list | None = None
+                               ) -> list[tuple[int, int, float]]:
+    """The reference's TF-IDF scoring over a doc-disjoint federation —
+    same exactness argument as search_big_federated: per-segment scores
+    under global (n_docs, df) weights are the merged index's scores, and
+    `score > threshold` filters identically, so the k×S merge is exact
+    (logical deletes, being doc-local, filter identically too)."""
+    terms = query_terms(query)
+    if not terms or k <= 0 or not index_dirs:
+        return []
+    n_total, avgdl, df_map, idx_dfs = _federation_weights(
+        spark, index_dirs, terms, idx_dfs)
+    if n_total == 0 or not df_map:
+        return []
+    merged: list[tuple[int, float]] = []
+    for i, (d, idx) in enumerate(zip(index_dirs, idx_dfs)):
+        for _, doc_id, score in search_big_tfidf(
+                spark, d, query, k=k, threshold=threshold, index_df=idx,
+                docs_df=docs_dfs[i] if docs_dfs else None,
+                global_stats=(n_total, avgdl), df_global=df_map,
+                exclude=excludes[i] if excludes else None):
+            merged.append((doc_id, score))
+    return _merge_federated(merged, k)
+
+
+def expand_prefix_federated(idx_dfs: list, prefix: str) -> list[str]:
+    """Wildcard expansion over a federation's UNION dictionary — same
+    semantics as the single-index rule (shared cap; past it, the cap
+    highest-df terms where df is the CORPUS-WIDE sum), so the expansion
+    equals expand_prefix on the merged index."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    from functools import reduce
+    cap = SearchEngine.PREFIX_EXPANSION_CAP
+    u = reduce(lambda a, b: a.unionByName(b),
+               [idx.where(F.col("term").startswith(prefix))
+                .select("term", "df") for idx in idx_dfs])
+    rows = u.select("term").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        rows = (u.groupBy("term").agg(F.sum("df").alias("df"))
+                .orderBy(F.col("df").desc(), F.col("term"))
+                .select("term").limit(cap).collect())
+    return sorted(r["term"] for r in rows)
+
+
+def search_big_prefix_federated(spark: SparkSession, index_dirs: list[str],
+                                prefix: str, k: int = 10,
+                                rounded: bool = False,
+                                idx_dfs: list | None = None,
+                                docs_dfs: list | None = None,
+                                excludes: list | None = None
+                                ) -> list[tuple[int, int, float]]:
+    """Wildcard `prefix*` over a federation (see expand_prefix_federated /
+    search_big_terms_federated)."""
+    if idx_dfs is None:
+        idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
+                   for d in index_dirs]
+    terms = expand_prefix_federated(idx_dfs, prefix)
+    return search_big_terms_federated(spark, index_dirs, terms, k=k,
+                                      rounded=rounded, idx_dfs=idx_dfs,
+                                      docs_dfs=docs_dfs, excludes=excludes)
 
 
 def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
@@ -907,7 +1045,10 @@ def expand_prefix_big(index_df, prefix: str) -> list[str]:
 
 def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
                      k: int = 300, threshold: float = 0.3,
-                     index_df=None, docs_df=None
+                     index_df=None, docs_df=None,
+                     global_stats: tuple[int, float] | None = None,
+                     df_global: dict[str, int] | None = None,
+                     exclude=None
                      ) -> list[tuple[int, int, float]]:
     """The reference's TF-IDF scoring (Searcher.java:108,113,139-159,196)
     on the zero-driver-array path — bitwise equal to
@@ -927,7 +1068,8 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
 
     import pandas as pd
 
-    n_docs, _avgdl = load_stats(spark, index_dir)
+    n_docs, _avgdl = (global_stats if global_stats is not None
+                      else load_stats(spark, index_dir))
     terms = query_terms(query)
     if not terms or k <= 0:
         return []
@@ -939,15 +1081,20 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
         return []
     ordered = sorted(r["term"] for r in meta)
     dfs = {r["term"]: int(r["df"]) for r in meta}
+    if df_global is not None:   # federated: corpus-wide idf (see
+        dfs = {t: int(df_global.get(t, dfs[t])) for t in dfs}  # federated fn)
     term_meta = {t: (i, _math.log10(n_docs / dfs[t]))
                  for i, t in enumerate(ordered)}
 
     def contribs(batches):
+        exc = _excl_value(exclude)
         for pdf in batches:
             outs = []
             for term, blob in zip(pdf["term"], pdf["postings"]):
                 ti, idf = term_meta[term]
                 ids, tfs = decode_postings(bytes(blob))
+                if exc is not None and ids.size:
+                    ids, tfs = _mask_excluded(ids, tfs, exc)
                 w = (1.0 + np.log10(tfs.astype(np.float64))) * idf
                 outs.append(pd.DataFrame(
                     {"ordinal": ids, "term_idx": ti, "contrib": w}))

@@ -138,15 +138,10 @@ class SearchService:
         doc_id = self._alias.get(doc_id, doc_id)
         return self._display.get(doc_id, (str(doc_id), "", ""))
 
-    def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
-        """doc_id -> (url, title, body) for a RESULT SET (k ids). Driver
-        regime: dict lookups. Big regime: alias + display resolve via two
-        pushdown isin-scans over <= 2k metadata rows — the k-row tail, no
-        driver map."""
+    def _canon_disp(self, ids: list[int]):
+        """Big regime: (canon, disp) via two pushdown isin-scans over
+        <= 2k metadata rows — the k-row tail, no driver map."""
         from pyspark.sql import functions as F
-        ids = [int(d) for d in doc_ids]
-        if not self.big:
-            return {i: self.resolve(i) for i in ids}
         canon = {i: i for i in ids}
         if self._aliases_df is not None and ids:
             for r in (self._aliases_df.where(F.col("doc_id").isin(ids))
@@ -169,8 +164,35 @@ class SearchService:
                     (r["title"] or "") if "title" in self._docs_cols else "",
                     (r["snippet"] or "") if "snippet" in self._docs_cols
                     else "")
+        return canon, disp
+
+    def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
+        """doc_id -> (url, title, body) for a RESULT SET (k ids). Driver
+        regime: dict lookups. Big regime: the pushdown k-row tail
+        (_canon_disp), with a str(id) fallback for unknown ids."""
+        ids = [int(d) for d in doc_ids]
+        if not self.big:
+            return {i: self.resolve(i) for i in ids}
+        canon, disp = self._canon_disp(ids)
         return {i: disp.get(c, (str(c), "", ""))
                 for i, c in canon.items()}
+
+    def resolve_found(self, doc_ids) -> dict[int, tuple[str, str, str]]:
+        """Like resolve_many but returns ONLY the ids this index actually
+        resolves (directly or through its alias map) — the federated
+        service probes each segment with the leftovers and falls back for
+        true misses, so a stats-only docs snapshot (url == str(id)) is
+        still correctly claimed by its owning segment."""
+        ids = [int(d) for d in doc_ids]
+        if not self.big:
+            out = {}
+            for i in ids:
+                c = self._alias.get(i, i)
+                if c in self._display:
+                    out[i] = self._display[c]
+            return out
+        canon, disp = self._canon_disp(ids)
+        return {i: disp[c] for i, c in canon.items() if c in disp}
 
     def _phrase_engine(self):
         if self._phrase is None:
@@ -251,6 +273,210 @@ class SearchService:
         return out
 
 
+class FederatedSearchService:
+    """search_payload over a doc-disjoint FEDERATION of index dirs — the
+    NRT serving view (streaming.serving_view): queries answer over the
+    current compacted generation PLUS the fresh uncompacted segment,
+    byte-identical to the merged index (query.search_big_federated's
+    exactness argument), so newly ingested docs are searchable without a
+    merge — the Lucene NRT-reader shape the reference's whole-table
+    re-index (README.md:19-21) can't offer.
+
+    Each member serves in the big regime (warm persisted frames, k-row
+    pushdown display); display fields resolve from whichever segment owns
+    each result id (resolve_found probes). refresh() re-resolves the view
+    — the NRT reopen: new ingests become searchable, partials consumed by
+    a compaction drop out, and pending tombstones (deletes.py) re-resolve
+    to per-member exclusion sets (LOGICAL delete: every mode filters the
+    dead docs while stats stay as built — Lucene stats-until-merge).
+    Construct either with explicit index_dirs or with work_dir/out_dir
+    (view mode, refresh()-able)."""
+
+    def __init__(self, spark: SparkSession,
+                 index_dirs: list[str] | None = None, *,
+                 work_dir: str | None = None, out_dir: str | None = None,
+                 n_salts: int = 8, partitions: int = 16):
+        self.spark = spark
+        self._work, self._out = work_dir, out_dir
+        self._salts, self._parts = n_salts, partitions
+        if index_dirs is None:
+            if work_dir is None or out_dir is None:
+                raise ValueError(
+                    "pass index_dirs, or work_dir+out_dir for view mode")
+            index_dirs = self._resolve_view()
+        self._open(index_dirs)
+
+    def _resolve_view(self) -> list[str]:
+        from .streaming import serving_view
+        return serving_view(self.spark, self._work, self._out,
+                            n_salts=self._salts, partitions=self._parts)
+
+    def _open(self, dirs: list[str]) -> None:
+        self.index_dirs = list(dirs)
+        self.services = [SearchService(self.spark, d, big=True)
+                         for d in dirs]
+        self._phrases: list | None = None
+        self._excl_bcs: list | None = None
+        self._load_exclusions()
+
+    def _load_exclusions(self) -> None:
+        """LOGICAL deletes (deletes.py): resolve the work dir's pending
+        tombstones to per-member dead-ordinal sets, shipped to queries as
+        one Spark broadcast per member per refresh (never per query).
+        Deleted docs vanish from every mode's results while each member's
+        statistics stay as built — Lucene's stats-until-merge semantics;
+        the next compact_incremental applies them physically and this
+        resolves to no-exclusions again."""
+        self._drop_exclusions()
+        if self._work is None:
+            return
+        from .deletes import (
+            member_exclusions,
+            pending_delete_files,
+            tombstones_frame,
+        )
+        from .streaming import _load_compaction_state
+        files = pending_delete_files(
+            self._work, _load_compaction_state(self._out))
+        tomb = tombstones_frame(self.spark, files)
+        arrs = member_exclusions(self.spark, self.services, tomb)
+        if arrs is None:
+            return
+        sc = self.spark.sparkContext
+        self._excl_bcs = [sc.broadcast(a) if a is not None else None
+                          for a in arrs]
+        if self._phrases is not None:
+            for pe, a in zip(self._phrases, arrs):
+                pe.set_exclusions(a)
+
+    def _drop_exclusions(self) -> None:
+        if getattr(self, "_excl_bcs", None):
+            for b in self._excl_bcs:
+                if b is not None:
+                    b.unpersist()
+        self._excl_bcs = None
+        if self._phrases is not None:
+            for pe in self._phrases:
+                pe.set_exclusions(None)
+
+    def refresh(self) -> list[str]:
+        """Re-resolve the serving view; swap members only when the view
+        changed (the warm caches survive a no-op refresh). Exclusions
+        ALWAYS re-resolve: new tombstones take effect on an unchanged
+        view, and a compaction that consumed them clears the old set."""
+        if self._work is None:
+            raise ValueError("refresh() requires view mode "
+                             "(work_dir/out_dir)")
+        new = self._resolve_view()
+        if new != self.index_dirs:
+            self.close()
+            self._open(new)
+        else:
+            self._load_exclusions()
+        return self.index_dirs
+
+    def close(self) -> None:
+        self._drop_exclusions()
+        for s in self.services:
+            s.close()
+
+    def _phrase_engines(self) -> list:
+        if self._phrases is None:
+            from .positions import PhraseEngine
+            for d in self.index_dirs:
+                if not _stage_complete(d, "positions"):
+                    raise ValueError(
+                        "a federation member has no positional store "
+                        f"({d}); ingest with --positions for phrase "
+                        "search")
+            self._phrases = [PhraseEngine(self.spark, d)
+                             for d in self.index_dirs]
+            if self._excl_bcs is not None:
+                for pe, b in zip(self._phrases, self._excl_bcs):
+                    pe.set_exclusions(
+                        b.value if b is not None else None)
+        return self._phrases
+
+    def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
+        ids = [int(d) for d in doc_ids]
+        out: dict[int, tuple[str, str, str]] = {}
+        rest = ids
+        for s in self.services:
+            if not rest:
+                break
+            out.update(s.resolve_found(rest))
+            rest = [i for i in rest if i not in out]
+        for i in rest:
+            out[i] = (str(i), "", "")
+        return out
+
+    def _merge_counts(self, per: list[tuple[int, int, int]], k: int
+                      ) -> list[tuple[int, int, int]]:
+        """Occurrence-count results are doc-local, so the per-segment
+        lists merge exactly by the engines' (count DESC, doc_id ASC)."""
+        per.sort(key=lambda t: (-t[2], t[1]))
+        return [(i + 1, doc_id, n)
+                for i, (_r, doc_id, n) in enumerate(per[:k])]
+
+    def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
+                       scoring: str = "bm25", slop: int = 1) -> list[dict]:
+        """Same payload contract as SearchService.search_payload, every
+        mode federated (tests assert equality against the big service on
+        the merged index)."""
+        from .query import (
+            query_terms,
+            search_big_prefix_federated,
+            search_big_terms_federated,
+            search_big_tfidf_federated,
+        )
+        q = query.strip()
+        k = max(0, k)
+        is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
+                   and " " not in q)
+        idx_dfs = [s._index_df for s in self.services]
+        docs_dfs = [s._docs_df for s in self.services]
+        if mode == "phrase":
+            pes = self._phrase_engines()
+            if slop > 1:
+                per = [r for pe in pes for r in
+                       pe.search_phrase_sloppy_distributed(query, slop=slop,
+                                                           k=k)]
+            else:
+                per = [r for pe in pes
+                       for r in pe.search_phrase_distributed(query, k=k)]
+            rows = self._merge_counts(per, k)
+        elif mode == "near":
+            parts = q.split()
+            if len(parts) != 2:
+                raise ValueError("mode=near needs exactly two terms")
+            pes = self._phrase_engines()
+            per = [r for pe in pes for r in
+                   pe.search_near_distributed(parts[0], parts[1],
+                                              slop=slop, k=k)]
+            rows = self._merge_counts(per, k)
+        elif scoring == "tfidf":
+            rows = search_big_tfidf_federated(
+                self.spark, self.index_dirs, query,
+                k=min(k, REFERENCE_MAX_RESULTS),
+                idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                excludes=self._excl_bcs)
+        elif is_wild:
+            rows = search_big_prefix_federated(
+                self.spark, self.index_dirs, q[:-1].lower(), k=k,
+                idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                excludes=self._excl_bcs)
+        else:
+            rows = search_big_terms_federated(
+                self.spark, self.index_dirs, query_terms(query), k=k,
+                mode=mode, idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                excludes=self._excl_bcs)
+        disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
+        return [{"url": disp[int(doc_id)][0], "rank_score": score,
+                 "title": disp[int(doc_id)][1],
+                 "body": disp[int(doc_id)][2]}
+                for _rank, doc_id, score in rows]
+
+
 def make_server(service: SearchService, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Bind (port=0 -> ephemeral) and return the server; caller drives
@@ -259,6 +485,21 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
+            if u.path == "/refresh" and hasattr(service, "refresh"):
+                # NRT reopen: re-resolve the serving view (federated only)
+                try:
+                    body = json.dumps(
+                        {"view": service.refresh()}).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if u.path != "/search":
                 self.send_error(404, "only /search is served")
                 return
@@ -303,8 +544,18 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
 
 
 def serve(spark: SparkSession, index_dir: str, host: str = "127.0.0.1",
-          port: int = 8080, big: bool = False) -> None:
-    srv = make_server(SearchService(spark, index_dir, big=big), host, port)
+          port: int = 8080, big: bool = False,
+          work_dir: str | None = None) -> None:
+    """work_dir set -> NRT federated serving: index_dir is the
+    compact_incremental out_dir, the service resolves serving_view(work,
+    out) at startup and GET /refresh re-resolves it (new ingests become
+    searchable without a compaction)."""
+    if work_dir is not None:
+        svc: SearchService | FederatedSearchService = FederatedSearchService(
+            spark, work_dir=work_dir, out_dir=index_dir)
+    else:
+        svc = SearchService(spark, index_dir, big=big)
+    srv = make_server(svc, host, port)
     print(json.dumps({"serving": f"http://{host}:{srv.server_address[1]}"
                       "/search?query=..."}))
     srv.serve_forever()

@@ -489,47 +489,65 @@ def compact_incremental(spark: SparkSession, work_dir: str, out_dir: str,
     dropDuplicates.
 
     Old generations and the intermediate segment are pruned after the
-    CURRENT pointer swap unless keep_history=True."""
+    CURRENT pointer swap unless keep_history=True.
+
+    Pending tombstones (deletes.delete_docs) are consumed here too: the
+    merge masks the dead classes' postings at the remap (PHYSICAL delete),
+    so gen-N is byte-identical to a monolithic batch build over the
+    surviving docs. Deletes with no new ingested data produce a
+    delete-only generation (a single-input merge of the previous one)."""
     import json
     import shutil
 
+    from .deletes import pending_delete_files, tombstones_frame
     from .merge import merge_indexes
 
     state = _load_compaction_state(out_dir)
     prev, new = _discover_new_partials(work_dir, state,
                                        "compact_incremental")
-    if new is None:
+    new_dels = pending_delete_files(work_dir, state)
+    if new is None and not new_dels:
         return os.path.join(out_dir, prev)
+    tomb = tombstones_frame(spark, new_dels)
+    new = new or {"scan_files": [], "run_files": [], "doc_files": [],
+                  "pos_files": []}
     new_scan, new_runs = new["scan_files"], new["run_files"]
     new_docs, new_pos = new["doc_files"], new["pos_files"]
+    has_new_docs = bool(new_scan or new_docs)
 
     gen_id = len(state["generations"]) + 1
     gen_name = f"gen-{gen_id:05d}"
     gen_dir = os.path.join(out_dir, gen_name)
     seg_dir = os.path.join(out_dir, "_compaction", f"seg-{gen_id:05d}")
 
-    if prev is None:
+    if prev is None and tomb is None:
         # first generation: the segment IS the index
         compact(spark, work_dir, gen_dir, n_salts=n_salts,
                 partitions=partitions, dedup_content=dedup_content,
                 run_files=new_runs or None, doc_files=new_docs or None,
                 pos_files=new_pos or None, scan_files=new_scan or None)
     else:
-        prev_dir = os.path.join(out_dir, prev)
-        owned = _owned_doc_ids(spark, prev_dir)
-        compact(spark, work_dir, seg_dir, n_salts=n_salts,
-                partitions=partitions, dedup_content=dedup_content,
-                run_files=new_runs or None, doc_files=new_docs or None,
-                pos_files=new_pos or None, scan_files=new_scan or None,
-                exclude_docs=owned)
-        merge_indexes(spark, [prev_dir, seg_dir], gen_dir,
+        merge_inputs = []
+        if prev is not None:
+            prev_dir = os.path.join(out_dir, prev)
+            merge_inputs.append(prev_dir)
+        if has_new_docs:
+            owned = (_owned_doc_ids(spark, prev_dir)
+                     if prev is not None else None)
+            compact(spark, work_dir, seg_dir, n_salts=n_salts,
+                    partitions=partitions, dedup_content=dedup_content,
+                    run_files=new_runs or None, doc_files=new_docs or None,
+                    pos_files=new_pos or None, scan_files=new_scan or None,
+                    exclude_docs=owned)
+            merge_inputs.append(seg_dir)
+        merge_indexes(spark, merge_inputs, gen_dir,
                       n_salts=n_salts, partitions=partitions,
-                      dedup_content=dedup_content)
+                      dedup_content=dedup_content, tombstones=tomb)
 
     state["generations"].append({
         "gen": gen_id, "dir": gen_name, "run_files": new_runs,
         "doc_files": new_docs, "pos_files": new_pos,
-        "scan_files": new_scan})
+        "scan_files": new_scan, "delete_files": new_dels})
     sp = _compaction_state_path(out_dir)
     os.makedirs(os.path.dirname(sp), exist_ok=True)
     tmp = sp + ".tmp"

@@ -113,3 +113,53 @@ def test_serving_view_before_any_ingest(spark, tmp_path):
 
     with pytest.raises(ValueError, match="run the ingest first"):
         serving_view(spark, str(tmp_path / "work"), str(tmp_path / "out"))
+
+
+def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
+    """FederatedSearchService over the NRT view serves EVERY mode (bm25
+    ranked/conjunctive, tfidf, wildcard, phrase, near) field-for-field
+    equal to the big-regime service on a monolithic batch index of the
+    same docs; /refresh semantics: after a compaction consumes the
+    partials the view collapses to the new generation and answers are
+    unchanged."""
+    from engine.positions import build_positions
+    from engine.server import FederatedSearchService, SearchService
+
+    pdf = make_corpus(200, seed=29)
+    wave1, wave2 = pdf.iloc[:120], pdf.iloc[120:]
+    src, work, out = (str(tmp_path / d) for d in ("src", "work", "out"))
+    os.makedirs(src)
+
+    _ingest_wave(spark, wave1, src, work, with_positions=True)
+    compact_incremental(spark, work, out, partitions=4)
+    _ingest_wave(spark, wave2, src, work, with_positions=True)
+
+    batch = str(tmp_path / "batch")
+    c = corpus_to_spark(spark, pdf)
+    build_index(spark, c, batch, n_salts=8, partitions=4)
+    build_positions(spark, c, batch, n_salts=8, partitions=4)
+    ref = SearchService(spark, batch, big=True)
+    fed = FederatedSearchService(spark, work_dir=work, out_dir=out,
+                                 partitions=4)
+    assert len(fed.index_dirs) == 2
+
+    checks = [
+        {"query": "def return", "mode": "ranked"},
+        {"query": "def return import", "mode": "conjunctive"},
+        {"query": "def return", "scoring": "tfidf", "k": 20},
+        {"query": "identifier_1*", "mode": "ranked"},
+        {"query": "def return", "mode": "phrase"},
+        {"query": "def import", "mode": "near", "slop": 3},
+    ]
+    for cargs in checks:
+        assert fed.search_payload(**cargs) == ref.search_payload(**cargs), \
+            cargs
+
+    # NRT reopen: compaction consumes the partials, refresh swaps the view
+    gen2 = compact_incremental(spark, work, out, partitions=4)
+    assert fed.refresh() == [gen2]
+    for cargs in checks:
+        assert fed.search_payload(**cargs) == ref.search_payload(**cargs), \
+            ("post-refresh", cargs)
+    fed.close()
+    ref.close()
