@@ -505,6 +505,66 @@ def q_bm25_big_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+FILTER_LANG = "en"      # metadata filter of the filtered-search fixture
+FILTER_NOT = ["scan"]   # NOT term of the filtered-search fixture
+
+
+def q_bm25_filtered_topk(spark, sf_dir):
+    """The REAL engine answering a metadata-filtered + NOT-term query
+    (the `lang:en join spark -scan` tokenizer.parse_query surface) —
+    filters/NOTs restrict the RESULT SET while BM25 statistics stay as
+    built (Lucene filter-query semantics), so the oracle scores with
+    full-corpus stats and applies the restriction AFTER scoring. The
+    driver↔big-path bitwise equality of the same restriction is
+    pytest-asserted (tests/test_filtered_search.py)."""
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    eng = SearchEngine(spark, out)
+    rows = eng.search(" ".join(BM25_TERMS), k=TOPK, rounded=True,
+                      filters={"lang": FILTER_LANG}, not_terms=FILTER_NOT)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+def _bm25_filtered_duck_sql(terms: list[str], k: int, lang: str,
+                            not_term: str) -> str:
+    """BM25 with stats-as-built restriction: full-corpus scoring CTEs (the
+    same ones as _bm25_duck_sql_pred), then the lang filter + NOT-term
+    anti-join applied to the scored set before ranking."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+scored as (
+  select tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from tf join dfs on tf.term = dfs.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by tf.doc_id
+),
+restricted as (
+  select sc.doc_id, sc.score
+  from scored sc join documents d on sc.doc_id = d.doc_id
+  where d.lang = '{lang}'
+    and sc.doc_id not in
+        (select distinct doc_id from tok where term = '{not_term}')
+),
+ranked as (
+  select doc_id, round(score, 6) as score_r,
+         row_number() over (order by round(score, 6) desc, doc_id) as rank
+  from restricted
+)
+select doc_id, rank, score_r from ranked where rank <= {k}
+"""
+
+
 def q_doc_display(spark, sf_dir):
     """Serving display fields straight out of the REAL build's docs
     snapshot (title = last path component, snippet = bounded leading
@@ -1393,7 +1453,10 @@ def consolidated_oracles():
       neardup_clusters        — connected components over the near-dup
                                 pair graph (min-label propagation);
       training_corpus_select  — dedup keeper + quality + lang filter +
-                                deterministic shard (export capstone).
+                                deterministic shard (export capstone);
+      bm25_filtered_topk      — the engine's metadata-filter + NOT-term
+                                query surface (lang:en ... -scan) vs a
+                                full-stats-then-restrict SQL oracle.
     """
     from .similarity import lsh_signature_sql
     sig = lsh_signature_sql()
@@ -1402,6 +1465,8 @@ def consolidated_oracles():
                        f"({_TOKENS_SQL}) group by doc_id",
         "bm25_rank": _bm25_duck_sql(BM25_TERMS, TOPK),
         "bm25_big_topk": _bm25_duck_sql(BM25_TERMS, TOPK),
+        "bm25_filtered_topk": _bm25_filtered_duck_sql(
+            BM25_TERMS, TOPK, FILTER_LANG, FILTER_NOT[0]),
         "lsh_bucket_counts": f"""
             with {sig}
             select bucket, count(*) as n_vecs from sig group by bucket""",
@@ -1416,6 +1481,7 @@ def consolidated_queries():
         "doc_lengths": q_doc_lengths,
         "bm25_rank": q_bm25_rank,
         "bm25_big_topk": q_bm25_big_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "neardup_clusters": q_neardup_clusters,
         "training_corpus_select": q_training_corpus_select,

@@ -68,6 +68,7 @@ class SearchEngine:
         self._doc_lens = docs["doc_len"].to_numpy(np.int64)
         self._min_dl = int(self._doc_lens.min()) if len(docs) else 1
         self._term_cache: dict[str, TermPostings | None] = {}
+        self._meta_cache: dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------- postings IO
 
@@ -88,6 +89,62 @@ class SearchEngine:
                 self._term_cache[t] = got.get(t)
         return {t: tp for t in terms
                 if (tp := self._term_cache.get(t)) is not None}
+
+    # -------------------------------------------- result-set restriction
+    # (metadata filters + NOT terms — Lucene filter-query semantics: the
+    # result SET shrinks, the statistics N/avgdl/df stay as built, so a
+    # surviving doc's score is unchanged and exclusion commutes with
+    # ranking. Restriction is applied to the CANDIDATE set before any
+    # scoring/θ derivation, so the pruned traversal stays exact.)
+
+    def _meta_col(self, name: str) -> np.ndarray:
+        """Metadata column values ordered by ordinal (array index ==
+        ordinal) — loaded lazily on the first filtered query, cached.
+        Stays within the driver-map regime's budget: one string per doc,
+        the same order as the display map the serving tier holds."""
+        if name not in self._meta_cache:
+            docs = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docs"))
+            if name not in docs.columns:
+                raise ValueError(
+                    f"this index's docs snapshot has no {name!r} column "
+                    "(stats-only legacy snapshot?) — metadata filters need "
+                    "the full input_hint metadata")
+            pdf = (docs.select("ordinal", name).orderBy("ordinal")
+                   .toPandas())
+            self._meta_cache[name] = (
+                pdf[name].fillna("").astype(str).to_numpy(dtype=object))
+        return self._meta_cache[name]
+
+    def _filter_mask(self, filters: dict[str, str]) -> np.ndarray:
+        """Boolean allowed-mask over ordinals for metadata filters
+        (tokenizer.FILTER_FIELDS semantics: path is a prefix, the rest
+        exact)."""
+        mask = np.ones(self._ext_ids.size, dtype=bool)
+        for field, value in filters.items():
+            col = self._meta_col(field)
+            if field == "path":
+                mask &= np.char.startswith(col.astype(str), value)
+            else:
+                mask &= (col == value)
+        return mask
+
+    def _restrict(self, cands: np.ndarray,
+                  filters: dict[str, str] | None,
+                  not_terms: list[str] | None) -> np.ndarray:
+        """Candidate ordinals minus metadata-filtered-out docs and minus
+        docs containing any NOT term."""
+        if filters:
+            cands = cands[self._filter_mask(filters)[cands]]
+        if not_terms and cands.size:
+            bad = self._fetch(sorted(set(not_terms)))
+            if bad:
+                from .index_build import remap_keep
+                excl = np.unique(np.concatenate(
+                    [tp.doc_ids for tp in bad.values()]))
+                _, hit = remap_keep(excl, cands)
+                cands = cands[~hit]
+        return cands
 
     # ------------------------------------------------------------ BM25 scoring
 
@@ -135,14 +192,22 @@ class SearchEngine:
     # --------------------------------------------------------------- search API
 
     def search(self, query: str, k: int = 10, mode: str = "ranked",
-               prune: bool = True, rounded: bool = False
+               prune: bool = True, rounded: bool = False,
+               filters: dict[str, str] | None = None,
+               not_terms: list[str] | None = None
                ) -> list[tuple[int, int, float]]:
         """Return [(rank, doc_id, score)]; rank-identical to Bm25Oracle.
         rounded=True ranks by round(score, 6) with doc_id tie-break (the
         cross-engine contract ordering) and returns rounded scores — the
         pruned traversal stays active with a rounding-safe θ cut, so a
         contract caller fetches k rows like every other caller instead of
-        re-ranking all matches on the driver."""
+        re-ranking all matches on the driver.
+
+        filters/not_terms (tokenizer.parse_query): restrict the RESULT SET
+        — candidates drop before any scoring or θ derivation, so the
+        pruned top-k over the surviving docs is exact while N/avgdl/df
+        stay as built (Lucene filter-query / stats-until-merge
+        semantics)."""
         terms = query_terms(query)
         if not terms or k <= 0:
             return []
@@ -157,6 +222,7 @@ class SearchEngine:
                     cands, ids, assume_unique=True)
                 if cands.size == 0:
                     return []
+            cands = self._restrict(cands, filters, not_terms)
             scores = self._score(terms, postings, cands)
             return self._topk(cands, scores, k, rounded)
         if mode != "ranked":
@@ -164,8 +230,9 @@ class SearchEngine:
         if not postings:
             return []
         if prune:
-            return self._ranked_pruned(terms, postings, k, rounded)
-        cands = self._union(postings)
+            return self._ranked_pruned(terms, postings, k, rounded,
+                                       filters=filters, not_terms=not_terms)
+        cands = self._restrict(self._union(postings), filters, not_terms)
         return self._topk(cands, self._score(terms, postings, cands), k,
                           rounded)
 
@@ -211,7 +278,9 @@ class SearchEngine:
 
     def _ranked_pruned(self, terms: list[str],
                        postings: dict[str, TermPostings],
-                       k: int, rounded: bool = False
+                       k: int, rounded: bool = False,
+                       filters: dict[str, str] | None = None,
+                       not_terms: list[str] | None = None
                        ) -> list[tuple[int, int, float]]:
         """Score-safe block-max traversal (block-max WAND/MaxScore family):
         candidates are visited in DESCENDING block-upper-bound order and
@@ -226,7 +295,7 @@ class SearchEngine:
         this one scores O(k + chunk) per θ refinement. last_prune_stats
         records candidates/scored/skipped (tests assert real skipping on
         the skewed corpus)."""
-        union = self._union(postings)
+        union = self._restrict(self._union(postings), filters, not_terms)
         ub = self._block_ubs(terms, postings, union)
         order = np.argsort(-ub, kind="stable")
         sorted_c, sorted_ub = union[order], ub[order]
@@ -313,7 +382,9 @@ class SearchEngine:
                     .select("term").limit(cap).collect())
         return sorted(r["term"] for r in rows)
 
-    def search_prefix(self, prefix: str, k: int = 10, rounded: bool = False
+    def search_prefix(self, prefix: str, k: int = 10, rounded: bool = False,
+                      filters: dict[str, str] | None = None,
+                      not_terms: list[str] | None = None
                       ) -> list[tuple[int, int, float]]:
         """Ranked (OR) BM25 over every term matching the prefix — the
         wildcard query `prefix*`. Same scoring/tie-break as search()."""
@@ -323,7 +394,8 @@ class SearchEngine:
         postings = self._fetch(terms)
         if not postings:
             return []
-        return self._ranked_pruned(terms, postings, k, rounded)
+        return self._ranked_pruned(terms, postings, k, rounded,
+                                   filters=filters, not_terms=not_terms)
 
     # --------------------------------------------------- distributed scoring
 
@@ -392,7 +464,9 @@ class SearchEngine:
     # ------------------------------------------- reference TF-IDF (secondary)
 
     def search_tfidf_reference(self, query: str, k: int = 300,
-                               threshold: float = 0.3
+                               threshold: float = 0.3,
+                               filters: dict[str, str] | None = None,
+                               not_terms: list[str] | None = None
                                ) -> list[tuple[int, int, float]]:
         """The reference's actual scoring (Searcher.java:108,113,139-159,196):
         Σ (1+log10 tf)·log10(N/df), OR semantics, score>threshold, top-k."""
@@ -419,6 +493,11 @@ class SearchEngine:
         uniq, inv = np.unique(ords, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(acc, inv, ws)
+        if filters or not_terms:
+            from .index_build import remap_keep
+            allowed = self._restrict(uniq, filters, not_terms)
+            _, sel = remap_keep(allowed, uniq)
+            uniq, acc = uniq[sel], acc[sel]
         keep = acc > threshold
         docs = self._ext_ids[uniq[keep]]
         scores = acc[keep]
@@ -437,7 +516,9 @@ last_big_prune_stats: dict[str, int] = {}
 
 def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
                mode: str = "ranked", rounded: bool = False,
-               prune: bool = True, index_df=None, docs_df=None
+               prune: bool = True, index_df=None, docs_df=None,
+               filters: dict[str, str] | None = None,
+               not_terms: list[str] | None = None
                ) -> list[tuple[int, int, float]]:
     """Query WITHOUT any driver-side doc arrays — the 10^12-doc serving
     path. ``SearchEngine`` keeps doc_len/doc_id as driver arrays (the
@@ -461,7 +542,8 @@ def search_big(spark: SparkSession, index_dir: str, query: str, k: int = 10,
     terms = query_terms(query)
     return search_big_terms(spark, index_dir, terms, k=k, mode=mode,
                             rounded=rounded, prune=prune,
-                            index_df=index_df, docs_df=docs_df)
+                            index_df=index_df, docs_df=docs_df,
+                            filters=filters, not_terms=not_terms)
 
 
 def _bm25_contrib_col(avgdl: float):
@@ -507,6 +589,42 @@ def _collect_ordinals(index_df, terms: list[str]) -> np.ndarray:
            .mapInPandas(dec, schema="ordinal long")
            .toArrow())
     return np.unique(tbl.column("ordinal").to_numpy(zero_copy_only=False))
+
+
+def _ordinals_frame(index_df, terms: list[str]):
+    """DISTINCT ordinals of the given terms' postings as a DataFrame — the
+    stay-distributed twin of _collect_ordinals, for exclusion sets past
+    CANDIDATE_SHIP_LIMIT (hot NOT terms): the frame anti-joins the scored
+    docs instead of shipping an ordinal array to the driver."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            for blob in pdf["postings"]:
+                ids, _ = decode_postings(bytes(blob))
+                yield pd.DataFrame({"ordinal": ids})
+
+    return (index_df.where(F.col("term").isin(terms))
+            .select("postings")
+            .mapInPandas(dec, schema="ordinal long").distinct())
+
+
+def _filters_col(filters: dict[str, str], columns) -> "F.Column":
+    """Metadata filters (tokenizer.parse_query) -> one JVM predicate over
+    the docs snapshot — pushes down to the docs parquet scan. `path` is a
+    prefix match, the rest exact; a field the snapshot lacks raises (a
+    silently-ignored filter would return wrong results)."""
+    pred = None
+    for field, value in filters.items():
+        if field not in columns:
+            raise ValueError(
+                f"this index's docs snapshot has no {field!r} column "
+                "(stats-only legacy snapshot?) — metadata filters need "
+                "the full input_hint metadata")
+        c = (F.col(field).startswith(value) if field == "path"
+             else F.col(field) == F.lit(value))
+        pred = c if pred is None else (pred & c)
+    return pred
 
 
 def _mask_excluded(ids: np.ndarray, tfs: np.ndarray, exc: np.ndarray
@@ -573,7 +691,9 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                      index_df=None, docs_df=None,
                      global_stats: tuple[int, float] | None = None,
                      df_global: dict[str, int] | None = None,
-                     exclude=None
+                     exclude=None,
+                     filters: dict[str, str] | None = None,
+                     not_terms: list[str] | None = None
                      ) -> list[tuple[int, int, float]]:
     """search_big over an explicit (already-normalized) term list — the
     shared tail for plain queries and wildcard expansion. Callers serving
@@ -661,7 +781,43 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                  for i, t in enumerate(ordered)}
     n_required = len(meta) if mode == "conjunctive" else 1
     docs = docs_df
-    dl = docs.select("ordinal", F.col("doc_len").cast("double").alias("dl"))
+
+    # ---- result-set restriction (filters / NOT terms; Lucene filter-query
+    # semantics — stats stay as built, the candidate set shrinks) ----
+    # Metadata filters restrict the doc-length frame: the scoring join
+    # (cdf ⋈ dl) is inner, so filtered-out docs drop from scoring, from
+    # conjunctive counts AND from _big_theta (which joins the same dl) —
+    # θ stays an exact k-th-best bound over the SURVIVING docs and the
+    # pruned traversal is exact under the filter. The predicate pushes
+    # down to the docs parquet scan; no driver array.
+    dl_src = docs
+    if filters:
+        dl_src = docs.where(_filters_col(filters, docs.columns))
+    dl = dl_src.select("ordinal",
+                       F.col("doc_len").cast("double").alias("dl"))
+
+    # NOT terms exclude every doc containing them. Under the gated-array
+    # regime (Σ df ≤ CANDIDATE_SHIP_LIMIT — the same budget as the hot-term
+    # candidate set) their ordinals merge into the decode-level exclusion
+    # array, so θ/pruning/conjunctive counts stay exact over the survivors;
+    # a hotter NOT set stays fully distributed: the scored frame anti-joins
+    # the NOT ordinals and pruning is disabled (θ derived before an
+    # anti-join could over-prune survivors).
+    anti_df = None
+    if not_terms:
+        nts = sorted(set(not_terms))
+        nmeta = (index_df.where(F.col("term").isin(nts))
+                 .select("term", "df").collect())
+        npresent = sorted(r["term"] for r in nmeta)
+        if npresent:
+            if sum(int(r["df"]) for r in nmeta) <= CANDIDATE_SHIP_LIMIT:
+                not_ords = _collect_ordinals(index_df, npresent)
+                base = _excl_value(exclude)
+                exclude = (not_ords if base is None
+                           else np.union1d(base, not_ords))
+            else:
+                prune = False
+                anti_df = _ordinals_frame(index_df, npresent)
 
     # ---- block-pruning state (ranked multi-term only) ----
     skip_target: dict[str, float] = {}      # essential-term bound targets
@@ -758,6 +914,8 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                        F.lit(0.0),
                        lambda acc, x: acc + x["contrib"]).alias("score"))
               .where(F.col("nt") >= n_required))
+    if anti_df is not None:
+        scored = scored.join(anti_df, "ordinal", "left_anti")
     def _finish(result):
         global last_big_prune_stats
         if rounded:
@@ -767,7 +925,14 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
             # serving session would otherwise accumulate one per query
             cand_sorted.unpersist()
         total_postings = sum(dfs.values())
-        emitted = int(obs.get["emitted"] or 0)
+        try:
+            emitted = int(obs.get["emitted"] or 0)
+        except Exception:
+            # diagnostics only: when an exclusion/filter empties the whole
+            # plan, AQE collapses the join to an empty relation and the
+            # observation row comes back schema-less (Spark 4.1 toPyRow
+            # assertion) — zero rows were emitted in that case
+            emitted = 0
         last_big_prune_stats = {
             "postings_total": total_postings, "postings_emitted": emitted,
             "postings_skipped": total_postings - emitted,
@@ -914,7 +1079,9 @@ def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
                                prune: bool = True,
                                idx_dfs: list | None = None,
                                docs_dfs: list | None = None,
-                               excludes: list | None = None
+                               excludes: list | None = None,
+                               filters: dict[str, str] | None = None,
+                               not_terms: list[str] | None = None
                                ) -> list[tuple[int, int, float]]:
     """search_big_federated over an explicit term list (see there).
     idx_dfs/docs_dfs: per-segment pre-loaded (persisted) frames — the
@@ -922,7 +1089,10 @@ def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
     arrays/Broadcasts (logical deletes, deletes.member_exclusions) —
     exclusion inside each segment's top-k keeps the k×S merge exact over
     the surviving docs; the federation weights stay as built (Lucene
-    stats-until-merge)."""
+    stats-until-merge). filters/not_terms apply inside each segment
+    (metadata filters are doc-local; a NOT term's exclusion set is
+    segment-local ordinals) — restriction commutes with the k×S merge
+    because every doc lives in exactly one segment."""
     if not terms or k <= 0 or not index_dirs:
         return []
     n_total, avgdl, df_map, idx_dfs = _federation_weights(
@@ -938,7 +1108,8 @@ def search_big_terms_federated(spark: SparkSession, index_dirs: list[str],
                 prune=prune, index_df=idx,
                 docs_df=docs_dfs[i] if docs_dfs else None,
                 global_stats=(n_total, avgdl), df_global=df_map,
-                exclude=excludes[i] if excludes else None):
+                exclude=excludes[i] if excludes else None,
+                filters=filters, not_terms=not_terms):
             merged.append((doc_id, score))
     return _merge_federated(merged, k)
 
@@ -948,13 +1119,16 @@ def search_big_tfidf_federated(spark: SparkSession, index_dirs: list[str],
                                threshold: float = 0.3,
                                idx_dfs: list | None = None,
                                docs_dfs: list | None = None,
-                               excludes: list | None = None
+                               excludes: list | None = None,
+                               filters: dict[str, str] | None = None,
+                               not_terms: list[str] | None = None
                                ) -> list[tuple[int, int, float]]:
     """The reference's TF-IDF scoring over a doc-disjoint federation —
     same exactness argument as search_big_federated: per-segment scores
     under global (n_docs, df) weights are the merged index's scores, and
     `score > threshold` filters identically, so the k×S merge is exact
-    (logical deletes, being doc-local, filter identically too)."""
+    (logical deletes, being doc-local, filter identically too — as do
+    metadata filters and NOT-term exclusions)."""
     terms = query_terms(query)
     if not terms or k <= 0 or not index_dirs:
         return []
@@ -968,7 +1142,8 @@ def search_big_tfidf_federated(spark: SparkSession, index_dirs: list[str],
                 spark, d, query, k=k, threshold=threshold, index_df=idx,
                 docs_df=docs_dfs[i] if docs_dfs else None,
                 global_stats=(n_total, avgdl), df_global=df_map,
-                exclude=excludes[i] if excludes else None):
+                exclude=excludes[i] if excludes else None,
+                filters=filters, not_terms=not_terms):
             merged.append((doc_id, score))
     return _merge_federated(merged, k)
 
@@ -998,7 +1173,9 @@ def search_big_prefix_federated(spark: SparkSession, index_dirs: list[str],
                                 rounded: bool = False,
                                 idx_dfs: list | None = None,
                                 docs_dfs: list | None = None,
-                                excludes: list | None = None
+                                excludes: list | None = None,
+                                filters: dict[str, str] | None = None,
+                                not_terms: list[str] | None = None
                                 ) -> list[tuple[int, int, float]]:
     """Wildcard `prefix*` over a federation (see expand_prefix_federated /
     search_big_terms_federated)."""
@@ -1008,12 +1185,15 @@ def search_big_prefix_federated(spark: SparkSession, index_dirs: list[str],
     terms = expand_prefix_federated(idx_dfs, prefix)
     return search_big_terms_federated(spark, index_dirs, terms, k=k,
                                       rounded=rounded, idx_dfs=idx_dfs,
-                                      docs_dfs=docs_dfs, excludes=excludes)
+                                      docs_dfs=docs_dfs, excludes=excludes,
+                                      filters=filters, not_terms=not_terms)
 
 
 def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
                       k: int = 10, rounded: bool = False,
-                      index_df=None, docs_df=None
+                      index_df=None, docs_df=None,
+                      filters: dict[str, str] | None = None,
+                      not_terms: list[str] | None = None
                       ) -> list[tuple[int, int, float]]:
     """Wildcard `prefix*` on the zero-driver-array path: the expansion is
     a pushdown StringStartsWith scan of the term dictionary capped at
@@ -1027,7 +1207,8 @@ def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
     terms = expand_prefix_big(index_df, prefix)
     return search_big_terms(spark, index_dir, terms, k=k, mode="ranked",
                             rounded=rounded, index_df=index_df,
-                            docs_df=docs_df)
+                            docs_df=docs_df, filters=filters,
+                            not_terms=not_terms)
 
 
 def expand_prefix_big(index_df, prefix: str) -> list[str]:
@@ -1048,7 +1229,9 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
                      index_df=None, docs_df=None,
                      global_stats: tuple[int, float] | None = None,
                      df_global: dict[str, int] | None = None,
-                     exclude=None
+                     exclude=None,
+                     filters: dict[str, str] | None = None,
+                     not_terms: list[str] | None = None
                      ) -> list[tuple[int, int, float]]:
     """The reference's TF-IDF scoring (Searcher.java:108,113,139-159,196)
     on the zero-driver-array path — bitwise equal to
@@ -1114,6 +1297,16 @@ def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
               .where(F.col("score") > threshold))
     docs = (docs_df if docs_df is not None
             else spark.read.parquet(os.path.join(index_dir, "docs")))
+    # result-set restriction (stats as built; tf-idf has no pruning, so
+    # plain semi/anti joins are exact — both stay fully distributed)
+    if filters:
+        scored = scored.join(
+            docs.where(_filters_col(filters, docs.columns))
+            .select("ordinal"), "ordinal", "leftsemi")
+    if not_terms:
+        scored = scored.join(
+            _ordinals_frame(index_df, sorted(set(not_terms))),
+            "ordinal", "left_anti")
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)

@@ -210,9 +210,20 @@ class SearchService:
         beyond the reference: mode=phrase (positional store; rank_score is
         the occurrence count; slop>1 relaxes to a windowed-chain sloppy
         phrase — consecutive terms within `slop` positions), mode=near
-        (two terms within `slop` positions, ordered) and a trailing `*`
-        wildcard (prefix expansion + ranked OR)."""
+        (two terms within `slop` positions, ordered), a trailing `*`
+        wildcard (prefix expansion + ranked OR), metadata filters
+        (``lang:python``, ``repo:org/x``, ``path:src/`` — prefix) and NOT
+        terms (``-term``) for the term-scoring modes (bm25/tfidf/wildcard;
+        tokenizer.parse_query). Filters/NOT restrict the result set only —
+        scoring statistics stay as built (Lucene filter-query semantics)."""
+        from .tokenizer import parse_query
         q = query.strip()
+        filters = None
+        not_terms: list[str] = []
+        if mode not in ("phrase", "near"):
+            # proximity modes take the text verbatim (a ':' or '-' inside
+            # a phrase is punctuation, not an operator)
+            q, filters, not_terms = parse_query(q)
         k = max(0, k)  # a negative k would negative-slice inside the
         # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
@@ -238,13 +249,16 @@ class SearchService:
         elif scoring == "tfidf":
             if self.big:
                 from .query import search_big_tfidf
-                rows = search_big_tfidf(self.spark, self.index_dir, query,
+                rows = search_big_tfidf(self.spark, self.index_dir, q,
                                         k=min(k, REFERENCE_MAX_RESULTS),
                                         index_df=self._index_df,
-                                        docs_df=self._docs_df)
+                                        docs_df=self._docs_df,
+                                        filters=filters,
+                                        not_terms=not_terms)
             else:
                 rows = self.engine.search_tfidf_reference(
-                    query, k=min(k, REFERENCE_MAX_RESULTS))
+                    q, k=min(k, REFERENCE_MAX_RESULTS),
+                    filters=filters, not_terms=not_terms)
         elif is_wild:
             # single-token trailing-* wildcard only; a multi-term query
             # with a '*' falls through to normal search (the tokenizer
@@ -254,16 +268,22 @@ class SearchService:
                 rows = search_big_prefix(self.spark, self.index_dir,
                                          q[:-1].lower(), k=k,
                                          index_df=self._index_df,
-                                         docs_df=self._docs_df)
+                                         docs_df=self._docs_df,
+                                         filters=filters,
+                                         not_terms=not_terms)
             else:
-                rows = self.engine.search_prefix(q[:-1].lower(), k=k)
+                rows = self.engine.search_prefix(q[:-1].lower(), k=k,
+                                                 filters=filters,
+                                                 not_terms=not_terms)
         elif self.big:
             from .query import search_big
-            rows = search_big(self.spark, self.index_dir, query,
+            rows = search_big(self.spark, self.index_dir, q,
                               k=k, mode=mode, index_df=self._index_df,
-                              docs_df=self._docs_df)
+                              docs_df=self._docs_df, filters=filters,
+                              not_terms=not_terms)
         else:
-            rows = self.engine.search(query, k=k, mode=mode)
+            rows = self.engine.search(q, k=k, mode=mode, filters=filters,
+                                      not_terms=not_terms)
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         out = []
         for _rank, doc_id, score in rows:
@@ -429,7 +449,14 @@ class FederatedSearchService:
             search_big_terms_federated,
             search_big_tfidf_federated,
         )
+        from .tokenizer import parse_query
         q = query.strip()
+        filters = None
+        not_terms: list[str] = []
+        if mode not in ("phrase", "near"):
+            # proximity modes take the text verbatim (a ':' or '-' inside
+            # a phrase is punctuation, not an operator)
+            q, filters, not_terms = parse_query(q)
         k = max(0, k)
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
@@ -456,20 +483,23 @@ class FederatedSearchService:
             rows = self._merge_counts(per, k)
         elif scoring == "tfidf":
             rows = search_big_tfidf_federated(
-                self.spark, self.index_dirs, query,
+                self.spark, self.index_dirs, q,
                 k=min(k, REFERENCE_MAX_RESULTS),
                 idx_dfs=idx_dfs, docs_dfs=docs_dfs,
-                excludes=self._excl_bcs)
+                excludes=self._excl_bcs, filters=filters,
+                not_terms=not_terms)
         elif is_wild:
             rows = search_big_prefix_federated(
                 self.spark, self.index_dirs, q[:-1].lower(), k=k,
                 idx_dfs=idx_dfs, docs_dfs=docs_dfs,
-                excludes=self._excl_bcs)
+                excludes=self._excl_bcs, filters=filters,
+                not_terms=not_terms)
         else:
             rows = search_big_terms_federated(
-                self.spark, self.index_dirs, query_terms(query), k=k,
+                self.spark, self.index_dirs, query_terms(q), k=k,
                 mode=mode, idx_dfs=idx_dfs, docs_dfs=docs_dfs,
-                excludes=self._excl_bcs)
+                excludes=self._excl_bcs, filters=filters,
+                not_terms=not_terms)
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         return [{"url": disp[int(doc_id)][0], "rank_score": score,
                  "title": disp[int(doc_id)][1],

@@ -55,6 +55,48 @@ def query_terms(query: str) -> list[str]:
     return sorted(set(tokenize(query)))
 
 
+#: metadata fields a query may filter on (the corpus/input_hint columns;
+#: `path:` is a PREFIX match, the rest are exact). The field names are the
+#: docs-snapshot column names, so the filter pushes straight down to the
+#: docs parquet scan.
+FILTER_FIELDS = ("repo", "path", "lang", "commit")
+
+
+def parse_query(query: str) -> tuple[str, dict[str, str] | None, list[str]]:
+    """Split a raw query string into (text, filters, not_terms) — the
+    GitHub-code-search-style surface over the input_hint metadata columns:
+
+    - ``field:value`` tokens (field in FILTER_FIELDS, value non-empty)
+      become metadata filters: ``lang:python``, ``repo:org1/repo4``,
+      ``path:src/pkg3/`` (path is a prefix match, the others exact; the
+      last occurrence of a repeated field wins);
+    - ``-term`` tokens become NOT terms (docs containing them are excluded
+      from the result set); the leading ``-`` is only an operator at a
+      whitespace boundary, matching user expectation — inside a token the
+      tokenizer already treats ``-`` as punctuation;
+    - everything else joins (whitespace-preserved order) into the scored
+      query text.
+
+    Filters and NOT terms restrict the RESULT SET only; BM25/TF-IDF
+    statistics (N, avgdl, df) stay as built — Lucene filter-query
+    semantics, the same stats discipline as logical deletes."""
+    filters: dict[str, str] = {}
+    nots: list[str] = []
+    text_parts: list[str] = []
+    for tok in query.split():
+        if ":" in tok:
+            field, _, value = tok.partition(":")
+            if field in FILTER_FIELDS and value:
+                filters[field] = value
+                continue
+        if tok.startswith("-") and len(tok) > 1:
+            nots.extend(tokenize(tok[1:]))
+            continue
+        text_parts.append(tok)
+    return (" ".join(text_parts), filters or None,
+            sorted(set(nots)))
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized tokenizer: pd.Series[str] -> pd.Series[list[str]].
 
