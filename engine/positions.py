@@ -531,10 +531,17 @@ class PhraseEngine:
                  cache_max_blocks: int | None = None):
         from collections import OrderedDict
         self.spark = spark
+        self.index_dir = index_dir
         self.pos_df = spark.read.parquet(
             os.path.join(index_dir, "positions"))
         self._docs_df = spark.read.parquet(
             os.path.join(index_dir, "docs"))
+        # tf-index frame, loaded lazily: only NOT-term exclusion reads it
+        # (a NOT term's doc set comes from its tf postings — decoding its
+        # POSITION stream would move every occurrence, not every doc)
+        self._index_df = None
+        # metadata filter columns by ordinal (driver paths; lazy, cached)
+        self._meta_cache: dict[str, np.ndarray] = {}
         # ordinal -> doc_id driver array: materialized LAZILY, only by the
         # low-latency driver-matching paths (<=10^8-doc regime). The
         # distributed paths never touch it — their ordinals resolve via a
@@ -584,6 +591,82 @@ class PhraseEngine:
             return uniq[~dead], n_occ[~dead]
         return uniq, n_occ
 
+    # ------------------------- result-set restriction (filters / NOT terms)
+    # Proximity ranking is doc-local (n_occ), so restricting the hit set
+    # before top-k equals filtering the full result list — the same
+    # stats-free argument as logical deletes (and the same application
+    # points: _mask_dead for the driver paths, _resolve_topk for the
+    # distributed ones).
+
+    def _the_index_df(self):
+        if self._index_df is None:
+            self._index_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "index"))
+        return self._index_df
+
+    def _meta_col(self, name: str) -> np.ndarray:
+        if name not in self._meta_cache:
+            if name not in self._docs_df.columns:
+                raise ValueError(
+                    f"this index's docs snapshot has no {name!r} column "
+                    "(stats-only legacy snapshot?) — metadata filters "
+                    "need the full input_hint metadata")
+            pdf = (self._docs_df.select("ordinal", name)
+                   .orderBy("ordinal").toPandas())
+            self._meta_cache[name] = (
+                pdf[name].fillna("").astype(str).to_numpy(dtype=object))
+        return self._meta_cache[name]
+
+    def _restrict_driver(self, uniq: np.ndarray, n_occ: np.ndarray,
+                         filters: dict[str, str] | None,
+                         not_terms: list[str] | None
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Driver-path hit restriction (the <=10^8-doc array regime, like
+        the rest of the driver paths)."""
+        uniq, n_occ = self._mask_dead(uniq, n_occ)
+        if filters and uniq.size:
+            keep = np.ones(uniq.size, dtype=bool)
+            for field, value in filters.items():
+                col = self._meta_col(field)[uniq]
+                keep &= (np.char.startswith(col.astype(str), value)
+                         if field == "path" else (col == value))
+            uniq, n_occ = uniq[keep], n_occ[keep]
+        if not_terms and uniq.size:
+            from .codec import decode_postings
+            rows = (self._the_index_df()
+                    .where(F.col("term").isin(sorted(set(not_terms))))
+                    .select("postings").collect())
+            if rows:
+                excl = np.unique(np.concatenate(
+                    [decode_postings(bytes(r["postings"]))[0]
+                     for r in rows]))
+                pos = np.searchsorted(excl, uniq)
+                pos_c = np.minimum(pos, excl.size - 1)
+                bad = (pos < excl.size) & (excl[pos_c] == uniq)
+                uniq, n_occ = uniq[~bad], n_occ[~bad]
+        return uniq, n_occ
+
+    def _restrict_hits(self, hits: DataFrame,
+                       filters: dict[str, str] | None,
+                       not_terms: list[str] | None) -> DataFrame:
+        """Distributed-path hit restriction: a broadcast semi-join against
+        the filtered docs ordinals and an anti-join against the NOT terms'
+        posting ordinals — both before the top-k sort+limit, no driver
+        array anywhere (hit frames hold matching docs only)."""
+        if filters:
+            from .query import _filters_col
+            hits = hits.join(
+                self._docs_df
+                .where(_filters_col(filters, self._docs_df.columns))
+                .select("ordinal"), "ordinal", "leftsemi")
+        if not_terms:
+            from .query import _ordinals_frame
+            hits = hits.join(
+                _ordinals_frame(self._the_index_df(),
+                                sorted(set(not_terms))),
+                "ordinal", "left_anti")
+        return hits
+
     def _filter_hits(self, hits: DataFrame) -> DataFrame:
         """Drop logically deleted ordinals from distributed hit rows —
         BEFORE the top-k sort+limit, so exclusion is exact. The dead set
@@ -628,12 +711,15 @@ class PhraseEngine:
             self._ext_ids_arr = docs["doc_id"].to_numpy(np.int64)
         return self._ext_ids_arr
 
-    def _resolve_topk(self, hits: DataFrame, k: int
+    def _resolve_topk(self, hits: DataFrame, k: int,
+                      filters: dict[str, str] | None = None,
+                      not_terms: list[str] | None = None
                       ) -> list[tuple[int, int, int]]:
         """(ordinal, n_occ) hit rows -> [(rank, doc_id, n_occ)] via
         distributed sort+limit and a k-row broadcast join to doc_id —
         ordinal asc == doc_id asc, so tie-breaks carry. No driver array."""
         hits = self._filter_hits(hits)
+        hits = self._restrict_hits(hits, filters, not_terms)
         top = (hits.orderBy(F.col("n_occ").desc(), "ordinal").limit(k)
                .select("ordinal", "n_occ"))
         rows = (F.broadcast(top)
@@ -697,11 +783,14 @@ class PhraseEngine:
                 np.concatenate([p[1] for p in parts]),
                 np.concatenate([p[2] for p in parts]))
 
-    def search_phrase(self, phrase: str, k: int = 10
+    def search_phrase(self, phrase: str, k: int = 10,
+                      filters: dict[str, str] | None = None,
+                      not_terms: list[str] | None = None
                       ) -> list[tuple[int, int, int]]:
         """[(rank, doc_id, n_occurrences)] of docs containing the EXACT
         token sequence (engine tokenizer semantics), ranked by occurrence
-        count desc then doc_id asc."""
+        count desc then doc_id asc. filters/not_terms restrict the result
+        set (see _restrict_driver)."""
         terms = tokenize(phrase)  # order + duplicates preserved
         if not terms or k <= 0:
             return []
@@ -728,13 +817,16 @@ class PhraseEngine:
                 return []
         doc_ords = (match // _SHIFT).astype(np.int64)
         uniq, n_occ = np.unique(doc_ords, return_counts=True)
-        uniq, n_occ = self._mask_dead(uniq, n_occ)
+        uniq, n_occ = self._restrict_driver(uniq, n_occ, filters, not_terms)
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
 
     def search_near(self, term1: str, term2: str, slop: int = 1,
-                    k: int = 10) -> list[tuple[int, int, int]]:
+                    k: int = 10,
+                    filters: dict[str, str] | None = None,
+                    not_terms: list[str] | None = None
+                    ) -> list[tuple[int, int, int]]:
         """Proximity search `term1 NEAR/slop term2` (ordered): ranks docs
         where an occurrence of term2 follows term1 within `slop` positions
         (slop=1 == exact adjacency). n_occ counts the matching term1
@@ -767,13 +859,16 @@ class PhraseEngine:
         if matched.size == 0:
             return []
         uniq, n_occ = np.unique(matched // _SHIFT, return_counts=True)
-        uniq, n_occ = self._mask_dead(uniq, n_occ)
+        uniq, n_occ = self._restrict_driver(uniq, n_occ, filters, not_terms)
         order = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(order)]
 
     def search_phrase_sloppy(self, phrase: str, slop: int = 1,
-                             k: int = 10) -> list[tuple[int, int, int]]:
+                             k: int = 10,
+                             filters: dict[str, str] | None = None,
+                             not_terms: list[str] | None = None
+                             ) -> list[tuple[int, int, int]]:
         """Windowed-chain phrase search: docs containing positions
         p_0 < p_1 < ... < p_{m-1} of the phrase terms (in order) with
         every consecutive gap p_j - p_{j-1} <= slop. slop=1 is exactly
@@ -790,7 +885,8 @@ class PhraseEngine:
         if not terms or slop < 1 or k <= 0:
             return []
         if len(terms) == 1:
-            return self.search_phrase(phrase, k=k)
+            return self.search_phrase(phrase, k=k, filters=filters,
+                                      not_terms=not_terms)
         occ = self._term_occ(terms)
         if any(occ[t] == 0 for t in set(terms)):
             return []
@@ -820,13 +916,16 @@ class PhraseEngine:
             if valid.size == 0:
                 return []
         uniq, n_occ = np.unique(valid // _SHIFT, return_counts=True)
-        uniq, n_occ = self._mask_dead(uniq, n_occ)
+        uniq, n_occ = self._restrict_driver(uniq, n_occ, filters, not_terms)
         ordr = np.lexsort((uniq, -n_occ))[:k]
         return [(i + 1, int(self._ext_ids[uniq[j]]), int(n_occ[j]))
                 for i, j in enumerate(ordr)]
 
     def search_near_distributed(self, term1: str, term2: str, slop: int = 1,
-                                k: int = 10) -> list[tuple[int, int, int]]:
+                                k: int = 10,
+                                filters: dict[str, str] | None = None,
+                                not_terms: list[str] | None = None
+                                ) -> list[tuple[int, int, int]]:
         """search_near as a Spark job (same result — tests assert it):
         per-storage-block applyInPandas groups intersect locally, only
         (ordinal, n_occ) hit rows leave the executors — the hot-term NEAR
@@ -869,10 +968,13 @@ class PhraseEngine:
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")
                 .applyInPandas(kern, schema="ordinal long, n_occ long"))
-        return self._resolve_topk(hits, k)
+        return self._resolve_topk(hits, k, filters, not_terms)
 
     def search_phrase_sloppy_distributed(self, phrase: str, slop: int = 1,
-                                         k: int = 10
+                                         k: int = 10,
+                                         filters: dict[str, str] | None
+                                         = None,
+                                         not_terms: list[str] | None = None
                                          ) -> list[tuple[int, int, int]]:
         """search_phrase_sloppy as a Spark job (same result — tests assert
         it): chain matching is per-doc local and a doc's positions for all
@@ -885,7 +987,9 @@ class PhraseEngine:
         if not terms or slop < 1 or k <= 0:
             return []
         if len(terms) == 1:
-            return self.search_phrase_distributed(phrase, k=k)
+            return self.search_phrase_distributed(phrase, k=k,
+                                                  filters=filters,
+                                                  not_terms=not_terms)
         tset = sorted(set(terms))
         need = len(tset)
         shift = int(_SHIFT)
@@ -923,9 +1027,11 @@ class PhraseEngine:
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")
                 .applyInPandas(kern, schema="ordinal long, n_occ long"))
-        return self._resolve_topk(hits, k)
+        return self._resolve_topk(hits, k, filters, not_terms)
 
-    def search_phrase_distributed(self, phrase: str, k: int = 10
+    def search_phrase_distributed(self, phrase: str, k: int = 10,
+                                  filters: dict[str, str] | None = None,
+                                  not_terms: list[str] | None = None
                                   ) -> list[tuple[int, int, int]]:
         """Same result as search_phrase (tests assert it), computed as a
         Spark job: phrase matching is per-doc local and every doc's
@@ -979,4 +1085,4 @@ class PhraseEngine:
                 .select("term", "block", "ords", "counts", "pos")
                 .groupBy("block")
                 .applyInPandas(kern, schema="ordinal long, n_occ long"))
-        return self._resolve_topk(hits, k)
+        return self._resolve_topk(hits, k, filters, not_terms)

@@ -213,17 +213,12 @@ class SearchService:
         (two terms within `slop` positions, ordered), a trailing `*`
         wildcard (prefix expansion + ranked OR), metadata filters
         (``lang:python``, ``repo:org/x``, ``path:src/`` — prefix) and NOT
-        terms (``-term``) for the term-scoring modes (bm25/tfidf/wildcard;
-        tokenizer.parse_query). Filters/NOT restrict the result set only —
-        scoring statistics stay as built (Lucene filter-query semantics)."""
+        terms (``-term``) in EVERY mode (tokenizer.parse_query; proximity
+        ranking is doc-local, so restriction commutes there too).
+        Filters/NOT restrict the result set only — scoring statistics
+        stay as built (Lucene filter-query semantics)."""
         from .tokenizer import parse_query
-        q = query.strip()
-        filters = None
-        not_terms: list[str] = []
-        if mode not in ("phrase", "near"):
-            # proximity modes take the text verbatim (a ':' or '-' inside
-            # a phrase is punctuation, not an operator)
-            q, filters, not_terms = parse_query(q)
+        q, filters, not_terms = parse_query(query.strip())
         k = max(0, k)  # a negative k would negative-slice inside the
         # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
@@ -232,20 +227,29 @@ class SearchService:
             pe = self._phrase_engine()
             if slop > 1:  # windowed-chain phrase (slop=1 == exact)
                 rows = (pe.search_phrase_sloppy_distributed(
-                            query, slop=slop, k=k) if self.big
-                        else pe.search_phrase_sloppy(query, slop=slop, k=k))
+                            q, slop=slop, k=k, filters=filters,
+                            not_terms=not_terms) if self.big
+                        else pe.search_phrase_sloppy(
+                            q, slop=slop, k=k, filters=filters,
+                            not_terms=not_terms))
             else:
-                rows = (pe.search_phrase_distributed(query, k=k) if self.big
-                        else pe.search_phrase(query, k=k))
+                rows = (pe.search_phrase_distributed(
+                            q, k=k, filters=filters, not_terms=not_terms)
+                        if self.big
+                        else pe.search_phrase(q, k=k, filters=filters,
+                                              not_terms=not_terms))
         elif mode == "near":
             parts = q.split()
             if len(parts) != 2:
                 raise ValueError("mode=near needs exactly two terms")
             pe = self._phrase_engine()
             rows = (pe.search_near_distributed(parts[0], parts[1],
-                                               slop=slop, k=k)
+                                               slop=slop, k=k,
+                                               filters=filters,
+                                               not_terms=not_terms)
                     if self.big else
-                    pe.search_near(parts[0], parts[1], slop=slop, k=k))
+                    pe.search_near(parts[0], parts[1], slop=slop, k=k,
+                                   filters=filters, not_terms=not_terms))
         elif scoring == "tfidf":
             if self.big:
                 from .query import search_big_tfidf
@@ -450,13 +454,7 @@ class FederatedSearchService:
             search_big_tfidf_federated,
         )
         from .tokenizer import parse_query
-        q = query.strip()
-        filters = None
-        not_terms: list[str] = []
-        if mode not in ("phrase", "near"):
-            # proximity modes take the text verbatim (a ':' or '-' inside
-            # a phrase is punctuation, not an operator)
-            q, filters, not_terms = parse_query(q)
+        q, filters, not_terms = parse_query(query.strip())
         k = max(0, k)
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
@@ -466,11 +464,13 @@ class FederatedSearchService:
             pes = self._phrase_engines()
             if slop > 1:
                 per = [r for pe in pes for r in
-                       pe.search_phrase_sloppy_distributed(query, slop=slop,
-                                                           k=k)]
+                       pe.search_phrase_sloppy_distributed(
+                           q, slop=slop, k=k, filters=filters,
+                           not_terms=not_terms)]
             else:
                 per = [r for pe in pes
-                       for r in pe.search_phrase_distributed(query, k=k)]
+                       for r in pe.search_phrase_distributed(
+                           q, k=k, filters=filters, not_terms=not_terms)]
             rows = self._merge_counts(per, k)
         elif mode == "near":
             parts = q.split()
@@ -479,7 +479,9 @@ class FederatedSearchService:
             pes = self._phrase_engines()
             per = [r for pe in pes for r in
                    pe.search_near_distributed(parts[0], parts[1],
-                                              slop=slop, k=k)]
+                                              slop=slop, k=k,
+                                              filters=filters,
+                                              not_terms=not_terms)]
             rows = self._merge_counts(per, k)
         elif scoring == "tfidf":
             rows = search_big_tfidf_federated(

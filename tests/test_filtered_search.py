@@ -267,10 +267,10 @@ def test_service_query_syntax_both_regimes(spark, built_index, engine,
             svc.close()
 
 
-def test_service_phrase_mode_ignores_operator_syntax(spark, tmp_path,
-                                                     fixture_corpus_pdf):
-    """In phrase mode a ':'/'-' is punctuation, not an operator — the
-    query text reaches the phrase engine verbatim."""
+def test_phrase_and_near_restriction(spark, tmp_path, fixture_corpus_pdf):
+    """Filters/NOT terms restrict phrase and NEAR results on BOTH matching
+    regimes (proximity ranking is doc-local, so restriction == filtering
+    the full result list); a mid-token '-' stays punctuation."""
     from engine.corpus import corpus_to_spark
     from engine.index_build import build_index
     from engine.positions import PhraseEngine, build_positions
@@ -280,8 +280,39 @@ def test_service_phrase_mode_ignores_operator_syntax(spark, tmp_path,
                 n_salts=4, partitions=4)
     build_positions(spark, corpus_to_spark(spark, fixture_corpus_pdf), out,
                     n_salts=4, partitions=4)
-    svc = SearchService(spark, out)
     pe = PhraseEngine(spark, out)
-    want = pe.search_phrase("def return", k=5)
-    got = svc.search_payload("def-return", k=5, mode="phrase")
+    filters = {"lang": "python"}
+    kbig = len(fixture_corpus_pdf)
+    langs = dict(zip(fixture_corpus_pdf["doc_id"].astype(int),
+                     fixture_corpus_pdf["lang"]))
+    texts = dict(zip(fixture_corpus_pdf["doc_id"].astype(int),
+                     fixture_corpus_pdf["content"]))
+
+    # brute truth: full phrase result list, restricted, re-ranked
+    full = pe.search_phrase("def return", k=kbig)
+    want = [(d, n) for _r, d, n in full
+            if langs[d] == "python" and "import" not in tokenize(texts[d])]
+    want = [(i + 1, d, n) for i, (d, n) in enumerate(want[:5])]
+    for fn in (pe.search_phrase, pe.search_phrase_distributed):
+        got = fn("def return", k=5, filters=filters, not_terms=["import"])
+        assert got == want and got, fn.__name__
+
+    # NEAR + sloppy, driver vs distributed equality under restriction
+    for a, b in ((pe.search_near, pe.search_near_distributed),):
+        d1 = a("def", "return", slop=3, k=5, filters=filters)
+        d2 = b("def", "return", slop=3, k=5, filters=filters)
+        assert d1 == d2 and d1
+        assert all(langs[d] == "python" for _, d, _ in d1)
+    s1 = pe.search_phrase_sloppy("def return", slop=3, k=5, filters=filters)
+    s2 = pe.search_phrase_sloppy_distributed("def return", slop=3, k=5,
+                                             filters=filters)
+    assert s1 == s2 and s1
+
+    # served: operator syntax parses in phrase mode; mid-token '-' does not
+    svc = SearchService(spark, out)
+    got = svc.search_payload("lang:python def return -import", k=5,
+                             mode="phrase")
     assert [p["rank_score"] for p in got] == [n for _, _, n in want]
+    plain = pe.search_phrase("def return", k=5)
+    got = svc.search_payload("def-return", k=5, mode="phrase")
+    assert [p["rank_score"] for p in got] == [n for _, _, n in plain]
