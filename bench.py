@@ -308,7 +308,8 @@ def main():
         # one-time IVF index build (train + assign + persist), so the two
         # lines read as (index build, query latency) — same split as the
         # inverted index's index_build vs bm25_query_*
-        for name in ["term_counts", "term_df", "bm25_rank", "tfidf_rank",
+        for name in ["term_counts", "term_df", "bm25_rank",
+                     "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
                      "neardup_embedding_pairs", "neardup_clusters",
