@@ -186,16 +186,21 @@ def main(argv=None):
                           with_positions=args.positions)
         print(json.dumps(man.metrics(), indent=1))
     elif args.cmd == "query":
+        # same operator surface as the HTTP service: metadata filters
+        # (lang:python repo:org/x path:src/) and NOT terms (-term)
+        from engine.tokenizer import parse_query
+        q, filters, not_terms = parse_query(args.query)
         if args.mode == "phrase":
             from engine.positions import PhraseEngine
             res = PhraseEngine(spark, args.index).search_phrase(
-                args.query, k=args.k)
+                q, k=args.k, filters=filters, not_terms=not_terms)
             print(json.dumps([
                 {"rank": r, "doc_id": d, "n_occ": n} for r, d, n in res]))
         else:
             from engine.query import SearchEngine
             eng = SearchEngine(spark, args.index)
-            res = eng.search(args.query, k=args.k, mode=args.mode)
+            res = eng.search(q, k=args.k, mode=args.mode,
+                             filters=filters, not_terms=not_terms)
             print(json.dumps([
                 {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
     elif args.cmd == "ingest":
