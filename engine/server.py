@@ -204,8 +204,29 @@ class SearchService:
             self._phrase = PhraseEngine(self.spark, self.index_dir)
         return self._phrase
 
+    def stats(self) -> dict:
+        """Index statistics straight from the build manifest — no Spark
+        job (the serving analog of Lucene's IndexReader stats): n_docs,
+        total_len, avgdl, n_terms, postings, compressed bytes."""
+        from .checkpoint import BuildManifest
+        man = BuildManifest(self.index_dir)
+        sm = man.state["completed"]["stats"]["metrics"]
+        im = man.state["completed"].get("index", {})
+        n_docs = int(sm["n_docs"])
+        return {
+            "n_docs": n_docs,
+            "total_len": int(sm["total_len"]),
+            "avgdl": (sm["total_len"] / n_docs) if n_docs else 0.0,
+            "n_terms": int(im.get("rows", 0)),
+            "postings": int(im.get("metrics", {})
+                            .get("postings_emitted", 0)),
+            "bytes_compressed": int(im.get("metrics", {})
+                                    .get("bytes_compressed", 0)),
+        }
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
-                       scoring: str = "bm25", slop: int = 1) -> list[dict]:
+                       scoring: str = "bm25", slop: int = 1,
+                       offset: int = 0) -> list[dict]:
         """The reference's JSON result shape, field for field. Extensions
         beyond the reference: mode=phrase (positional store; rank_score is
         the occurrence count; slop>1 relaxes to a windowed-chain sloppy
@@ -214,13 +235,19 @@ class SearchService:
         wildcard (prefix expansion + ranked OR), metadata filters
         (``lang:python``, ``repo:org/x``, ``path:src/`` — prefix) and NOT
         terms (``-term``) in EVERY mode (tokenizer.parse_query; proximity
-        ranking is doc-local, so restriction commutes there too).
-        Filters/NOT restrict the result set only — scoring statistics
-        stay as built (Lucene filter-query semantics)."""
+        ranking is doc-local, so restriction commutes there too), and
+        ``offset`` pagination (results ranked offset+1..offset+k: the
+        engines fetch the exact top-(offset+k) prefix, the slice is
+        driver-side — offset+k rows is the gated-driver-tail budget, the
+        same bound as k itself). Filters/NOT restrict the result set only
+        — scoring statistics stay as built (Lucene filter-query
+        semantics)."""
         from .tokenizer import parse_query
         q, filters, not_terms = parse_query(query.strip())
         k = max(0, k)  # a negative k would negative-slice inside the
         # engines (ADVICE r2: tfidf's order[:k] returned ~every match)
+        offset = max(0, offset)
+        k += offset  # fetch the full prefix; slice at the end
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
         if mode == "phrase":
@@ -288,6 +315,7 @@ class SearchService:
         else:
             rows = self.engine.search(q, k=k, mode=mode, filters=filters,
                                       not_terms=not_terms)
+        rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         out = []
         for _rank, doc_id, score in rows:
@@ -442,8 +470,25 @@ class FederatedSearchService:
         return [(i + 1, doc_id, n)
                 for i, (_r, doc_id, n) in enumerate(per[:k])]
 
+    def stats(self) -> dict:
+        """Federation-wide statistics: integer-summed member manifests
+        (the same summation search_big_federated weights by)."""
+        per = [s.stats() for s in self.services]
+        n_docs = sum(p["n_docs"] for p in per)
+        total_len = sum(p["total_len"] for p in per)
+        return {
+            "n_docs": n_docs,
+            "total_len": total_len,
+            "avgdl": (total_len / n_docs) if n_docs else 0.0,
+            "n_terms": None,  # union dictionary size needs a job; omitted
+            "postings": sum(p["postings"] for p in per),
+            "bytes_compressed": sum(p["bytes_compressed"] for p in per),
+            "members": len(per),
+        }
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
-                       scoring: str = "bm25", slop: int = 1) -> list[dict]:
+                       scoring: str = "bm25", slop: int = 1,
+                       offset: int = 0) -> list[dict]:
         """Same payload contract as SearchService.search_payload, every
         mode federated (tests assert equality against the big service on
         the merged index)."""
@@ -456,6 +501,8 @@ class FederatedSearchService:
         from .tokenizer import parse_query
         q, filters, not_terms = parse_query(query.strip())
         k = max(0, k)
+        offset = max(0, offset)
+        k += offset
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
         idx_dfs = [s._index_df for s in self.services]
@@ -502,6 +549,7 @@ class FederatedSearchService:
                 mode=mode, idx_dfs=idx_dfs, docs_dfs=docs_dfs,
                 excludes=self._excl_bcs, filters=filters,
                 not_terms=not_terms)
+        rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         return [{"url": disp[int(doc_id)][0], "rank_score": score,
                  "title": disp[int(doc_id)][1],
@@ -532,6 +580,15 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if u.path == "/stats":
+                body = json.dumps(service.stats()).encode()
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if u.path != "/search":
                 self.send_error(404, "only /search is served")
                 return
@@ -539,8 +596,9 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
             query = qs.get("query", [""])[0]
             try:
                 k = int(qs.get("k", ["10"])[0])
+                offset = int(qs.get("offset", ["0"])[0])
             except ValueError:
-                self.send_error(400, "k must be an integer")
+                self.send_error(400, "k/offset must be integers")
                 return
             mode = qs.get("mode", ["ranked"])[0]
             scoring = qs.get("scoring", ["bm25"])[0]
@@ -550,13 +608,14 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.send_error(400, "slop must be an integer")
                 return
             if mode not in ("ranked", "conjunctive", "phrase", "near") or \
-                    scoring not in ("bm25", "tfidf") or slop < 1:
-                self.send_error(400, "bad mode/scoring/slop")
+                    scoring not in ("bm25", "tfidf") or slop < 1 or \
+                    offset < 0:
+                self.send_error(400, "bad mode/scoring/slop/offset")
                 return
             try:
                 body = json.dumps(service.search_payload(
                     query, k=k, mode=mode, scoring=scoring,
-                    slop=slop)).encode()
+                    slop=slop, offset=offset)).encode()
             except ValueError as e:
                 self.send_error(400, str(e))
                 return

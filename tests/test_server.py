@@ -212,3 +212,40 @@ def test_phrase_and_wildcard_served(spark, built_index, fixture_corpus_pdf):
         assert ei.value.code == 400  # near needs exactly two terms
     finally:
         srv.shutdown()
+
+
+def test_offset_pagination(served):
+    """offset=N returns results ranked N+1..N+k — the exact slice of the
+    full prefix, every mode; past-the-end offsets return empty."""
+    service, base = served
+    _, full = _get(f"{base}/search?query=def+return&k=12")
+    _, page1 = _get(f"{base}/search?query=def+return&k=4")
+    _, page2 = _get(f"{base}/search?query=def+return&k=4&offset=4")
+    _, page3 = _get(f"{base}/search?query=def+return&k=4&offset=8")
+    assert page1 + page2 + page3 == full
+    _, beyond = _get(f"{base}/search?query=def+return&k=4&offset=100000")
+    assert beyond == []
+    # tfidf honors the cap relative to offset too
+    _, t_full = _get(f"{base}/search?query=def+return&k=10&scoring=tfidf")
+    _, t_off = _get(f"{base}/search?query=def+return&k=5&offset=5"
+                    "&scoring=tfidf")
+    assert t_off == t_full[5:]
+    # negative offset is a 400, not a crash
+    try:
+        urllib.request.urlopen(
+            f"{base}/search?query=def&k=4&offset=-1", timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_stats_endpoint(served, fixture_corpus_pdf):
+    """GET /stats serves the manifest's index statistics — no Spark job."""
+    service, base = served
+    resp, stats = _get(f"{base}/stats")
+    assert resp.headers["Content-Type"] == "application/json"
+    assert stats["n_docs"] == len(fixture_corpus_pdf)
+    assert stats["total_len"] > 0 and stats["n_terms"] > 0
+    assert stats["postings"] > 0 and stats["bytes_compressed"] > 0
+    assert abs(stats["avgdl"] - stats["total_len"] / stats["n_docs"]) < 1e-9
