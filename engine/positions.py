@@ -613,8 +613,9 @@ class PhraseEngine:
                     "need the full input_hint metadata")
             pdf = (self._docs_df.select("ordinal", name)
                    .orderBy("ordinal").toPandas())
-            self._meta_cache[name] = (
-                pdf[name].fillna("").astype(str).to_numpy(dtype=object))
+            self._meta_cache[name] = np.asarray(
+                pdf[name].fillna("").astype(str).to_numpy(dtype=object),
+                dtype=str)
         return self._meta_cache[name]
 
     def _restrict_driver(self, uniq: np.ndarray, n_occ: np.ndarray,
@@ -628,7 +629,7 @@ class PhraseEngine:
             keep = np.ones(uniq.size, dtype=bool)
             for field, value in filters.items():
                 col = self._meta_col(field)[uniq]
-                keep &= (np.char.startswith(col.astype(str), value)
+                keep &= (np.char.startswith(col, value)
                          if field == "path" else (col == value))
             uniq, n_occ = uniq[keep], n_occ[keep]
         if not_terms and uniq.size:

@@ -112,8 +112,11 @@ class SearchEngine:
                     "the full input_hint metadata")
             pdf = (docs.select("ordinal", name).orderBy("ordinal")
                    .toPandas())
-            self._meta_cache[name] = (
-                pdf[name].fillna("").astype(str).to_numpy(dtype=object))
+            # fixed-width 'U' dtype at cache time: equality and
+            # np.char.startswith vectorize without a per-query conversion
+            self._meta_cache[name] = np.asarray(
+                pdf[name].fillna("").astype(str).to_numpy(dtype=object),
+                dtype=str)
         return self._meta_cache[name]
 
     def _filter_mask(self, filters: dict[str, str]) -> np.ndarray:
@@ -124,7 +127,7 @@ class SearchEngine:
         for field, value in filters.items():
             col = self._meta_col(field)
             if field == "path":
-                mask &= np.char.startswith(col.astype(str), value)
+                mask &= np.char.startswith(col, value)
             else:
                 mask &= (col == value)
         return mask
