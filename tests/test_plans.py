@@ -162,3 +162,23 @@ def test_scan_union_pushdown(spark, built_index):
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     for meta in ("content_sha256", "snippet", "title"):
         assert meta not in rs, rs
+
+
+def test_metadata_filter_pushes_to_docs_scan(spark, built_index):
+    """The filtered-search doc predicate (query._filters_col) must reach
+    the docs parquet scan as PushedFilters and prune the read schema to
+    the filter + join columns — a full-metadata read for a lang filter
+    would be wrong at 10^12 docs."""
+    import os
+
+    from engine.query import _filters_col
+    out, _ = built_index
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    dl = (docs.where(_filters_col({"lang": "python", "path": "src/pkg3/"},
+                                  docs.columns))
+          .select("ordinal", F.col("doc_len").cast("double").alias("dl")))
+    plan = _formatted(dl)
+    assert "EqualTo(lang,python)" in plan, plan
+    assert "StringStartsWith(path,src/pkg3/)" in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "snippet" not in rs[0] and "title" not in rs[0], plan
