@@ -98,6 +98,20 @@ def main() -> None:
     search_big(spark, out, "def return import", k=10)
     res["big_ranked_all_hot_s"] = round(time.time() - t0, 3)
 
+    # metadata-filtered search at 1M docs (round 4: result-set
+    # restriction — lang filter keeps ~35%, NOT 'import' excludes a
+    # Zipf-hot term via the gated exclusion array)
+    filt = {"lang": "python"}
+    t0 = time.time()
+    rf = eng.search(hot_rare, k=10, filters=filt, not_terms=["import"])
+    res["ranked_filtered_s"] = round(time.time() - t0, 3)
+    assert rf
+    t0 = time.time()
+    rbf = search_big(spark, out, hot_rare, k=10, filters=filt,
+                     not_terms=["import"])
+    res["big_ranked_filtered_s"] = round(time.time() - t0, 3)
+    assert [x[1] for x in rbf] == [x[1] for x in rf]
+
     # positional operators, per-block distributed paths, 100%-hot terms
     pe = PhraseEngine(spark, out)
     t0 = time.time()
@@ -113,6 +127,10 @@ def main() -> None:
                                              slop=4, k=10)
     res["sloppy4_distributed_s"] = round(time.time() - t0, 3)
     assert sl
+    t0 = time.time()
+    pf = pe.search_phrase_distributed("def return", k=10, filters=filt)
+    res["phrase_filtered_distributed_s"] = round(time.time() - t0, 3)
+    assert pf
 
     print(json.dumps(res))
     spark.stop()
