@@ -308,6 +308,10 @@ def main():
         # one-time IVF index build (train + assign + persist), so the two
         # lines read as (index build, query latency) — same split as the
         # inverted index's index_build vs bm25_query_*
+        # bm25_filtered_topk's engine dir builds untimed here: the build
+        # cost is ALREADY the index_build line above; the entry should
+        # read as query latency like bm25_query_*, not a second build
+        cq._built_engine_dir(spark, SF_DIR)
         for name in ["term_counts", "term_df", "bm25_rank",
                      "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
