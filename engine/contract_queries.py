@@ -491,6 +491,20 @@ def q_prefix_bm25_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+def q_suggest_prefix(spark, sf_dir):
+    """Autocomplete (query.suggest_terms) over the REAL engine dictionary:
+    the k highest-df terms starting with the fixture prefix, via one
+    pushdown StringStartsWith scan + a distributed sort+limit (exactly k
+    rows to the driver) — verified against the same token-df SQL the
+    term_df entry uses, restricted by LIKE."""
+    from .query import SearchEngine, suggest_terms
+    out = _built_engine_dir(spark, sf_dir)
+    eng = SearchEngine(spark, out)
+    got = suggest_terms(eng.index_df, PREFIX_QUERY, k=TOPK)
+    return spark.createDataFrame([(t, d) for t, d in got],
+                                 "term string, df long")
+
+
 def q_bm25_big_topk(spark, sf_dir):
     """The ZERO-DRIVER-ARRAY cluster serving path (engine/query.py
     search_big: stats scalars from the manifest, doc_len via join, per-doc
@@ -1472,6 +1486,15 @@ def consolidated_oracles():
             select bucket, count(*) as n_vecs from sig group by bucket""",
         "neardup_clusters": _neardup_clusters_oracle(),
         "training_corpus_select": _training_corpus_oracle(),
+        # suggest: top-k df-ranked completions of the fixture prefix; the
+        # engine's (df DESC, term ASC) tie-break is deterministic, so the
+        # row SET equals the SQL top-k (the compare is order-insensitive)
+        "suggest_prefix": f"""
+            select term, count(distinct doc_id) as df
+            from ({_TOKENS_SQL})
+            where term like '{PREFIX_QUERY}%'
+            group by term
+            order by df desc, term limit {TOPK}""",
     }
 
 
@@ -1485,6 +1508,7 @@ def consolidated_queries():
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "neardup_clusters": q_neardup_clusters,
         "training_corpus_select": q_training_corpus_select,
+        "suggest_prefix": q_suggest_prefix,
     }
 
 

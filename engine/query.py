@@ -1227,6 +1227,47 @@ def expand_prefix_big(index_df, prefix: str) -> list[str]:
     return sorted(r["term"] for r in rows)
 
 
+def suggest_terms(index_df, prefix: str, k: int = 8
+                  ) -> list[tuple[str, int]]:
+    """Autocomplete: the k highest-df dictionary terms starting with
+    ``prefix`` (ties term ASC) as ``[(term, df)]`` — the search-as-you-type
+    surface the reference's frontend lacks (frontEnd/search_engine/src/
+    pages/Results.jsx renders results only). One pushdown StringStartsWith
+    scan of the term dictionary plus a DISTRIBUTED sort+limit, so exactly
+    k rows reach the driver regardless of dictionary size; the index is
+    term-sorted parquet, so at scale the scan touches the prefix's row
+    groups only. Both serving regimes call this one function — the index
+    DataFrame is the dictionary in both."""
+    if not prefix:
+        raise ValueError("empty suggest prefix")
+    if k <= 0:
+        return []
+    rows = (index_df.where(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .select("term", "df").limit(k).collect())
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def suggest_terms_federated(idx_dfs: list, prefix: str, k: int = 8
+                            ) -> list[tuple[str, int]]:
+    """Autocomplete over a federation's UNION dictionary: per-segment dfs
+    integer-sum to the federation-wide df (doc-disjoint segments, stats
+    as built — the same summation search_big_federated weights by), then
+    the same (df DESC, term ASC) top-k as the single-index rule."""
+    if not prefix:
+        raise ValueError("empty suggest prefix")
+    if k <= 0:
+        return []
+    from functools import reduce
+    u = reduce(lambda a, b: a.unionByName(b),
+               [idx.where(F.col("term").startswith(prefix))
+                .select("term", "df") for idx in idx_dfs])
+    rows = (u.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(k).collect())
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
 def search_big_tfidf(spark: SparkSession, index_dir: str, query: str,
                      k: int = 300, threshold: float = 0.3,
                      index_df=None, docs_df=None,

@@ -224,9 +224,20 @@ class SearchService:
                                     .get("bytes_compressed", 0)),
         }
 
+    def suggest(self, prefix: str, k: int = 8) -> list[dict]:
+        """Autocomplete: the k highest-df dictionary terms starting with
+        ``prefix`` as ``[{"term", "df"}]`` — one pushdown scan + distributed
+        sort+limit (query.suggest_terms), identical in both regimes (the
+        index DataFrame is the dictionary in both)."""
+        from .query import suggest_terms
+        idx = self._index_df if self.big else self.engine.index_df
+        return [{"term": t, "df": df}
+                for t, df in suggest_terms(idx, prefix, k=k)]
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
-                       offset: int = 0) -> list[dict]:
+                       offset: int = 0, highlight: bool = False
+                       ) -> list[dict]:
         """The reference's JSON result shape, field for field. Extensions
         beyond the reference: mode=phrase (positional store; rank_score is
         the occurrence count; slop>1 relaxes to a windowed-chain sloppy
@@ -241,7 +252,10 @@ class SearchService:
         driver-side — offset+k rows is the gated-driver-tail budget, the
         same bound as k itself). Filters/NOT restrict the result set only
         — scoring statistics stay as built (Lucene filter-query
-        semantics)."""
+        semantics). highlight=True wraps matched token occurrences in the
+        k result rows' title/body in <em>..</em> (tokenizer.highlight —
+        camelCase/snake_case-aware, driver-side on the display tail
+        only)."""
         from .tokenizer import parse_query
         q, filters, not_terms = parse_query(query.strip())
         k = max(0, k)  # a negative k would negative-slice inside the
@@ -317,9 +331,21 @@ class SearchService:
                                       not_terms=not_terms)
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
+        hl_terms: list[str] = []
+        hl_pfx: tuple[str, ...] = ()
+        if highlight:
+            from .tokenizer import highlight as hl
+            from .tokenizer import tokenize
+            if is_wild:
+                hl_pfx = (q[:-1].lower(),)
+            else:
+                hl_terms = tokenize(q)
         out = []
         for _rank, doc_id, score in rows:
             url, title, body = disp[int(doc_id)]
+            if highlight:
+                title = hl(title, hl_terms, hl_pfx)
+                body = hl(body, hl_terms, hl_pfx)
             out.append({"url": url, "rank_score": score,
                         "title": title, "body": body})
         return out
@@ -486,9 +512,19 @@ class FederatedSearchService:
             "members": len(per),
         }
 
+    def suggest(self, prefix: str, k: int = 8) -> list[dict]:
+        """Autocomplete over the federation's union dictionary
+        (query.suggest_terms_federated: per-segment dfs integer-sum to the
+        federation-wide df — stats as built)."""
+        from .query import suggest_terms_federated
+        idx_dfs = [s._index_df for s in self.services]
+        return [{"term": t, "df": df}
+                for t, df in suggest_terms_federated(idx_dfs, prefix, k=k)]
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
-                       offset: int = 0) -> list[dict]:
+                       offset: int = 0, highlight: bool = False
+                       ) -> list[dict]:
         """Same payload contract as SearchService.search_payload, every
         mode federated (tests assert equality against the big service on
         the merged index)."""
@@ -551,10 +587,24 @@ class FederatedSearchService:
                 not_terms=not_terms)
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
-        return [{"url": disp[int(doc_id)][0], "rank_score": score,
-                 "title": disp[int(doc_id)][1],
-                 "body": disp[int(doc_id)][2]}
-                for _rank, doc_id, score in rows]
+        hl_terms: list[str] = []
+        hl_pfx: tuple[str, ...] = ()
+        if highlight:
+            from .tokenizer import tokenize
+            if is_wild:
+                hl_pfx = (q[:-1].lower(),)
+            else:
+                hl_terms = tokenize(q)
+        out = []
+        for _rank, doc_id, score in rows:
+            url, title, body = disp[int(doc_id)]
+            if highlight:
+                from .tokenizer import highlight as hl
+                title = hl(title, hl_terms, hl_pfx)
+                body = hl(body, hl_terms, hl_pfx)
+            out.append({"url": url, "rank_score": score,
+                        "title": title, "body": body})
+        return out
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",
@@ -589,6 +639,26 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if u.path == "/suggest":
+                qs = parse_qs(u.query)
+                prefix = qs.get("q", [""])[0]
+                try:
+                    k = int(qs.get("k", ["8"])[0])
+                except ValueError:
+                    self.send_error(400, "k must be an integer")
+                    return
+                try:
+                    body = json.dumps(service.suggest(prefix, k=k)).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if u.path != "/search":
                 self.send_error(404, "only /search is served")
                 return
@@ -612,10 +682,11 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                     offset < 0:
                 self.send_error(400, "bad mode/scoring/slop/offset")
                 return
+            hi = qs.get("highlight", ["0"])[0] not in ("0", "", "false")
             try:
                 body = json.dumps(service.search_payload(
                     query, k=k, mode=mode, scoring=scoring,
-                    slop=slop, offset=offset)).encode()
+                    slop=slop, offset=offset, highlight=hi)).encode()
             except ValueError as e:
                 self.send_error(400, str(e))
                 return

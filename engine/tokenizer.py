@@ -97,6 +97,47 @@ def parse_query(query: str) -> tuple[str, dict[str, str] | None, list[str]]:
             sorted(set(nots)))
 
 
+#: a maximal \w-run minus underscore — the raw-text span of one-or-more
+#: tokens (tokenize() splits these runs only at camelCase boundaries, since
+#: every other boundary it uses IS a non-\w character or '_')
+_TOKEN_RUN_RE = re.compile(r"[^\W_]+")
+
+
+def highlight(text: str, terms, prefixes=()) -> str:
+    """Wrap every token occurrence of ``text`` that matches a query term in
+    ``<em>..</em>`` (the Lucene-highlighter result surface). A "token
+    occurrence" is a maximal alnum run sub-split at the SAME camelCase
+    boundaries ``tokenize`` uses, so highlighting agrees with what the
+    index matched: query term ``foo`` highlights the ``Foo`` part of
+    ``FooBar``, and ``foo_bar`` highlights both parts for query
+    ``foo bar``. ``prefixes`` marks wildcard stems (token startswith).
+    Matching is case-insensitive (terms are normalized lowercase).
+    Pure driver-side string work on k display rows — never in a plan."""
+    if not text or (not terms and not prefixes):
+        return text
+    tset = {t.lower() for t in terms}
+    pfx = tuple(p.lower() for p in prefixes)
+    spans: list[tuple[int, int]] = []
+    for m in _TOKEN_RUN_RE.finditer(text):
+        off = m.start()
+        for part in _CAMEL_RE.split(m.group(0)):
+            lp = part.lower()
+            if lp in tset or (pfx and lp.startswith(pfx)):
+                spans.append((off, off + len(part)))
+            off += len(part)
+    if not spans:
+        return text
+    out, last = [], 0
+    for s, e in spans:
+        out.append(text[last:s])
+        out.append("<em>")
+        out.append(text[s:e])
+        out.append("</em>")
+        last = e
+    out.append(text[last:])
+    return "".join(out)
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized tokenizer: pd.Series[str] -> pd.Series[list[str]].
 
