@@ -505,6 +505,21 @@ def q_suggest_prefix(spark, sf_dir):
                                  "term string, df long")
 
 
+def q_facet_counts(spark, sf_dir):
+    """Facet aggregation (query.facet_frame + facet_topn) over the REAL
+    engine index: per-lang match counts of the fixture ranked query across
+    the FULL matching set — a distributed candidate frame (posting decode
+    via mapInPandas) joined to the column-pruned docs snapshot, then
+    groupBy + sort+limit. Verified against the equivalent DuckDB
+    histogram; the driver-regime twin (SearchEngine.facet_counts) is
+    pytest-asserted bitwise equal (tests/test_facets.py)."""
+    from .query import facet_frame, facet_topn
+    out = _built_engine_dir(spark, sf_dir)
+    got = facet_topn([facet_frame(spark, out, BM25_TERMS, ["lang"])],
+                     ["lang"], k_values=TOPK)
+    return spark.createDataFrame(got["lang"], "value string, cnt long")
+
+
 def q_bm25_big_topk(spark, sf_dir):
     """The ZERO-DRIVER-ARRAY cluster serving path (engine/query.py
     search_big: stats scalars from the manifest, doc_len via join, per-doc
@@ -1495,6 +1510,17 @@ def consolidated_oracles():
             where term like '{PREFIX_QUERY}%'
             group by term
             order by df desc, term limit {TOPK}""",
+        # facet histogram over the full ranked-match set (union of the
+        # fixture terms' postings) by lang; count DESC, value ASC — the
+        # engine's deterministic facet order
+        "bm25_facet_counts": f"""
+            with m as (
+              select distinct doc_id from ({_TOKENS_SQL})
+              where term in ({",".join(f"'{t}'" for t in BM25_TERMS)}))
+            select d.lang as value, count(*) as cnt
+            from m join documents d using (doc_id)
+            group by d.lang
+            order by cnt desc, value limit {TOPK}""",
     }
 
 
@@ -1509,6 +1535,7 @@ def consolidated_queries():
         "neardup_clusters": q_neardup_clusters,
         "training_corpus_select": q_training_corpus_select,
         "suggest_prefix": q_suggest_prefix,
+        "bm25_facet_counts": q_facet_counts,
     }
 
 

@@ -400,6 +400,51 @@ class SearchEngine:
         return self._ranked_pruned(terms, postings, k, rounded,
                                    filters=filters, not_terms=not_terms)
 
+    # ------------------------------------------------------------- facets
+
+    def facet_counts(self, query: str, fields: list[str],
+                     k_values: int = 10, mode: str = "ranked",
+                     filters: dict[str, str] | None = None,
+                     not_terms: list[str] | None = None
+                     ) -> dict[str, list[tuple[str, int]]]:
+        """Per-field (value, count) histograms over the FULL matching set
+        (not the top-k page) — count DESC then value ASC, k_values values
+        per field. Matching/restriction semantics identical to search()
+        (ranked=union, conjunctive=intersection; filters/NOT restrict the
+        set). Driver-map regime: candidates and the cached per-ordinal
+        metadata arrays are already in memory, so this is pure NumPy.
+        The big-path twin (facet_frame + facet_topn) is test-asserted
+        equal."""
+        terms = query_terms(query)
+        if not terms:
+            return {f: [] for f in fields}
+        cols = {f: self._meta_col(f) for f in fields}  # validate first
+        postings = self._fetch(terms)
+        if mode == "conjunctive":
+            if len(postings) < len(terms):
+                return {f: [] for f in fields}
+            cands: np.ndarray | None = None
+            for tp in sorted(postings.values(), key=lambda x: x.df):
+                ids = tp.doc_ids
+                cands = ids if cands is None else np.intersect1d(
+                    cands, ids, assume_unique=True)
+        elif mode == "ranked":
+            if not postings:
+                return {f: [] for f in fields}
+            cands = self._union(postings)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        cands = self._restrict(cands, filters, not_terms)
+        out: dict[str, list[tuple[str, int]]] = {}
+        for f in fields:
+            if k_values <= 0 or cands.size == 0:
+                out[f] = []
+                continue
+            vals, cnts = np.unique(cols[f][cands], return_counts=True)
+            order = np.lexsort((vals, -cnts))[:k_values]
+            out[f] = [(str(vals[i]), int(cnts[i])) for i in order]
+        return out
+
     # --------------------------------------------------- distributed scoring
 
     def search_distributed(self, query: str, k: int = 10,
@@ -1225,6 +1270,99 @@ def expand_prefix_big(index_df, prefix: str) -> list[str]:
                 .orderBy(F.col("df").desc(), F.col("term"))
                 .select("term").limit(cap).collect())
     return sorted(r["term"] for r in rows)
+
+
+def facet_frame(spark: SparkSession, index_dir: str, terms: list[str],
+                fields: list[str], mode: str = "ranked",
+                index_df=None, docs_df=None, exclude=None,
+                filters: dict[str, str] | None = None,
+                not_terms: list[str] | None = None):
+    """One row of metadata per MATCHING doc — the distributed half of
+    facet aggregation (Elasticsearch-style aggs over the full result set,
+    not the top-k page). Matching = the query's candidate semantics:
+    ranked -> union of the terms' postings, conjunctive -> docs containing
+    every term; then the same restriction stack as search (metadata
+    filters pushed to the docs scan, NOT-term anti-join, logical-delete
+    exclusion masked at posting decode). Stays a DataFrame end-to-end so
+    federations can union members' frames BEFORE counting — facet counts
+    over a federation are exact, not per-member-truncated approximations.
+    Cost: one job over Σ df postings of the query terms + a join to the
+    docs snapshot projected to `fields` (column-pruned scan)."""
+    import pandas as pd
+
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    if docs_df is None:
+        docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
+    for f in fields:
+        if f not in docs_df.columns:
+            raise ValueError(
+                f"this index's docs snapshot has no {f!r} column — facet "
+                "fields need the full input_hint metadata")
+    terms = sorted(set(terms))
+    empty = docs_df.select(*fields).limit(0)
+    if not terms:
+        return empty
+    exc_bc = exclude
+
+    def dec(batches):
+        exc = _excl_value(exc_bc)
+        for pdf in batches:
+            for blob in pdf["postings"]:
+                ids, tfs = decode_postings(bytes(blob))
+                if exc is not None:
+                    ids, _ = _mask_excluded(ids, tfs, exc)
+                yield pd.DataFrame({"ordinal": ids})
+
+    hits = (index_df.where(F.col("term").isin(terms)).select("postings")
+            .mapInPandas(dec, schema="ordinal long"))
+    if mode == "conjunctive":
+        # presence check: <= len(terms) dictionary rows via pushdown
+        n_present = index_df.where(F.col("term").isin(terms)).count()
+        if n_present < len(terms):
+            return empty  # some term absent from corpus -> empty AND
+        # each term lists an ordinal at most once, so the per-ordinal row
+        # count IS the distinct-term count
+        cand = (hits.groupBy("ordinal").agg(F.count(F.lit(1)).alias("nt"))
+                .where(F.col("nt") == len(terms)).select("ordinal"))
+    elif mode == "ranked":
+        cand = hits.distinct()
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if not_terms:
+        bad = _ordinals_frame(index_df, sorted(set(not_terms)))
+        cand = cand.join(bad, "ordinal", "left_anti")
+    docs_sel = docs_df.select("ordinal", *fields)
+    if filters:
+        docs_sel = docs_sel.where(_filters_col(filters, docs_df.columns))
+    return cand.join(docs_sel, "ordinal").select(*fields)
+
+
+def facet_topn(frames: list, fields: list[str], k_values: int = 10
+               ) -> dict[str, list[tuple[str, int]]]:
+    """Reduce facet_frame outputs to per-field top-k_values (value, count)
+    lists, count DESC then value ASC — a distributed groupBy + sort+limit
+    per field, so only k_values rows per field reach the driver. Multiple
+    frames union first (doc-disjoint federation members), making the
+    federation counts exact."""
+    from functools import reduce
+
+    from pyspark import StorageLevel
+    if k_values <= 0:
+        return {f: [] for f in fields}
+    u = reduce(lambda a, b: a.unionByName(b), frames)
+    # the fields share one candidate derivation — materialize it once
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = {}
+        for f in fields:
+            rows = (u.groupBy(f).agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy(F.col("cnt").desc(), F.col(f))
+                    .limit(k_values).collect())
+            out[f] = [(r[f], int(r["cnt"])) for r in rows]
+        return out
+    finally:
+        u.unpersist()
 
 
 def suggest_terms(index_df, prefix: str, k: int = 8

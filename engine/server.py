@@ -234,6 +234,31 @@ class SearchService:
         return [{"term": t, "df": df}
                 for t, df in suggest_terms(idx, prefix, k=k)]
 
+    def facets(self, query: str, fields: list[str], k_values: int = 10,
+               mode: str = "ranked") -> dict[str, list[dict]]:
+        """Per-field (value, count) histograms over the FULL matching set
+        of ``query`` (filters/NOT syntax included) — Elasticsearch-style
+        aggs. Driver regime: NumPy over the cached metadata arrays
+        (SearchEngine.facet_counts); big regime: distributed candidate
+        frame + per-field groupBy/sort+limit (facet_frame/facet_topn) —
+        both test-asserted equal."""
+        from .query import query_terms
+        from .tokenizer import parse_query
+        q, filters, nots = parse_query(query.strip())
+        if self.big:
+            from .query import facet_frame, facet_topn
+            fr = facet_frame(self.spark, self.index_dir, query_terms(q),
+                            fields, mode=mode, index_df=self._index_df,
+                            docs_df=self._docs_df, filters=filters,
+                            not_terms=nots)
+            got = facet_topn([fr], fields, k_values=k_values)
+        else:
+            got = self.engine.facet_counts(q, fields, k_values=k_values,
+                                           mode=mode, filters=filters,
+                                           not_terms=nots)
+        return {f: [{"value": v, "count": c} for v, c in vals]
+                for f, vals in got.items()}
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
                        offset: int = 0, highlight: bool = False
@@ -521,6 +546,28 @@ class FederatedSearchService:
         return [{"term": t, "df": df}
                 for t, df in suggest_terms_federated(idx_dfs, prefix, k=k)]
 
+    def facets(self, query: str, fields: list[str], k_values: int = 10,
+               mode: str = "ranked") -> dict[str, list[dict]]:
+        """EXACT federation facets: members' candidate-metadata frames
+        union BEFORE the count (doc-disjoint segments), so the histogram
+        equals the merged index's — no per-member truncation. Logical
+        deletes mask per member at posting decode, same as search."""
+        from .query import facet_frame, facet_topn, query_terms
+        from .tokenizer import parse_query
+        q, filters, nots = parse_query(query.strip())
+        terms = query_terms(q)
+        frames = []
+        for i, s in enumerate(self.services):
+            exc = (self._excl_bcs[i]
+                   if self._excl_bcs is not None else None)
+            frames.append(facet_frame(
+                self.spark, self.index_dirs[i], terms, fields, mode=mode,
+                index_df=s._index_df, docs_df=s._docs_df, exclude=exc,
+                filters=filters, not_terms=nots))
+        got = facet_topn(frames, fields, k_values=k_values)
+        return {f: [{"value": v, "count": c} for v, c in vals]
+                for f, vals in got.items()}
+
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
                        offset: int = 0, highlight: bool = False
@@ -649,6 +696,34 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                     return
                 try:
                     body = json.dumps(service.suggest(prefix, k=k)).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/facets":
+                qs = parse_qs(u.query)
+                query = qs.get("query", [""])[0]
+                fields = [f for f in
+                          qs.get("fields", [""])[0].split(",") if f]
+                mode = qs.get("mode", ["ranked"])[0]
+                try:
+                    kv = int(qs.get("k", ["10"])[0])
+                except ValueError:
+                    self.send_error(400, "k must be an integer")
+                    return
+                if not fields or mode not in ("ranked", "conjunctive"):
+                    self.send_error(400, "need fields=...; mode "
+                                    "ranked|conjunctive")
+                    return
+                try:
+                    body = json.dumps(service.facets(
+                        query, fields, k_values=kv, mode=mode)).encode()
                 except ValueError as e:
                     self.send_error(400, str(e))
                     return
