@@ -130,6 +130,13 @@ def main(argv=None):
                          "segment; GET /refresh re-resolves it) — "
                          "--index is the compact --incremental out dir")
 
+    pf = sub.add_parser("fuzzy-index")
+    pf.add_argument("--index", required=True,
+                    help="materialize the deletion-neighborhood table "
+                         "(INDEX/fuzzy) so `term~` queries expand via "
+                         "pushdown key lookups instead of a dictionary "
+                         "scan")
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -196,6 +203,15 @@ def main(argv=None):
                 q, k=args.k, filters=filters, not_terms=not_terms)
             print(json.dumps([
                 {"rank": r, "doc_id": d, "n_occ": n} for r, d, n in res]))
+        elif (args.mode == "ranked" and q.endswith("~") and len(q) > 1
+                and " " not in q):
+            # trailing-~ fuzzy, same syntax rule as the HTTP service
+            from engine.query import SearchEngine
+            eng = SearchEngine(spark, args.index)
+            res = eng.search_fuzzy(q[:-1].lower(), k=args.k,
+                                   filters=filters, not_terms=not_terms)
+            print(json.dumps([
+                {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
         else:
             from engine.query import SearchEngine
             eng = SearchEngine(spark, args.index)
@@ -219,6 +235,10 @@ def main(argv=None):
                       n_salts=args.salts, partitions=args.partitions,
                       dedup_content=not args.no_dedup_content)
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
+    elif args.cmd == "fuzzy-index":
+        from engine.fuzzy import ensure_fuzzy
+        path = ensure_fuzzy(spark, args.index)
+        print(json.dumps({"fuzzy": path}))
     elif args.cmd == "serve":
         from engine.server import serve
         serve(spark, args.index, host=args.host, port=args.port,

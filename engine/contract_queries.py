@@ -505,6 +505,27 @@ def q_suggest_prefix(spark, sf_dir):
                                  "term string, df long")
 
 
+FUZZY_QUERY = "spak"  # ED<=1 of dictionary term 'spark' (typo fixture)
+
+
+def q_fuzzy_bm25_topk(spark, sf_dir):
+    """Fuzzy query `spak~` through the REAL engine: SymSpell
+    deletion-neighborhood expansion (engine/fuzzy.py — the artifact is
+    materialized first, so this exercises the pushdown key-lookup path,
+    not the scan fallback), then ranked OR BM25 over the ED<=1 terms —
+    verified against the same pure-SQL BM25 oracle with a DuckDB
+    levenshtein predicate. The scan fallback and the big path are
+    pytest-asserted identical (tests/test_fuzzy.py)."""
+    from .fuzzy import ensure_fuzzy
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    ensure_fuzzy(spark, out)
+    eng = SearchEngine(spark, out)
+    rows = eng.search_fuzzy(FUZZY_QUERY, k=TOPK, rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet aggregation (query.facet_frame + facet_topn) over the REAL
     engine index: per-lang match counts of the fixture ranked query across
@@ -1521,6 +1542,14 @@ def consolidated_oracles():
             from m join documents d using (doc_id)
             group by d.lang
             order by cnt desc, value limit {TOPK}""",
+        # fuzzy expansion mirrored in SQL: every dictionary term within
+        # Levenshtein distance 1 of the typo fixture (at this SF the
+        # expansion is far below FUZZY_EXPANSION_CAP, so the df-ranked
+        # overflow rule — same as wildcard's — never bites)
+        "fuzzy_bm25_topk": _bm25_duck_sql_pred(
+            f"""term in (select term from ({_TOKENS_SQL})
+                group by term
+                having levenshtein(term, '{FUZZY_QUERY}') <= 1)""", TOPK),
     }
 
 
@@ -1536,6 +1565,7 @@ def consolidated_queries():
         "training_corpus_select": q_training_corpus_select,
         "suggest_prefix": q_suggest_prefix,
         "bm25_facet_counts": q_facet_counts,
+        "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
     }
 
 

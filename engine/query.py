@@ -400,6 +400,25 @@ class SearchEngine:
         return self._ranked_pruned(terms, postings, k, rounded,
                                    filters=filters, not_terms=not_terms)
 
+    def search_fuzzy(self, term: str, k: int = 10, rounded: bool = False,
+                     filters: dict[str, str] | None = None,
+                     not_terms: list[str] | None = None
+                     ) -> list[tuple[int, int, float]]:
+        """Ranked (OR) BM25 over every dictionary term within edit
+        distance 1 of ``term`` — the fuzzy query `term~` (engine/fuzzy.py:
+        SymSpell deletion-neighborhood expansion, df-ranked cap like
+        wildcard). Same scoring/tie-break as search()."""
+        from .fuzzy import expand_fuzzy
+        terms = expand_fuzzy(self.spark, self.index_dir, term,
+                             index_df=self.index_df)
+        if not terms or k <= 0:
+            return []
+        postings = self._fetch(terms)
+        if not postings:
+            return []
+        return self._ranked_pruned(terms, postings, k, rounded,
+                                   filters=filters, not_terms=not_terms)
+
     # ------------------------------------------------------------- facets
 
     def facet_counts(self, query: str, fields: list[str],
@@ -1257,6 +1276,47 @@ def search_big_prefix(spark: SparkSession, index_dir: str, prefix: str,
                             rounded=rounded, index_df=index_df,
                             docs_df=docs_df, filters=filters,
                             not_terms=not_terms)
+
+
+def search_big_fuzzy(spark: SparkSession, index_dir: str, term: str,
+                     k: int = 10, rounded: bool = False,
+                     index_df=None, docs_df=None,
+                     filters: dict[str, str] | None = None,
+                     not_terms: list[str] | None = None
+                     ) -> list[tuple[int, int, float]]:
+    """Fuzzy `term~` on the zero-driver-array path: the ED<=1 expansion is
+    a pushdown deletion-key lookup (or dictionary scan fallback) capped at
+    FUZZY_EXPANSION_CAP terms to the driver, then the shared search_big
+    ranked-OR tail. Semantics identical to SearchEngine.search_fuzzy
+    (tests assert bitwise equality)."""
+    from .fuzzy import expand_fuzzy
+    terms = expand_fuzzy(spark, index_dir, term, index_df=index_df)
+    return search_big_terms(spark, index_dir, terms, k=k, mode="ranked",
+                            rounded=rounded, index_df=index_df,
+                            docs_df=docs_df, filters=filters,
+                            not_terms=not_terms)
+
+
+def search_big_fuzzy_federated(spark: SparkSession, index_dirs: list[str],
+                               term: str, k: int = 10,
+                               rounded: bool = False,
+                               idx_dfs: list | None = None,
+                               docs_dfs: list | None = None,
+                               excludes: list | None = None,
+                               filters: dict[str, str] | None = None,
+                               not_terms: list[str] | None = None
+                               ) -> list[tuple[int, int, float]]:
+    """Fuzzy `term~` over a federation: ED<=1 expansion on the union
+    dictionary (df sums), then the shared federated ranked-OR tail."""
+    from .fuzzy import expand_fuzzy_federated
+    if idx_dfs is None:
+        idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
+                   for d in index_dirs]
+    terms = expand_fuzzy_federated(idx_dfs, term)
+    return search_big_terms_federated(spark, index_dirs, terms, k=k,
+                                      rounded=rounded, idx_dfs=idx_dfs,
+                                      docs_dfs=docs_dfs, excludes=excludes,
+                                      filters=filters, not_terms=not_terms)
 
 
 def expand_prefix_big(index_df, prefix: str) -> list[str]:

@@ -289,6 +289,8 @@ class SearchService:
         k += offset  # fetch the full prefix; slice at the end
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
+        is_fuzzy = (mode == "ranked" and q.endswith("~") and len(q) > 1
+                    and " " not in q)
         if mode == "phrase":
             pe = self._phrase_engine()
             if slop > 1:  # windowed-chain phrase (slop=1 == exact)
@@ -329,6 +331,22 @@ class SearchService:
                 rows = self.engine.search_tfidf_reference(
                     q, k=min(k, REFERENCE_MAX_RESULTS),
                     filters=filters, not_terms=not_terms)
+        elif is_fuzzy:
+            # single-token trailing-~ fuzzy (edit distance <= 1); like the
+            # wildcard, multi-term queries fall through to normal search
+            # (the tokenizer strips '~' as punctuation)
+            if self.big:
+                from .query import search_big_fuzzy
+                rows = search_big_fuzzy(self.spark, self.index_dir,
+                                        q[:-1].lower(), k=k,
+                                        index_df=self._index_df,
+                                        docs_df=self._docs_df,
+                                        filters=filters,
+                                        not_terms=not_terms)
+            else:
+                rows = self.engine.search_fuzzy(q[:-1].lower(), k=k,
+                                                filters=filters,
+                                                not_terms=not_terms)
         elif is_wild:
             # single-token trailing-* wildcard only; a multi-term query
             # with a '*' falls through to normal search (the tokenizer
@@ -577,6 +595,7 @@ class FederatedSearchService:
         the merged index)."""
         from .query import (
             query_terms,
+            search_big_fuzzy_federated,
             search_big_prefix_federated,
             search_big_terms_federated,
             search_big_tfidf_federated,
@@ -588,6 +607,8 @@ class FederatedSearchService:
         k += offset
         is_wild = (mode == "ranked" and q.endswith("*") and len(q) > 1
                    and " " not in q)
+        is_fuzzy = (mode == "ranked" and q.endswith("~") and len(q) > 1
+                    and " " not in q)
         idx_dfs = [s._index_df for s in self.services]
         docs_dfs = [s._docs_df for s in self.services]
         if mode == "phrase":
@@ -617,6 +638,12 @@ class FederatedSearchService:
             rows = search_big_tfidf_federated(
                 self.spark, self.index_dirs, q,
                 k=min(k, REFERENCE_MAX_RESULTS),
+                idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                excludes=self._excl_bcs, filters=filters,
+                not_terms=not_terms)
+        elif is_fuzzy:
+            rows = search_big_fuzzy_federated(
+                self.spark, self.index_dirs, q[:-1].lower(), k=k,
                 idx_dfs=idx_dfs, docs_dfs=docs_dfs,
                 excludes=self._excl_bcs, filters=filters,
                 not_terms=not_terms)
