@@ -130,6 +130,14 @@ def main(argv=None):
                          "segment; GET /refresh re-resolves it) — "
                          "--index is the compact --incremental out dir")
 
+    pml = sub.add_parser("mlt")
+    pml.add_argument("--index", required=True)
+    pml.add_argument("--doc-id", type=int, required=True)
+    pml.add_argument("--k", type=int, default=10)
+    pml.add_argument("--prepare", action="store_true",
+                     help="materialize the doc_terms term-vector stage "
+                          "first if missing (one postings-decode job)")
+
     pf = sub.add_parser("fuzzy-index")
     pf.add_argument("--index", required=True,
                     help="materialize the deletion-neighborhood table "
@@ -235,6 +243,15 @@ def main(argv=None):
                       n_salts=args.salts, partitions=args.partitions,
                       dedup_content=not args.no_dedup_content)
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
+    elif args.cmd == "mlt":
+        from engine.mlt import ensure_doc_terms, more_like_this
+        from engine.query import SearchEngine
+        if args.prepare:
+            ensure_doc_terms(spark, args.index)
+        res = more_like_this(SearchEngine(spark, args.index),
+                             args.doc_id, k=args.k)
+        print(json.dumps([
+            {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
     elif args.cmd == "fuzzy-index":
         from engine.fuzzy import ensure_fuzzy
         path = ensure_fuzzy(spark, args.index)

@@ -505,6 +505,68 @@ def q_suggest_prefix(spark, sf_dir):
                                  "term string, df long")
 
 
+def q_more_like_this(spark, sf_dir):
+    """More-like-this (engine/mlt.py) for the corpus's MIN doc_id: stored
+    term vector (top-64 by tf DESC, term ASC from the doc_terms stage) ->
+    top-10 interesting terms by tf * bm25_idf -> ranked-OR BM25 fetching
+    k+1 and dropping the source doc. Verified against a DuckDB oracle that
+    mirrors every step (window-function vector + interestingness CTEs over
+    the same token stream). The big path is pytest-asserted bitwise equal
+    (tests/test_mlt.py)."""
+    from .mlt import ensure_doc_terms, more_like_this
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    ensure_doc_terms(spark, out)
+    eng = SearchEngine(spark, out)
+    q_doc = int(eng._ext_ids.min())  # ordinals ascend by doc_id
+    rows = more_like_this(eng, q_doc, k=TOPK, rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+def _mlt_duck_sql(k: int) -> str:
+    """DuckDB mirror of the full MLT pipeline. df for BOTH the
+    interestingness weights and the final scoring is corpus-wide
+    (stats-as-built; the source doc is excluded from the RESULT SET only)."""
+    from .mlt import DOC_TERMS_M, MLT_QUERY_TERMS
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+alltf as (select doc_id, term, count(*) as tf from tok
+          group by doc_id, term),
+alldf as (select term, count(*) as df from alltf group by term),
+q as (select min(doc_id) as qid from documents),
+vec as (select term, tf from alltf, q where doc_id = q.qid
+        qualify row_number() over (order by tf desc, term)
+                <= {DOC_TERMS_M}),
+interesting as (
+  select vec.term from vec join alldf using (term) cross join stats s
+  qualify row_number() over (
+      order by vec.tf * ln((s.n_docs - alldf.df + 0.5)
+                           / (alldf.df + 0.5) + 1.0) desc, vec.term)
+          <= {MLT_QUERY_TERMS}),
+tf as (select alltf.* from alltf, q
+       where term in (select term from interesting) and doc_id <> q.qid),
+scored as (
+  select tf.doc_id,
+         sum( ln((s.n_docs - alldf.df + 0.5)/(alldf.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from tf join alldf on tf.term = alldf.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by tf.doc_id
+),
+ranked as (
+  select doc_id, round(score, 6) as score_r,
+         row_number() over (order by round(score, 6) desc, doc_id) as rank
+  from scored
+)
+select doc_id, rank, score_r from ranked where rank <= {k}
+"""
+
+
 FUZZY_QUERY = "spak"  # ED<=1 of dictionary term 'spark' (typo fixture)
 
 
@@ -1550,6 +1612,7 @@ def consolidated_oracles():
             f"""term in (select term from ({_TOKENS_SQL})
                 group by term
                 having levenshtein(term, '{FUZZY_QUERY}') <= 1)""", TOPK),
+        "more_like_this": _mlt_duck_sql(TOPK),
     }
 
 
@@ -1566,6 +1629,7 @@ def consolidated_queries():
         "suggest_prefix": q_suggest_prefix,
         "bm25_facet_counts": q_facet_counts,
         "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
+        "more_like_this": q_more_like_this,
     }
 
 

@@ -738,7 +738,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str, *,
         import shutil
         man.state = {"snapshots": [], "completed": {}}
         for stage in ("docs_raw", "aliases", "docs", "index",
-                      "_lineage", "positions", "fuzzy"):
+                      "_lineage", "positions", "fuzzy", "doc_terms"):
             shutil.rmtree(man.stage_path(stage), ignore_errors=True)
         # persist the cleared manifest (atomic), so a crash mid-rebuild
         # cannot resurrect the old stage entries

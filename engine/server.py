@@ -234,6 +234,23 @@ class SearchService:
         return [{"term": t, "df": df}
                 for t, df in suggest_terms(idx, prefix, k=k)]
 
+    def mlt_payload(self, doc_id: int, k: int = 10) -> list[dict]:
+        """More-like-this (engine/mlt.py): the k docs most similar to
+        ``doc_id`` in the reference's JSON result shape. Needs the
+        doc_terms stage (mlt.ensure_doc_terms) — a missing stage raises
+        with the one-liner to build it."""
+        from .mlt import more_like_this, more_like_this_big
+        if self.big:
+            rows = more_like_this_big(self.spark, self.index_dir, doc_id,
+                                      k=k, index_df=self._index_df,
+                                      docs_df=self._docs_df)
+        else:
+            rows = more_like_this(self.engine, doc_id, k=k)
+        disp = self.resolve_many([d for _r, d, _s in rows])
+        return [{"url": disp[int(d)][0], "rank_score": s,
+                 "title": disp[int(d)][1], "body": disp[int(d)][2]}
+                for _r, d, s in rows]
+
     def facets(self, query: str, fields: list[str], k_values: int = 10,
                mode: str = "ranked") -> dict[str, list[dict]]:
         """Per-field (value, count) histograms over the FULL matching set
@@ -723,6 +740,27 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                     return
                 try:
                     body = json.dumps(service.suggest(prefix, k=k)).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/mlt" and hasattr(service, "mlt_payload"):
+                qs = parse_qs(u.query)
+                try:
+                    doc_id = int(qs.get("doc_id", [""])[0])
+                    k = int(qs.get("k", ["10"])[0])
+                except ValueError:
+                    self.send_error(400, "doc_id/k must be integers")
+                    return
+                try:
+                    body = json.dumps(
+                        service.mlt_payload(doc_id, k=k)).encode()
                 except ValueError as e:
                     self.send_error(400, str(e))
                     return
