@@ -311,8 +311,19 @@ def main():
         # bm25_filtered_topk's engine dir builds untimed here: the build
         # cost is ALREADY the index_build line above; the entry should
         # read as query latency like bm25_query_*, not a second build
-        cq._built_engine_dir(spark, SF_DIR)
+        eng_dir = cq._built_engine_dir(spark, SF_DIR)
+        # fuzzy/mlt one-time derived stages timed as their own lines, so
+        # fuzzy_bm25_topk / more_like_this read as pure query latency
+        # (same split as ivf_cells vs ann_ivf_topk)
+        from engine.fuzzy import ensure_fuzzy
+        from engine.mlt import ensure_doc_terms
+        t, _ = _timed(lambda: ensure_fuzzy(spark, eng_dir))
+        queries["fuzzy_stage_build"] = round(t, 4)
+        t, _ = _timed(lambda: ensure_doc_terms(spark, eng_dir))
+        queries["doc_terms_stage_build"] = round(t, 4)
         for name in ["term_counts", "term_df", "bm25_rank",
+                     "suggest_prefix", "bm25_facet_counts",
+                     "fuzzy_bm25_topk", "more_like_this",
                      "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
