@@ -505,6 +505,66 @@ def q_suggest_prefix(spark, sf_dir):
                                  "term string, df long")
 
 
+#: bulk-evaluation fixture query batch (engine/bulk.py) — terms chosen
+#: from the documents vocabulary; includes multi-term, overlapping-term
+#: and single-term queries so the fan-out join and the per-qid top-k both
+#: exercise sharing
+BULK_QUERIES = [(0, "join spark"), (1, "table scan"),
+                (2, "stream sort slow"), (3, "small")]
+
+
+def q_bulk_bm25_topk(spark, sf_dir):
+    """The whole BULK_QUERIES batch answered by ONE distributed job
+    (engine/bulk.py bulk_topk) over the REAL built index — per query the
+    result is bitwise-identical to looping SearchEngine.search
+    (tests/test_bulk.py); here the batch is verified against a per-query
+    BM25 SQL oracle that shares the corpus-stats CTEs."""
+    from .bulk import bulk_topk
+    out = _built_engine_dir(spark, sf_dir)
+    return bulk_topk(spark, out, BULK_QUERIES, k=TOPK, rounded=True)
+
+
+def _bulk_duck_sql(queries: list[tuple[int, str]], k: int) -> str:
+    """DuckDB mirror of bulk_topk: one shared tok/dl/stats/tf/dfs set of
+    CTEs, a (qid, term) driver relation, per-(qid, doc) BM25 sum, top-k
+    per qid."""
+    from .tokenizer import query_terms
+    qt = [(qid, t) for qid, q in queries for t in query_terms(q)]
+    all_terms = sorted({t for _, t in qt})
+    tl = ",".join(f"'{t}'" for t in all_terms)
+    qsel = " union all ".join(
+        f"select cast({qid} as bigint) as qid, '{t}' as term"
+        for qid, t in qt)
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+qt as ({qsel}),
+scored as (
+  select qt.qid, tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from qt join tf on qt.term = tf.term
+        join dfs on tf.term = dfs.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by qt.qid, tf.doc_id
+),
+ranked as (
+  select qid, doc_id, round(score, 6) as score_r,
+         row_number() over (partition by qid
+                            order by round(score, 6) desc, doc_id) as rank
+  from scored
+)
+select qid, doc_id, cast(rank as bigint) as rank, score_r
+from ranked where rank <= {k}
+"""
+
+
 def q_more_like_this(spark, sf_dir):
     """More-like-this (engine/mlt.py) for the corpus's MIN doc_id: stored
     term vector (top-64 by tf DESC, term ASC from the doc_terms stage) ->
@@ -1613,6 +1673,9 @@ def consolidated_oracles():
                 group by term
                 having levenshtein(term, '{FUZZY_QUERY}') <= 1)""", TOPK),
         "more_like_this": _mlt_duck_sql(TOPK),
+        # whole query batch in one job (engine/bulk.py) vs a per-query
+        # BM25 oracle over shared corpus-stats CTEs
+        "bulk_bm25_topk": _bulk_duck_sql(BULK_QUERIES, TOPK),
     }
 
 
@@ -1630,6 +1693,7 @@ def consolidated_queries():
         "bm25_facet_counts": q_facet_counts,
         "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
         "more_like_this": q_more_like_this,
+        "bulk_bm25_topk": q_bulk_bm25_topk,
     }
 
 
