@@ -648,6 +648,39 @@ def q_fuzzy_bm25_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+#: did-you-mean fixture: two correctable typos, one hopeless typo, one
+#: dictionary term (must NOT be second-guessed)
+DYM_TYPOS = ["spak", "tble", "joi", "join", "zzzzqqq"]
+
+
+def q_did_you_mean(spark, sf_dir):
+    """Spell correction (engine/fuzzy.py correct_terms) over the REAL
+    engine dictionary: every dictionary-MISSING fixture term maps to its
+    best ED<=1 replacement (df DESC, term ASC); present terms and
+    no-candidate typos are absent from the output — verified against a
+    DuckDB levenshtein + window oracle over the same token stream."""
+    from .fuzzy import correct_terms
+    out = _built_engine_dir(spark, sf_dir)
+    corr = correct_terms(spark, out, DYM_TYPOS)
+    return spark.createDataFrame(sorted(corr.items()),
+                                 "qterm string, suggestion string")
+
+
+def _dym_duck_sql(typos: list[str]) -> str:
+    tl = ",".join(f"'{t}'" for t in typos)
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dic as (select term, count(distinct doc_id) as df from tok group by term),
+q as (select unnest([{tl}]) as qterm),
+missing as (select qterm from q
+            where qterm not in (select term from dic)),
+cand as (select m.qterm, d.term, d.df
+         from missing m join dic d on levenshtein(d.term, m.qterm) <= 1)
+select qterm, term as suggestion from cand
+qualify row_number() over (partition by qterm order by df desc, term) = 1
+"""
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet aggregation (query.facet_frame + facet_topn) over the REAL
     engine index: per-lang match counts of the fixture ranked query across
@@ -1676,6 +1709,8 @@ def consolidated_oracles():
         # whole query batch in one job (engine/bulk.py) vs a per-query
         # BM25 oracle over shared corpus-stats CTEs
         "bulk_bm25_topk": _bulk_duck_sql(BULK_QUERIES, TOPK),
+        # did-you-mean spell correction vs a levenshtein+window oracle
+        "did_you_mean": _dym_duck_sql(DYM_TYPOS),
     }
 
 
@@ -1694,6 +1729,7 @@ def consolidated_queries():
         "fuzzy_bm25_topk": q_fuzzy_bm25_topk,
         "more_like_this": q_more_like_this,
         "bulk_bm25_topk": q_bulk_bm25_topk,
+        "did_you_mean": q_did_you_mean,
     }
 
 

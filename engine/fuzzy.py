@@ -135,3 +135,100 @@ def expand_fuzzy_federated(idx_dfs: list, term: str,
                 .where(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
                 .select("term", "df") for idx in idx_dfs])
     return _rank_cap(u.groupBy("term").agg(F.sum("df").alias("df")), cap)
+
+
+# ------------------------------------------------------------- did-you-mean
+
+def _best_per_qterm(cand) -> dict[str, str]:
+    """Deterministic best suggestion per query term: df DESC, term ASC —
+    the same overflow/rank rule as wildcard and fuzzy expansion. The
+    window partitions a tiny post-join candidate frame (<= a few dozen
+    rows per typo), never corpus data."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("qterm")
+         .orderBy(F.col("df").desc(), F.col("term").asc()))
+    rows = (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("qterm", "term").collect())
+    return {r["qterm"]: r["term"] for r in rows}
+
+
+def _correct_scan(dic_df, missing: list[str]) -> dict[str, str]:
+    """Artifact-free correction: one length-banded dictionary scan
+    broadcast-joined to ALL missing terms at once (|len| difference <= 1
+    is necessary for ED <= 1, so the band prunes the scan)."""
+    spark = dic_df.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in missing], "qterm string")
+    lo = min(len(t) for t in missing) - 1
+    hi = max(len(t) for t in missing) + 1
+    cand = (dic_df.where(F.length("term").between(lo, hi))
+            .select("term", "df")
+            .join(F.broadcast(qdf),
+                  F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+            .select("qterm", "term", "df"))
+    return _best_per_qterm(cand)
+
+
+def correct_terms(spark: SparkSession, index_dir: str, terms: list[str],
+                  index_df=None) -> dict[str, str]:
+    """Spell correction for a query's term list: every term MISSING from
+    the dictionary maps to its best ED<=1 dictionary replacement
+    (df DESC, term ASC); terms the index knows are never second-guessed
+    (the conservative missing-terms-only mode, like Lucene's spellchecker
+    default). One batched job for the whole query: with the fuzzy stage,
+    a pushdown IN over the union of all missing terms' deletion keys +
+    one broadcast join; without it, one length-banded dictionary scan
+    (_correct_scan). Terms with no candidate are absent from the map."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return {}
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    present = {r["term"] for r in (index_df.where(F.col("term").isin(uniq))
+                                   .select("term").collect())}
+    missing = sorted(set(uniq) - present)
+    if not missing:
+        return {}
+    man = BuildManifest(index_dir)
+    if man.is_complete("fuzzy"):
+        keys = [(t, kk) for t in missing for kk in deletion_keys(t)]
+        qdf = spark.createDataFrame(keys, "qterm string, del_key string")
+        cand = (spark.read.parquet(man.stage_path("fuzzy"))
+                .where(F.col("del_key").isin(sorted({k for _, k in keys})))
+                .join(F.broadcast(qdf), "del_key")
+                .where(F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+                .select("qterm", "term", "df").distinct())
+        return _best_per_qterm(cand)
+    return _correct_scan(index_df, missing)
+
+
+def correct_terms_federated(idx_dfs: list, terms: list[str]
+                            ) -> dict[str, str]:
+    """correct_terms over a federation's union dictionary: per-segment
+    dfs integer-sum to federation-wide dfs BEFORE the rank rule, and a
+    term is 'present' if ANY segment knows it (exactly the federated
+    suggest/fuzzy df semantics)."""
+    from functools import reduce
+    uniq = sorted(set(terms))
+    if not uniq:
+        return {}
+    dic = (reduce(lambda a, b: a.unionByName(b),
+                  [idx.select("term", "df") for idx in idx_dfs])
+           .groupBy("term").agg(F.sum("df").alias("df")))
+    present = {r["term"] for r in (dic.where(F.col("term").isin(uniq))
+                                   .select("term").collect())}
+    missing = sorted(set(uniq) - present)
+    if not missing:
+        return {}
+    return _correct_scan(dic, missing)
+
+
+def apply_corrections(query_text: str, corrections: dict[str, str]
+                      ) -> str | None:
+    """Rewrite the (already filter-stripped) query text with the
+    correction map, preserving token order and multiplicity; returns the
+    NORMALIZED corrected query (tokenizer output joined by spaces), or
+    None when nothing changed."""
+    from .tokenizer import tokenize
+    toks = tokenize(query_text)
+    out = [corrections.get(t, t) for t in toks]
+    return " ".join(out) if out != toks else None

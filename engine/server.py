@@ -234,6 +234,24 @@ class SearchService:
         return [{"term": t, "df": df}
                 for t, df in suggest_terms(idx, prefix, k=k)]
 
+    def dym_payload(self, query: str) -> dict:
+        """Spell correction ("did you mean"): dictionary-MISSING terms of
+        the query's text part map to their best ED<=1 dictionary
+        replacement (df DESC, term ASC — the fuzzy/wildcard rank rule);
+        known terms are never second-guessed. One batched Spark job for
+        the whole query (engine/fuzzy.py correct_terms: fuzzy-stage
+        deletion-key pushdown when built, length-banded scan otherwise).
+        Returns {"query", "did_you_mean": corrected-normalized-text|null}
+        — filter/NOT syntax is parsed off before correction."""
+        from .fuzzy import apply_corrections, correct_terms
+        from .tokenizer import parse_query, tokenize
+        q, _filters, _nots = parse_query(query.strip())
+        idx = self._index_df if self.big else self.engine.index_df
+        corr = correct_terms(self.spark, self.index_dir, tokenize(q),
+                             index_df=idx)
+        return {"query": query,
+                "did_you_mean": apply_corrections(q, corr)}
+
     def mlt_payload(self, doc_id: int, k: int = 10) -> list[dict]:
         """More-like-this (engine/mlt.py): the k docs most similar to
         ``doc_id`` in the reference's JSON result shape. Needs the
@@ -581,6 +599,19 @@ class FederatedSearchService:
         return [{"term": t, "df": df}
                 for t, df in suggest_terms_federated(idx_dfs, prefix, k=k)]
 
+    def dym_payload(self, query: str) -> dict:
+        """Federated did-you-mean: corrections against the federation's
+        UNION dictionary (per-segment dfs integer-sum before the rank
+        rule; a term any segment knows is 'present'), so a fresh
+        uncompacted segment's new identifiers count immediately."""
+        from .fuzzy import apply_corrections, correct_terms_federated
+        from .tokenizer import parse_query, tokenize
+        q, _filters, _nots = parse_query(query.strip())
+        idx_dfs = [s._index_df for s in self.services]
+        corr = correct_terms_federated(idx_dfs, tokenize(q))
+        return {"query": query,
+                "did_you_mean": apply_corrections(q, corr)}
+
     def facets(self, query: str, fields: list[str], k_values: int = 10,
                mode: str = "ranked") -> dict[str, list[dict]]:
         """EXACT federation facets: members' candidate-metadata frames
@@ -740,6 +771,21 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                     return
                 try:
                     body = json.dumps(service.suggest(prefix, k=k)).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/didyoumean":
+                qs = parse_qs(u.query)
+                query = qs.get("q", [""])[0]
+                try:
+                    body = json.dumps(service.dym_payload(query)).encode()
                 except ValueError as e:
                     self.send_error(400, str(e))
                     return
