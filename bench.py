@@ -324,7 +324,7 @@ def main():
         for name in ["term_counts", "term_df", "bm25_rank",
                      "suggest_prefix", "bm25_facet_counts",
                      "fuzzy_bm25_topk", "more_like_this", "bulk_bm25_topk",
-                     "did_you_mean",
+                     "did_you_mean", "training_pairs_mined",
                      "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",

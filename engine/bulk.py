@@ -220,3 +220,77 @@ def bulk_topk(spark: SparkSession, index_dir: str, queries,
     return (topk.join(docs_df.select("ordinal", "doc_id"), "ordinal")
             .select("qid", "doc_id", F.col("rank").cast("long").alias("rank"),
                     score_col))
+
+
+# ------------------------------------------------------ training-pair mining
+
+#: oversampling factor of the random-negative hash pool: expected pool size
+#: is OVERSAMPLE x n_rand, so the chance the pool underfills after the
+#: positive-pair exclusion is negligible while the per-qid sort stays O(n)
+PAIR_HASH_OVERSAMPLE = 8
+
+
+def mine_training_pairs(spark: SparkSession, index_dir: str, queries,
+                        k_pos: int = 10, n_hard: int = 10, n_rand: int = 0,
+                        rounded: bool = False,
+                        index_df: DataFrame | None = None,
+                        docs_df: DataFrame | None = None,
+                        salts: int = BULK_SALTS) -> DataFrame:
+    """(query, doc) training pairs for retriever/ranker training — the
+    standard BM25-mining recipe (DPR-style) as one distributed job:
+
+    - positives: the BM25 top-k_pos per query (label 1, kind 'pos');
+    - hard negatives: ranks k_pos+1 .. k_pos+n_hard — high-scoring
+      non-positives, the negatives that actually teach a ranker a
+      decision boundary (label 0, kind 'hard');
+    - random negatives: n_rand docs per query drawn from a DETERMINISTIC
+      md5(doc_id) hash pool (label 0, kind 'rand', score null). The pool
+      filter (hash-prefix < threshold sized for OVERSAMPLE x n_rand
+      expected rows) pushes to the docs scan, so the candidate set is
+      ~8 x n_rand rows, not N; per query the n_rand smallest hashes
+      outside that query's mined prefix win (hash ASC, doc_id ASC) —
+      reproducible across engines/retries like every sampler here
+      (md5, never df.sample).
+
+    Returns (qid, doc_id, label int, kind string, score double|null).
+    Scores are the engine's exact BM25 (bitwise equal to
+    SearchEngine.search — the bulk_topk guarantee).
+    """
+    if isinstance(queries, (list, tuple)):
+        queries = spark.createDataFrame(list(queries),
+                                        "qid long, query string")
+    if docs_df is None:
+        docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
+    mined = bulk_topk(spark, index_dir, queries, k=k_pos + n_hard,
+                      rounded=rounded, index_df=index_df, docs_df=docs_df,
+                      salts=salts)
+    score_col = "score_r" if rounded else "score"
+    pairs = mined.select(
+        "qid", "doc_id",
+        F.when(F.col("rank") <= k_pos, F.lit(1)).otherwise(F.lit(0))
+         .alias("label"),
+        F.when(F.col("rank") <= k_pos, F.lit("pos")).otherwise(F.lit("hard"))
+         .alias("kind"),
+        score_col)
+    if n_rand <= 0:
+        return pairs
+
+    n_docs, _avgdl = load_stats(spark, index_dir)
+    p = min(1.0, (PAIR_HASH_OVERSAMPLE * n_rand) / max(1, n_docs))
+    thresh = format(min(0xFFFFFFFF, int(p * 16 ** 8)), "08x")
+    pool = (docs_df
+            .select("doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("h"))
+            .where(F.substring("h", 1, 8) < F.lit(thresh)))
+    # pool is ~OVERSAMPLE x n_rand rows -> broadcast against the query ids
+    cand = queries.select("qid").join(F.broadcast(pool))
+    cand = cand.join(pairs.select("qid", "doc_id"), ["qid", "doc_id"],
+                     "left_anti")
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("h").asc(), F.col("doc_id").asc()))
+    rand = (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_rand)
+            .select("qid", "doc_id", F.lit(0).alias("label"),
+                    F.lit("rand").alias("kind"),
+                    F.lit(None).cast("double").alias(score_col)))
+    return pairs.unionByName(rand)

@@ -17,6 +17,10 @@ Usage:
           content-identity classes: logical at next serve refresh,
           physical at next compact --incremental — which is then
           byte-identical to a batch build over the survivors)
+  bulk    --index DIR --queries TABLE --out DIR [--k K] [--mode M]
+          [--pairs --n-hard H --n-rand R]  (whole query set -> top-k
+          parquet in ONE job — engine/bulk.py; --pairs mines
+          pos/hard/rand training pairs instead)
   serve   --index DIR [--host H] [--port P] [--big] [--work WORK]
           (HTTP shim: GET /search returns the reference Searcher's
           {url, rank_score, title, body} JSON; --big = zero-driver-array
@@ -138,6 +142,24 @@ def main(argv=None):
                      help="materialize the doc_terms term-vector stage "
                           "first if missing (one postings-decode job)")
 
+    pbk = sub.add_parser("bulk")
+    pbk.add_argument("--index", required=True)
+    pbk.add_argument("--queries", required=True,
+                     help="query table with columns (qid, query)")
+    pbk.add_argument("--format", default="parquet",
+                     choices=["parquet", "json", "csv"],
+                     help="query-table format (json = JSONL)")
+    pbk.add_argument("--out", required=True, help="output parquet dir")
+    pbk.add_argument("--k", type=int, default=10)
+    pbk.add_argument("--mode", default="ranked",
+                     choices=["ranked", "conjunctive"])
+    pbk.add_argument("--pairs", action="store_true",
+                     help="mine training pairs (pos = top-k, hard "
+                          "negatives = next --n-hard ranks, --n-rand "
+                          "md5-pool random negatives) instead of top-k")
+    pbk.add_argument("--n-hard", type=int, default=10)
+    pbk.add_argument("--n-rand", type=int, default=0)
+
     pf = sub.add_parser("fuzzy-index")
     pf.add_argument("--index", required=True,
                     help="materialize the deletion-neighborhood table "
@@ -252,6 +274,29 @@ def main(argv=None):
                              args.doc_id, k=args.k)
         print(json.dumps([
             {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+    elif args.cmd == "bulk":
+        from pyspark.sql import functions as F
+
+        from engine.bulk import bulk_topk, mine_training_pairs
+        if args.format == "parquet":
+            qdf = spark.read.parquet(args.queries)
+        elif args.format == "json":
+            qdf = spark.read.json(args.queries)
+        else:
+            qdf = spark.read.option("header", "true").csv(args.queries)
+        qdf = qdf.select(F.col("qid").cast("long").alias("qid"),
+                         F.col("query").cast("string").alias("query"))
+        if args.pairs:
+            res = mine_training_pairs(spark, args.index, qdf,
+                                      k_pos=args.k, n_hard=args.n_hard,
+                                      n_rand=args.n_rand)
+        else:
+            res = bulk_topk(spark, args.index, qdf, k=args.k,
+                            mode=args.mode)
+        res.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "n_rows": n,
+                          "pairs": bool(args.pairs)}))
     elif args.cmd == "fuzzy-index":
         from engine.fuzzy import ensure_fuzzy
         path = ensure_fuzzy(spark, args.index)

@@ -565,6 +565,106 @@ from ranked where rank <= {k}
 """
 
 
+#: training-pair mining dials for the contract entry (small enough that
+#: every query keeps pos+hard distinct at sf0.01, large enough to exercise
+#: all three pair kinds)
+PAIRS_K_POS, PAIRS_N_HARD, PAIRS_N_RAND = 10, 10, 5
+
+
+def q_training_pairs(spark, sf_dir):
+    """(query, doc) training-pair mining (engine/bulk.py
+    mine_training_pairs) over the REAL index for the BULK_QUERIES batch:
+    positives = BM25 top-k, hard negatives = the next n ranks (DPR-style
+    BM25 mining), random negatives = deterministic md5(doc_id) hash pool
+    excluding that query's mined prefix — verified against a DuckDB
+    oracle that mirrors the scoring CTEs, the rank-boundary labels and
+    the hash-pool selection rule."""
+    from .bulk import mine_training_pairs
+    out = _built_engine_dir(spark, sf_dir)
+    df = mine_training_pairs(spark, out, BULK_QUERIES, k_pos=PAIRS_K_POS,
+                             n_hard=PAIRS_N_HARD, n_rand=PAIRS_N_RAND,
+                             rounded=True)
+    return df.select("qid", "doc_id",
+                     F.col("label").cast("long").alias("label"),
+                     "kind", "score_r")
+
+
+def _pairs_duck_sql(queries: list[tuple[int, str]], k_pos: int,
+                    n_hard: int, n_rand: int) -> str:
+    """DuckDB mirror of mine_training_pairs: the bulk-scoring CTEs, the
+    rank-boundary pos/hard labels, and the md5 hash-pool random negatives
+    (8-hex-prefix threshold sized for PAIR_HASH_OVERSAMPLE x n_rand
+    expected rows — lexicographic compare of lowercase fixed-width hex ==
+    numeric compare, so the SQL casts via '0x')."""
+    from .bulk import PAIR_HASH_OVERSAMPLE
+    from .tokenizer import query_terms
+    qt = [(qid, t) for qid, q in queries for t in query_terms(q)]
+    all_terms = sorted({t for _, t in qt})
+    tl = ",".join(f"'{t}'" for t in all_terms)
+    qsel = " union all ".join(
+        f"select cast({qid} as bigint) as qid, '{t}' as term"
+        for qid, t in qt)
+    c = PAIR_HASH_OVERSAMPLE * n_rand
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+qt as ({qsel}),
+scored as (
+  select qt.qid, tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from qt join tf on qt.term = tf.term
+        join dfs on tf.term = dfs.term
+        join dl on tf.doc_id = dl.doc_id cross join stats s
+  group by qt.qid, tf.doc_id
+),
+ranked as (
+  select qid, doc_id, round(score, 6) as score_r,
+         row_number() over (partition by qid
+                            order by round(score, 6) desc, doc_id) as rank
+  from scored
+),
+mined as (
+  select qid, doc_id,
+         cast(case when rank <= {k_pos} then 1 else 0 end as bigint)
+           as label,
+         case when rank <= {k_pos} then 'pos' else 'hard' end as kind,
+         score_r
+  from ranked where rank <= {k_pos + n_hard}
+),
+pool as (
+  select d.doc_id, md5(cast(d.doc_id as varchar)) as h
+  from documents d cross join stats s
+  where cast(('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))
+             as bigint)
+        < least(4294967295, cast(floor(least(1.0, {c}.0 / s.n_docs)
+                                       * 4294967296.0) as bigint))
+),
+cand as (
+  select q.qid, p.doc_id, p.h
+  from (select distinct qid from qt) q cross join pool p
+  where not exists (select 1 from mined m
+                    where m.qid = q.qid and m.doc_id = p.doc_id)
+),
+rand as (
+  select qid, doc_id, cast(0 as bigint) as label, 'rand' as kind,
+         cast(null as double) as score_r
+  from (select qid, doc_id,
+               row_number() over (partition by qid
+                                  order by h, doc_id) as rn
+        from cand)
+  where rn <= {n_rand}
+)
+select * from mined union all select * from rand
+"""
+
+
 def q_more_like_this(spark, sf_dir):
     """More-like-this (engine/mlt.py) for the corpus's MIN doc_id: stored
     term vector (top-64 by tf DESC, term ASC from the doc_terms stage) ->
@@ -1711,6 +1811,9 @@ def consolidated_oracles():
         "bulk_bm25_topk": _bulk_duck_sql(BULK_QUERIES, TOPK),
         # did-you-mean spell correction vs a levenshtein+window oracle
         "did_you_mean": _dym_duck_sql(DYM_TYPOS),
+        # training-pair mining (pos/hard/rand) vs the full-pipeline mirror
+        "training_pairs_mined": _pairs_duck_sql(
+            BULK_QUERIES, PAIRS_K_POS, PAIRS_N_HARD, PAIRS_N_RAND),
     }
 
 
@@ -1730,6 +1833,7 @@ def consolidated_queries():
         "more_like_this": q_more_like_this,
         "bulk_bm25_topk": q_bulk_bm25_topk,
         "did_you_mean": q_did_you_mean,
+        "training_pairs_mined": q_training_pairs,
     }
 
 

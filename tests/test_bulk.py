@@ -86,6 +86,23 @@ def test_bulk_filters_parity(spark, eng):
         assert got.get(qid, []) == want, f"qid={qid}"
 
 
+def test_bulk_cli_roundtrip(spark, eng, golden, tmp_path):
+    """CLI `bulk`: queries parquet in -> top-k parquet out, identical to
+    the library call."""
+    from engine import cli
+    idx, engine = eng
+    queries = _queries(golden)[:4]
+    qpath, opath = str(tmp_path / "queries"), str(tmp_path / "out")
+    spark.createDataFrame(queries, "qid long, query string") \
+         .write.parquet(qpath)
+    cli.main(["bulk", "--index", idx, "--queries", qpath,
+              "--out", opath, "--k", "5"])
+    got = _by_qid(spark.read.parquet(opath).collect())
+    for qid, q in queries:
+        want = [(r, d, s) for r, d, s in engine.search(q, k=5)]
+        assert got.get(qid, []) == want, f"qid={qid}"
+
+
 def test_bulk_rounded_mode_schema(spark, golden, eng):
     idx, _ = eng
     df = bulk_topk(spark, idx, _queries(golden)[:3], k=5, rounded=True)
