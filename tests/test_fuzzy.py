@@ -9,6 +9,7 @@ the zero-driver-array big path, and the HTTP service."""
 
 import json
 import os
+import shutil
 import threading
 import urllib.request
 
@@ -88,8 +89,12 @@ def test_expansion_matches_brute_force_both_paths(spark, dictionary):
     eng = SearchEngine(spark, out)
     queries = [_pick_query(pdf), "retur", "zzzzzz",
                sorted(pdf["term"])[0]]  # mutated, near-miss, absent, exact
-    # scan fallback first (no artifact yet)
+    # scan fallback first — drop any fuzzy artifact another test (e.g. the
+    # alphabetically-earlier did-you-mean suite) already materialized on the
+    # shared index, so this test exercises the artifact-less path regardless
+    # of suite ordering; ensure_fuzzy below rebuilds it.
     from engine.checkpoint import BuildManifest
+    shutil.rmtree(os.path.join(out, "fuzzy"), ignore_errors=True)
     assert not BuildManifest(out).is_complete("fuzzy")
     scan = {q: expand_fuzzy(spark, out, q, index_df=eng.index_df)
             for q in queries}
