@@ -160,6 +160,13 @@ def main(argv=None):
     pbk.add_argument("--n-hard", type=int, default=10)
     pbk.add_argument("--n-rand", type=int, default=0)
 
+    pv = sub.add_parser("verify", help="fsck a built index's artifacts")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--deep", action="store_true",
+                    help="also check per-ordinal tf mass vs doc_len "
+                         "(O(postings) shuffle)")
+    pv.add_argument("--skip-positions", action="store_true")
+
     pf = sub.add_parser("fuzzy-index")
     pf.add_argument("--index", required=True,
                     help="materialize the deletion-neighborhood table "
@@ -297,6 +304,10 @@ def main(argv=None):
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"out": args.out, "n_rows": n,
                           "pairs": bool(args.pairs)}))
+    elif args.cmd == "verify":
+        from engine.verify_index import main_verify
+        sys.exit(main_verify(spark, args.index, deep=args.deep,
+                             check_positions=not args.skip_positions))
     elif args.cmd == "fuzzy-index":
         from engine.fuzzy import ensure_fuzzy
         path = ensure_fuzzy(spark, args.index)
