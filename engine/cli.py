@@ -160,6 +160,16 @@ def main(argv=None):
     pbk.add_argument("--n-hard", type=int, default=10)
     pbk.add_argument("--n-rand", type=int, default=0)
 
+    pr = sub.add_parser("regex", help="regex content search, index-pruned")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--pattern", required=True)
+    pr.add_argument("--source", required=True,
+                    help="corpus table the index was built from "
+                         "(parquet path or synthetic:N)")
+    pr.add_argument("--limit", type=int, default=100)
+    pr.add_argument("--no-prune", action="store_true",
+                    help="skip index pruning (full verify scan)")
+
     pv = sub.add_parser("verify", help="fsck a built index's artifacts")
     pv.add_argument("--index", required=True)
     pv.add_argument("--deep", action="store_true",
@@ -304,6 +314,20 @@ def main(argv=None):
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"out": args.out, "n_rows": n,
                           "pairs": bool(args.pairs)}))
+    elif args.cmd == "regex":
+        from engine.regex_query import regex_search
+        if args.source.startswith("synthetic:"):
+            from engine.corpus import corpus_to_spark, make_corpus
+            src = corpus_to_spark(
+                spark, make_corpus(int(args.source.split(":", 1)[1])))
+        else:
+            src = spark.read.parquet(args.source)
+        out = regex_search(spark, args.index, src, args.pattern,
+                           prune=not args.no_prune)
+        ids = [r["doc_id"] for r in
+               out.orderBy("doc_id").limit(args.limit).collect()]
+        print(json.dumps({"pattern": args.pattern, "n_shown": len(ids),
+                          "doc_ids": ids}))
     elif args.cmd == "verify":
         from engine.verify_index import main_verify
         sys.exit(main_verify(spark, args.index, deep=args.deep,

@@ -571,6 +571,25 @@ from ranked where rank <= {k}
 PAIRS_K_POS, PAIRS_N_HARD, PAIRS_N_RAND = 10, 10, 5
 
 
+#: regex fixture: \b anchor + parser-hoisted alternation + conjunctive
+#: literal — the analyzer must pin {spark} and {order|sort} from it; inside
+#: the Python-re ∩ RE2 common subset so the DuckDB oracle agrees
+REGEX_PATTERN = r"\bspark (order|sort) data"
+
+
+def q_regex_search(spark, sf_dir):
+    """Index-accelerated regex search (engine/regex_query.py — Cox-style
+    required-literal pruning + vectorized verify over candidates only) on
+    the REAL engine index, vs a DuckDB regexp_matches oracle over the same
+    document model. The pruned == unpruned invariant itself is
+    property-tested in tests/test_regex_query.py."""
+    from .regex_query import regex_search
+    out = _built_engine_dir(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content"))
+    return regex_search(spark, out, src, REGEX_PATTERN)
+
+
 def q_training_pairs(spark, sf_dir):
     """(query, doc) training-pair mining (engine/bulk.py
     mine_training_pairs) over the REAL index for the BULK_QUERIES batch:
@@ -1814,6 +1833,13 @@ def consolidated_oracles():
         # training-pair mining (pos/hard/rand) vs the full-pipeline mirror
         "training_pairs_mined": _pairs_duck_sql(
             BULK_QUERIES, PAIRS_K_POS, PAIRS_N_HARD, PAIRS_N_RAND),
+        # regex search over the document model (tags stripped exactly like
+        # tokenize): Python re and DuckDB RE2 agree on this pattern subset
+        "regex_search": f"""
+            select doc_id from documents
+            where regexp_matches(
+              regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              '{REGEX_PATTERN}')""",
     }
 
 
@@ -1834,6 +1860,7 @@ def consolidated_queries():
         "bulk_bm25_topk": q_bulk_bm25_topk,
         "did_you_mean": q_did_you_mean,
         "training_pairs_mined": q_training_pairs,
+        "regex_search": q_regex_search,
     }
 
 

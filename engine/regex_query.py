@@ -1,0 +1,364 @@
+"""Regex content search, index-accelerated (the code-search query class).
+
+The reference engine has no regex surface (Searcher.java matches exact
+normalized terms only), but regex-over-source is THE power query of a code
+search engine, and at 10^12 files a naive ``WHERE content RLIKE pattern``
+full scan is the one query shape that cannot ship. The standard fix is
+Russ Cox's codesearch construction (Google Code Search, later Zoekt):
+analyze the regex for substrings every match MUST contain, answer those
+from the index, and run the real regex only over the surviving candidates.
+This module adapts that idea from trigram granularity to this engine's
+term-granular inverted index:
+
+1. ``required_clauses(pattern)`` walks the parsed regex and extracts a
+   CNF requirement — a conjunction of clauses, each clause a disjunction
+   of term-conjunctions — over INDEX TERMS (tokenizer space). Soundness
+   invariant (property-tested): any document whose text matches the
+   pattern contains every clause's terms. The analysis is deliberately
+   conservative: whatever it cannot prove it drops, so pruning can only
+   lose selectivity, never matches.
+2. ``regex_candidates`` evaluates the CNF against the inverted index:
+   one pushdown scan of just the mentioned terms' posting rows, decoded
+   to (term, ordinal) pairs; each conjunction is a groupBy-count, each
+   clause a distinct-union, the clause set an ordinal equi-join chain.
+   Only ordinals leave the decode stage, never content.
+3. ``regex_search`` semi-joins the candidate doc_ids against the source
+   table (the join prunes the content scan) and verifies with ONE
+   vectorized ``pandas.Series.str.contains`` pass over Arrow batches of
+   candidates only — no per-row Python.
+
+**Matching semantics — the document model.** The pattern matches against
+the same normalized text the index tokenizes: ``content`` with each
+``<...>`` tag replaced by one space (exactly ``tokenize``'s first step;
+DuckDB mirror: ``regexp_replace(content, '<[^>]*>', ' ', 'g')``),
+original case and punctuation otherwise intact. Searching the analyzer's text space is
+the Lucene discipline — it is also what makes index pruning SOUND: the
+index term set of a document is exactly the token split of its model
+text, so a literal that must appear in the model text pins tokens the
+index must contain. (Against RAW content a match can hide inside a tag
+the tokenizer strips, and no index requirement can be derived at all.)
+
+When the pattern yields no requirement (e.g. ``[a-z]+``, case-insensitive
+flags, pure metacharacters), ``regex_candidates`` returns None and
+``regex_search`` falls back to the documented full verify scan — still
+distributed, still vectorized, just unpruned (Zoekt does the same).
+
+Token-boundary soundness (the subtle part): a literal run's FIRST and
+LAST tokens may be fragments of longer document tokens (``return`` inside
+``returns``), so only tokens strictly interior to the run are required —
+unless the regex itself proves the edge boundary with an adjacent ``\\b``
+/ ``^`` / ``$`` anchor (a regex \\w boundary is always a tokenizer
+boundary: the tokenizer breaks on every non-\\w char, on ``_``, and
+additionally on camelCase transitions). Intra-run boundaries (punctuation
+or camel transitions) depend only on characters inside the run, so they
+survive any embedding. Case-insensitive patterns are not analyzed:
+``FooBar`` under ``re.I`` can match ``FOOBAR``, which tokenizes to one
+term, not two.
+"""
+
+from __future__ import annotations
+
+import re
+import re._constants as sre_c
+import re._parser as sre_p
+from functools import reduce
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import BuildManifest
+from .codec import decode_postings
+from .tokenizer import _TAG_RE, token_spans
+
+#: a clause is a disjunction of alternatives; an alternative is a
+#: conjunction of required terms
+Clause = tuple[frozenset[str], ...]
+
+#: keep at most this many CNF clauses (soundness allows dropping any)
+CLAUSE_CAP = 8
+
+_BREAK_ATS = {
+    sre_c.AT_BOUNDARY, sre_c.AT_BEGINNING, sre_c.AT_BEGINNING_STRING,
+    sre_c.AT_END, sre_c.AT_END_STRING,
+}
+
+
+def _run_terms(run: str, left_break: bool, right_break: bool
+               ) -> frozenset[str]:
+    """Index terms every document whose MODEL TEXT contains literal
+    ``run`` must contain: the run's strictly-interior tokens, plus edge
+    tokens whose outer boundary the regex guarantees (left/right_break).
+    No tag stripping here — the run is a verbatim fragment of model text,
+    which is already stripped."""
+    out = set()
+    for term, s, e in token_spans(run):
+        if (s > 0 or left_break) and (e < len(run) or right_break):
+            out.add(term)
+    return frozenset(out)
+
+
+def _flat_terms(clauses: list[Clause]) -> Optional[frozenset[str]]:
+    """Collapse a clause list to one conjunction, or None if it contains
+    a genuine disjunction (branch alternatives stay simple on purpose)."""
+    terms: set[str] = set()
+    for cl in clauses:
+        if len(cl) != 1:
+            return None
+        terms |= cl[0]
+    return frozenset(terms)
+
+
+def _breaking(c: str) -> bool:
+    """Is ``c`` a guaranteed tokenizer boundary character? (Every non-\\w
+    char and ``_`` — exactly _PUNCT_RE plus whitespace.)"""
+    return c == "_" or re.match(r"\w", c) is None
+
+
+#: max concrete strings a literal segment with small char classes may
+#: expand to (``ba[rz]`` — the parser rewrites short alternations this way)
+SEG_COMBO_CAP = 16
+
+
+def _in_chars(av) -> Optional[list[str]]:
+    """The concrete characters of an IN charset node, or None if it is
+    negated / has ranges / categories / is too large to enumerate."""
+    if len(av) > 8:
+        return None
+    chars = []
+    for op, val in av:
+        if op is not sre_c.LITERAL:
+            return None
+        chars.append(chr(val))
+    return chars
+
+
+def _starts_break(node) -> bool:
+    """Does this parsed node's FIRST matched position guarantee a
+    tokenizer boundary before it? (An anchor, or a breaking literal /
+    all-breaking charset.)"""
+    if node is None:
+        return False
+    op, av = node
+    if op is sre_c.AT and av in _BREAK_ATS:
+        return True
+    if op is sre_c.LITERAL:
+        return _breaking(chr(av))
+    if op is sre_c.IN:
+        chars = _in_chars(av)
+        return bool(chars) and all(_breaking(c) for c in chars)
+    return False
+
+
+def _analyze(seq, icase: bool, left0: bool = False, right0: bool = False
+             ) -> tuple[list[Clause], bool]:
+    """CNF requirement of one parsed-regex sequence (conservative).
+
+    ``left0``/``right0``: the caller guarantees a tokenizer boundary
+    immediately before/after this sequence (an adjacent anchor or breaking
+    literal — the parser hoists common affixes like ``\\b`` OUT of
+    branches, so context must flow in). Returns (clauses, trailing_break):
+    whether a boundary is guaranteed immediately after any match."""
+    if icase:
+        return [], False
+    from itertools import product
+    clauses: list[Clause] = []
+    seg: list[list[str]] = []  # per-position character choices
+    run_left = left0   # boundary state when the pending segment started
+    prev_break = left0  # boundary state at the current position
+
+    def flush(right_break: bool) -> None:
+        nonlocal seg
+        if seg:
+            n_comb = 1
+            for cs in seg:
+                n_comb *= len(cs)
+            if n_comb == 1:
+                got = _run_terms("".join(c[0] for c in seg),
+                                 run_left, right_break)
+                clauses.extend((frozenset([t]),) for t in sorted(got))
+            elif n_comb <= SEG_COMBO_CAP:
+                # every concretization must pin >= 1 term, else the
+                # segment proves nothing (a match takes exactly one path)
+                alts = []
+                for combo in product(*seg):
+                    t = _run_terms("".join(combo), run_left, right_break)
+                    if not t:
+                        alts = None
+                        break
+                    alts.append(t)
+                if alts:
+                    clauses.append(tuple(dict.fromkeys(alts)))
+        seg = []
+
+    nodes = list(seq)
+    for i, (op, av) in enumerate(nodes):
+        # boundary guaranteed right AFTER this node by what follows it
+        nxt_break = (_starts_break(nodes[i + 1]) if i + 1 < len(nodes)
+                     else right0)
+        if op is sre_c.LITERAL:
+            if not seg:
+                run_left = prev_break
+            seg.append([chr(av)])
+            prev_break = _breaking(chr(av))
+        elif op is sre_c.IN and (chars := _in_chars(av)) is not None:
+            if not seg:
+                run_left = prev_break
+            seg.append(chars)
+            prev_break = all(_breaking(c) for c in chars)
+        elif op is sre_c.AT and av in _BREAK_ATS:
+            flush(True)
+            prev_break = True
+        elif op is sre_c.SUBPATTERN:
+            _gid, add_f, _del_f, sub = av
+            flush(False)
+            if add_f & re.IGNORECASE:
+                prev_break = False
+            else:
+                sub_cl, trail = _analyze(sub, icase, prev_break, nxt_break)
+                clauses.extend(sub_cl)
+                prev_break = trail
+        elif op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT,
+                    getattr(sre_c, "POSSESSIVE_REPEAT", sre_c.MAX_REPEAT)):
+            lo_rep, hi_rep, sub = av
+            flush(False)
+            # >1 iteration: the sub is adjacent to ITSELF, so neither edge
+            # context holds for inner iterations ((aa|bb)+ can match
+            # "aabb", one token) — analyze edge-blind unless exactly once
+            once = lo_rep == hi_rep == 1
+            sub_cl, trail = _analyze(sub, icase,
+                                     prev_break if once else False,
+                                     nxt_break if once else False)
+            if lo_rep >= 1:
+                clauses.extend(sub_cl)
+                prev_break = trail
+            else:  # may be absent: boundary only if both states agree
+                prev_break = prev_break and trail
+        elif op is sre_c.BRANCH:
+            flush(False)
+            _, branches = av
+            analyzed = [_analyze(b, icase, prev_break, nxt_break)
+                        for b in branches]
+            alts = []
+            for sub_cl, _tr in analyzed:
+                t = _flat_terms(sub_cl)
+                if not t:  # unconstrained or nested-disjunction branch
+                    alts = None
+                    break
+                alts.append(t)
+            if alts:
+                clauses.append(tuple(dict.fromkeys(alts)))
+            prev_break = all(tr for _cl, tr in analyzed)
+        elif op is sre_c.ASSERT:  # positive lookaround must match too
+            direction, sub = av
+            flush(False)
+            if direction > 0:  # lookahead: left context known, right not
+                sub_cl, _tr = _analyze(sub, icase, prev_break, False)
+            else:  # lookbehind: its content ends exactly here
+                sub_cl, _tr = _analyze(sub, icase, False, nxt_break)
+            clauses.extend(sub_cl)
+            # zero-width: position (and its boundary state) unchanged
+        else:
+            # IN / ANY / CATEGORY / NOT_LITERAL / GROUPREF / ASSERT_NOT /
+            # ATOMIC_GROUP / unknown: breaks the run, proves nothing
+            flush(False)
+            prev_break = False
+    trail = (all(_breaking(c) for c in seg[-1]) if seg else prev_break)
+    flush(right0)
+    return clauses, trail
+
+
+def required_clauses(pattern: str) -> list[Clause]:
+    """CNF of index-term requirements for ``pattern`` (may be empty =
+    no pruning possible). Raises re.error on an invalid pattern."""
+    parsed = sre_p.parse(pattern)
+    icase = bool(parsed.state.flags & re.IGNORECASE)
+    clauses, _trail = _analyze(list(parsed), icase)
+    # dedup identical clauses; fewest-alternatives (most selective) first
+    seen, out = set(), []
+    for cl in sorted(clauses, key=lambda c: (len(c), c)):
+        if cl not in seen:
+            seen.add(cl)
+            out.append(cl)
+    return out[:CLAUSE_CAP]
+
+
+def _pairs_frame(index_df: DataFrame, terms: list[str]) -> DataFrame:
+    """(term, ordinal) pairs for the given terms — one pushdown scan of
+    their posting rows, decoded in Arrow batches."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for term, blob in zip(pdf["term"], pdf["postings"]):
+                ids, _ = decode_postings(bytes(blob))
+                yield pd.DataFrame({"term": term, "ordinal": ids})
+
+    return (index_df.where(F.col("term").isin(terms))
+            .select("term", "postings")
+            .mapInPandas(dec, schema="term string, ordinal long"))
+
+
+def regex_candidates(spark: SparkSession, index_dir: str,
+                     pattern: str) -> Optional[DataFrame]:
+    """Ordinals of every doc that can possibly match ``pattern``, from the
+    inverted index alone — or None when the pattern yields no requirement
+    (caller falls back to the full verify scan)."""
+    clauses = required_clauses(pattern)
+    if not clauses:
+        return None
+    man = BuildManifest(index_dir)
+    index_df = spark.read.parquet(man.stage_path("index"))
+    all_terms = sorted({t for cl in clauses for alt in cl for t in alt})
+    pairs = _pairs_frame(index_df, all_terms)
+
+    def conj(terms: frozenset[str]) -> DataFrame:
+        if len(terms) == 1:
+            return (pairs.where(F.col("term").isin(list(terms)))
+                    .select("ordinal").distinct())
+        return (pairs.where(F.col("term").isin(list(terms)))
+                .groupBy("ordinal")
+                .agg(F.count_distinct("term").alias("nt"))
+                .where(F.col("nt") == len(terms)).select("ordinal"))
+
+    def clause_frame(cl: Clause) -> DataFrame:
+        frames = [conj(alt) for alt in cl]
+        return reduce(DataFrame.union, frames).distinct() \
+            if len(frames) > 1 else frames[0]
+
+    return reduce(lambda a, b: a.join(b, "ordinal"),
+                  (clause_frame(cl) for cl in clauses))
+
+
+def regex_search(spark: SparkSession, index_dir: str, source_df: DataFrame,
+                 pattern: str, *, id_col: str = "doc_id",
+                 content_col: str = "content",
+                 prune: bool = True) -> DataFrame:
+    """doc_ids of ``source_df`` rows whose ``content_col``'s MODEL TEXT
+    (tags stripped — see module docstring) contains a match of ``pattern``
+    (Python ``re.search`` semantics). Index-pruned when the pattern admits
+    required terms; always verified with one vectorized
+    ``Series.str.contains`` pass over Arrow batches. Returns a DataFrame
+    with the single column ``id_col`` (distributed — no driver arrays).
+
+    ``prune=False`` forces the full-scan path (the equality test hook:
+    pruned and unpruned results must be identical for every pattern)."""
+    re.compile(pattern)  # surface bad patterns before any job runs
+    src = source_df.select(F.col(id_col), F.col(content_col))
+    cands = regex_candidates(spark, index_dir, pattern) if prune else None
+    if cands is not None:
+        man = BuildManifest(index_dir)
+        docs = (spark.read.parquet(man.stage_path("docs"))
+                .select("ordinal", F.col("doc_id").alias(id_col)))
+        cand_ids = docs.join(cands, "ordinal").select(id_col)
+        src = src.join(cand_ids, id_col, "left_semi")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            model = pdf[content_col].str.replace(_TAG_RE, " ", regex=True)
+            hit = model.str.contains(pattern, regex=True, na=False)
+            yield pdf.loc[hit, [id_col]]
+
+    id_field = src.schema[id_col]
+    return src.mapInPandas(
+        verify, schema=f"{id_col} {id_field.dataType.simpleString()}")

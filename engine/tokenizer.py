@@ -103,6 +103,40 @@ def parse_query(query: str) -> tuple[str, dict[str, str] | None, list[str]]:
 _TOKEN_RUN_RE = re.compile(r"[^\W_]+")
 
 
+def strip_tags_preserving(text: str) -> str:
+    """The engine's DOCUMENT MODEL: ``text`` with each ``<...>`` tag
+    replaced by an equal-length space run. ``tokenize(text)`` is exactly
+    the alnum-camel token split of this string (length preserved, so every
+    token span maps back into the original input)."""
+    return _TAG_RE.sub(lambda m: " " * (m.end() - m.start()), text)
+
+
+def token_spans(s: str) -> list[tuple[str, int, int]]:
+    """(term, start, end) for every token of ``s`` WITHOUT tag stripping —
+    the split step alone. On document-model text (strip_tags_preserving
+    output) this emits exactly ``tokenize``'s term list; regex literal
+    analysis also runs it on raw pattern fragments, where not re-stripping
+    is what keeps the containment argument sound (a fragment of stripped
+    text never needs stripping again)."""
+    out: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RUN_RE.finditer(s):
+        off = m.start()
+        for part in _CAMEL_RE.split(m.group(0)):
+            out.append((part.lower(), off, off + len(part)))
+            off += len(part)
+    return out
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """``tokenize`` plus the [start, end) character span of every term in
+    the ORIGINAL string — the bridge between token space and text space
+    (regex literal analysis, snippet slicing). The emitted term list is
+    exactly ``tokenize(text)`` (test-enforced parity)."""
+    if not text:
+        return []
+    return token_spans(strip_tags_preserving(text))
+
+
 def highlight(text: str, terms, prefixes=()) -> str:
     """Wrap every token occurrence of ``text`` that matches a query term in
     ``<em>..</em>`` (the Lucene-highlighter result surface). A "token

@@ -1,0 +1,188 @@
+"""Regex search (engine/regex_query.py).
+
+Three layers:
+1. token-space parity: tokenize_with_offsets/token_spans emit exactly
+   tokenize()'s term list (the offsets bridge must never drift from the
+   index term space).
+2. literal-analysis SOUNDNESS (the load-bearing property): for any text
+   whose document model matches a pattern, every required clause is
+   satisfied by the text's token set — pruning may never lose a match.
+   Property-tested over adversarial generated texts (tags, camelCase,
+   underscores, token fragments).
+3. e2e on the real index: pruned result == unpruned full-scan result ==
+   a pure-Python re oracle, for patterns that prune, patterns that can't,
+   and patterns with disjunctive requirements; plus: pruning actually
+   prunes (candidate frame smaller than the corpus).
+"""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from engine.regex_query import (regex_candidates, regex_search,
+                                required_clauses)
+from engine.tokenizer import tokenize, tokenize_with_offsets
+
+# patterns over the fixture corpus vocabulary (code-ish keywords +
+# identifier_N), chosen to cover: conjunctive literals, \b anchors,
+# parser-hoisted alternation, charset-folded alternation ([rz]-style),
+# optional groups, classes (unprunable), case-insensitive (unprunable)
+E2E_PATTERNS = [
+    r"\bdef identifier_41\b",
+    r"return (new|self)\b",
+    r"\bstatic function identifier_\d+",
+    r"(class|struct) def\b",
+    r"identifier_8[05] range",
+    r"void identifier_\w+ string",
+    r"print\nidentifier_79",
+    r"[a-z]+_\d+",            # no requirement -> full-scan fallback
+    r"(?i)STATIC FUNCTION",   # ignorecase -> full-scan fallback
+    r"zzz_not_in_corpus\b",   # prunable, empty result
+]
+
+_TAG = re.compile(r"<[^>]*>")
+
+
+def _model(text: str) -> str:
+    return _TAG.sub(" ", text)
+
+
+# ---------------------------------------------------------------- layer 1
+
+TRICKY = [
+    "", "a", "FooBar", "foo_bar", "a<b>c", "<div class='x'>hi</div>",
+    "x<unclosed tag", "closed>y", "Foo1Bar2 baz__qux",
+    "tabs\tand\nnewlines", "ALLCAPS MixedCase xX", "a<b<c>d>e",
+]
+
+
+def test_offsets_parity_fixture(fixture_corpus_pdf):
+    for text in fixture_corpus_pdf["content"].head(200):
+        spans = tokenize_with_offsets(text)
+        assert [t for t, _, _ in spans] == tokenize(text)
+
+
+@pytest.mark.parametrize("text", TRICKY)
+def test_offsets_parity_tricky(text):
+    spans = tokenize_with_offsets(text)
+    assert [t for t, _, _ in spans] == tokenize(text)
+    # spans index into a length-preserving model of the input
+    for term, s, e in spans:
+        assert 0 <= s < e <= len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="aB <>_.1\n", max_size=40))
+def test_offsets_parity_hypothesis(text):
+    assert [t for t, _, _ in tokenize_with_offsets(text)] == tokenize(text)
+
+
+# ---------------------------------------------------------------- layer 2
+
+SOUNDNESS_PATTERNS = E2E_PATTERNS + [
+    r"\breturn new HashMap\b",
+    r"(\bfoo\b|\bbarBaz\b) qux corge",
+    r"foo\.(bar|baz)\(",
+    r"x (aa|bb)+ y",
+    r"def (\w+)_test\b",
+    r"[gs]etattr\(",
+    r"getOrCreateTable",
+    r"(?:public|private) static\b",
+    r"import (numpy|pandas) as",
+]
+
+_WORDS = ["foo", "bar", "Baz", "qux", "corge", "aa", "bb", "def", "new",
+          "Hash", "Map", "return", "static", "function", "identifier_41",
+          "identifier_85", "range", "self", "class", "struct", "void",
+          "print", "public", "private", "numpy", "pandas", "as", "import",
+          "getattr", "setattr", "_test", "x", "y", "attr"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(
+    st.one_of(st.sampled_from(_WORDS + list("ab_ <>.xY(=\n") + [" "])),
+    max_size=20).map("".join))
+def test_required_clauses_sound(text):
+    """If the document model matches, every clause holds on the tokens."""
+    model = _model(text)
+    toks = set(tokenize(text))
+    for pat in SOUNDNESS_PATTERNS:
+        if re.search(pat, model):
+            for clause in required_clauses(pat):
+                assert any(set(alt) <= toks for alt in clause), \
+                    (pat, text, clause, toks)
+
+
+def test_required_clauses_shapes():
+    # conjunction of interior + anchored-edge tokens
+    got = {t for cl in required_clauses(r"\breturn new HashMap\b")
+           for alt in cl for t in alt}
+    assert got == {"return", "new", "hash", "map"}
+    # parser-hoisted \b still reaches the branch alternatives
+    cls = required_clauses(r"(\bfoo\b|\bbarBaz\b) qux corge")
+    assert (frozenset({"foo"}),) not in cls  # foo only as an alternative
+    assert any(len(cl) == 2 for cl in cls)
+    # charset-folded alternation (parser turns bar|baz into ba[rz])
+    assert any(len(cl) == 2 for cl in required_clauses(r"foo\.(bar|baz)\("))
+    # unprunable shapes yield no clauses (fallback path)
+    assert required_clauses(r"[a-z]+") == []
+    assert required_clauses(r"(?i)FooBar") == []
+    # repeated groups concatenate -> edge tokens must not be required
+    assert required_clauses(r"x (aa|bb)+ y") == []
+
+
+def test_bad_pattern_raises():
+    with pytest.raises(re.error):
+        required_clauses(r"(unclosed")
+    with pytest.raises(re.error):
+        regex_search(None, None, None, r"[bad")
+
+
+# ---------------------------------------------------------------- layer 3
+
+@pytest.fixture(scope="module")
+def source_df(spark, fixture_corpus_pdf):
+    from engine.corpus import corpus_to_spark
+    return corpus_to_spark(spark, fixture_corpus_pdf).select(
+        "doc_id", "content")
+
+
+@pytest.mark.parametrize("pattern", E2E_PATTERNS)
+def test_regex_search_matches_oracle(spark, built_index, source_df,
+                                     fixture_corpus_pdf, pattern):
+    idx, _ = built_index
+    got = {r["doc_id"] for r in
+           regex_search(spark, idx, source_df, pattern).collect()}
+    unpruned = {r["doc_id"] for r in
+                regex_search(spark, idx, source_df, pattern,
+                             prune=False).collect()}
+    rx = re.compile(pattern)
+    want = {int(d) for d, c in zip(fixture_corpus_pdf["doc_id"],
+                                   fixture_corpus_pdf["content"])
+            if rx.search(_model(c))}
+    assert got == want
+    assert unpruned == want
+
+
+def test_pruning_actually_prunes(spark, built_index, fixture_corpus_pdf):
+    idx, _ = built_index
+    n_docs = len(fixture_corpus_pdf)
+    cands = regex_candidates(spark, idx, r"\bstatic function identifier_1\b")
+    assert cands is not None
+    n_cands = cands.count()
+    assert 0 < n_cands < n_docs / 2  # the index did real work
+    # and the unprunable shapes report so instead of a fake candidate set
+    assert regex_candidates(spark, idx, r"[a-z]+") is None
+    assert regex_candidates(spark, idx, r"(?i)static") is None
+
+
+def test_empty_and_zero_row_source(spark, built_index, source_df):
+    idx, _ = built_index
+    # prunable pattern with an empty candidate set: no verify scan needed,
+    # still returns a well-formed empty frame
+    out = regex_search(spark, idx, source_df, r"zzz_not_in_corpus\b")
+    assert out.count() == 0 and out.columns == ["doc_id"]
+    # zero-row source through the mapInPandas verify path
+    out2 = regex_search(spark, idx, source_df.limit(0), r"[a-z]+")
+    assert out2.count() == 0
