@@ -48,6 +48,38 @@ def pd_series_empty(n: int):
     return pd.Series([""] * n)
 
 
+def render_rows(rows, disp, q: str, is_wild: bool, *, highlight: bool,
+                snippet: bool, snippet_w: int) -> list[dict]:
+    """The shared display tail of both serving services: resolve k rows
+    into the reference's result shape, optionally replacing ``body`` with
+    the query's best-window snippet (engine/snippets.py) and wrapping
+    matches in <em>..</em>. Pure driver-side work on the display tail
+    only; highlight runs AFTER snippet so marks land in the window."""
+    hl_terms: list[str] = []
+    hl_pfx: tuple[str, ...] = ()
+    if highlight or snippet:
+        from .tokenizer import tokenize
+        if is_wild:
+            hl_pfx = (q[:-1].lower(),)
+        else:
+            hl_terms = tokenize(q)
+    out = []
+    for _rank, doc_id, score in rows:
+        url, title, body = disp[int(doc_id)]
+        if snippet:
+            from .snippets import make_snippet
+            snip = make_snippet(body, hl_terms, hl_pfx, width=snippet_w)
+            if snip is not None:
+                body = snip
+        if highlight:
+            from .tokenizer import highlight as hl
+            title = hl(title, hl_terms, hl_pfx)
+            body = hl(body, hl_terms, hl_pfx)
+        out.append({"url": url, "rank_score": score,
+                    "title": title, "body": body})
+    return out
+
+
 class SearchService:
     """Query engine + display-field resolution for one built index.
 
@@ -296,7 +328,8 @@ class SearchService:
 
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
-                       offset: int = 0, highlight: bool = False
+                       offset: int = 0, highlight: bool = False,
+                       snippet: bool = False, snippet_w: int = 30
                        ) -> list[dict]:
         """The reference's JSON result shape, field for field. Extensions
         beyond the reference: mode=phrase (positional store; rank_score is
@@ -409,24 +442,8 @@ class SearchService:
                                       not_terms=not_terms)
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
-        hl_terms: list[str] = []
-        hl_pfx: tuple[str, ...] = ()
-        if highlight:
-            from .tokenizer import highlight as hl
-            from .tokenizer import tokenize
-            if is_wild:
-                hl_pfx = (q[:-1].lower(),)
-            else:
-                hl_terms = tokenize(q)
-        out = []
-        for _rank, doc_id, score in rows:
-            url, title, body = disp[int(doc_id)]
-            if highlight:
-                title = hl(title, hl_terms, hl_pfx)
-                body = hl(body, hl_terms, hl_pfx)
-            out.append({"url": url, "rank_score": score,
-                        "title": title, "body": body})
-        return out
+        return render_rows(rows, disp, q, is_wild, highlight=highlight,
+                           snippet=snippet, snippet_w=snippet_w)
 
 
 class FederatedSearchService:
@@ -636,7 +653,8 @@ class FederatedSearchService:
 
     def search_payload(self, query: str, k: int = 10, mode: str = "ranked",
                        scoring: str = "bm25", slop: int = 1,
-                       offset: int = 0, highlight: bool = False
+                       offset: int = 0, highlight: bool = False,
+                       snippet: bool = False, snippet_w: int = 30
                        ) -> list[dict]:
         """Same payload contract as SearchService.search_payload, every
         mode federated (tests assert equality against the big service on
@@ -709,24 +727,8 @@ class FederatedSearchService:
                 not_terms=not_terms)
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
-        hl_terms: list[str] = []
-        hl_pfx: tuple[str, ...] = ()
-        if highlight:
-            from .tokenizer import tokenize
-            if is_wild:
-                hl_pfx = (q[:-1].lower(),)
-            else:
-                hl_terms = tokenize(q)
-        out = []
-        for _rank, doc_id, score in rows:
-            url, title, body = disp[int(doc_id)]
-            if highlight:
-                from .tokenizer import highlight as hl
-                title = hl(title, hl_terms, hl_pfx)
-                body = hl(body, hl_terms, hl_pfx)
-            out.append({"url": url, "rank_score": score,
-                        "title": title, "body": body})
-        return out
+        return render_rows(rows, disp, q, is_wild, highlight=highlight,
+                           snippet=snippet, snippet_w=snippet_w)
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",
@@ -869,10 +871,20 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.send_error(400, "bad mode/scoring/slop/offset")
                 return
             hi = qs.get("highlight", ["0"])[0] not in ("0", "", "false")
+            snip = qs.get("snippet", ["0"])[0] not in ("0", "", "false")
+            try:
+                snippet_w = int(qs.get("snippet_w", ["30"])[0])
+            except ValueError:
+                self.send_error(400, "snippet_w must be an integer")
+                return
+            if snippet_w < 1:
+                self.send_error(400, "snippet_w must be >= 1")
+                return
             try:
                 body = json.dumps(service.search_payload(
                     query, k=k, mode=mode, scoring=scoring,
-                    slop=slop, offset=offset, highlight=hi)).encode()
+                    slop=slop, offset=offset, highlight=hi,
+                    snippet=snip, snippet_w=snippet_w)).encode()
             except ValueError as e:
                 self.send_error(400, str(e))
                 return

@@ -1,0 +1,142 @@
+"""Query-relevant snippets (engine/snippets.py + server snippet=1).
+
+Unit layer: the best-window chooser is deterministic and picks the region
+covering the most distinct query terms, with token/char mapping identical
+to what the index matched (camelCase / snake_case sub-tokens). Server
+layer: the ``snippet=1`` param rewrites ``body`` to the window (ellipses
+marking truncation), composing with ``highlight=1``, and the payload is
+the expected pure-function composition over the stored display text."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from engine.snippets import best_window, make_snippet
+from engine.tokenizer import highlight, tokenize
+
+
+def test_picks_densest_window():
+    text = ("alpha filler filler filler filler filler filler filler "
+            "beta gamma delta end")
+    got = best_window(text, ["beta", "gamma", "delta"], width=5)
+    assert got is not None
+    s, e, distinct = got
+    assert distinct == 3
+    assert text[s:e] == "beta gamma delta"
+
+
+def test_prefers_more_distinct_over_earlier():
+    text = "foo foo foo xxxxx yyyyy foo bar baz"
+    s, e, distinct = best_window(text, ["foo", "bar", "baz"], width=4)
+    assert distinct == 3
+    assert text[s:e] == "foo bar baz"
+
+
+def test_no_match_returns_none():
+    assert best_window("nothing here", ["absent"]) is None
+    assert make_snippet("nothing here", ["absent"]) is None
+    assert best_window("", ["x"]) is None
+    assert best_window("text", []) is None
+
+
+def test_subtoken_matching_camel_snake():
+    text = "prelude prelude FooBar and foo_bar close the case"
+    s, e, distinct = best_window(text, ["bar"], width=3)
+    # 'bar' matches inside FooBar (camel) — window starts at that subtoken
+    assert text[s:e].startswith("Bar") or text[s:e].startswith("FooBar"[3:])
+    assert distinct == 1
+
+
+def test_make_snippet_ellipses_and_padding():
+    text = ("start words here then a long middle stretch target one "
+            "target two tail words go on and on beyond the chosen span")
+    snip = make_snippet(text, ["target"], width=4, pad=3)
+    assert snip.startswith("… ") and snip.endswith(" …")
+    assert "target one target two" in snip
+    # whole-text window: no ellipses
+    assert make_snippet("just target here", ["target"]) == \
+        "just target here"
+
+
+def test_wildcard_prefixes():
+    text = "aaa bbb prefixed_token ccc ddd"
+    got = best_window(text, [], prefixes=("prefix",), width=2)
+    assert got is not None
+    s, e, _ = got
+    assert text[s:e].startswith("prefixed")
+
+
+def test_deterministic_tie_earliest():
+    text = "hit alpha filler hit beta"
+    s, e, _ = best_window(text, ["hit"], width=2)
+    assert s == 0  # equal score -> earliest window wins
+
+
+# ------------------------------------------------------------ server layer
+
+@pytest.fixture(scope="module")
+def served(spark, built_index):
+    from engine.server import SearchService, make_server
+    out, _man = built_index
+    service = SearchService(spark, out)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield service, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def test_snippet_param_rewrites_body(served, fixture_corpus_pdf):
+    service, base = served
+    _st, hits = _get(f"{base}/search?query=def+return&k=5&snippet=1")
+    assert hits
+    by_id = {r.doc_id: r for r in fixture_corpus_pdf.itertuples()}
+    expected = service.engine.search("def return", k=5, mode="ranked")
+    terms = tokenize("def return")
+    for hit, (_r, doc_id, _s) in zip(hits, expected):
+        stored = by_id[doc_id].content[:200]  # the build's display text
+        want = make_snippet(stored, terms, (), width=30) or stored
+        assert hit["body"] == want
+
+
+def test_snippet_composes_with_highlight(served, fixture_corpus_pdf):
+    service, base = served
+    _st, hits = _get(
+        f"{base}/search?query=def+return&k=3&snippet=1&highlight=1"
+        f"&snippet_w=8")
+    by_id = {r.doc_id: r for r in fixture_corpus_pdf.itertuples()}
+    expected = service.engine.search("def return", k=3, mode="ranked")
+    terms = tokenize("def return")
+    for hit, (_r, doc_id, _s) in zip(hits, expected):
+        stored = by_id[doc_id].content[:200]
+        snip = make_snippet(stored, terms, (), width=8) or stored
+        assert hit["body"] == highlight(snip, terms, ())
+        assert "<em>" in hit["body"]
+
+
+def test_snippet_no_match_keeps_default_body(served, fixture_corpus_pdf):
+    service, base = served
+    # conjunctive empty-match guard: use a term present in SOME docs but
+    # whose top hit's leading 200 chars may not contain it — the contract
+    # is simply: body == make_snippet(...) or stored text, never empty
+    _st, hits = _get(f"{base}/search?query=def&k=3&snippet=1")
+    for hit in hits:
+        assert hit["body"]
+
+
+def test_bad_snippet_w_is_400(served):
+    _service, base = served
+    for bad in ("abc", "0", "-3"):
+        try:
+            status, _ = _get(
+                f"{base}/search?query=def&snippet=1&snippet_w={bad}")
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400
