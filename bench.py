@@ -321,10 +321,16 @@ def main():
         queries["fuzzy_stage_build"] = round(t, 4)
         t, _ = _timed(lambda: ensure_doc_terms(spark, eng_dir))
         queries["doc_terms_stage_build"] = round(t, 4)
+        # post-build index fsck (engine/verify_index.py): the standing
+        # cost of verifying a generation before promoting it to serving
+        from engine.verify_index import verify_index
+        t, rep = _timed(lambda: verify_index(spark, eng_dir))
+        assert rep["ok"], rep
+        queries["index_verify"] = round(t, 4)
         for name in ["term_counts", "term_df", "bm25_rank",
                      "suggest_prefix", "bm25_facet_counts",
                      "fuzzy_bm25_topk", "more_like_this", "bulk_bm25_topk",
-                     "did_you_mean", "training_pairs_mined",
+                     "did_you_mean", "training_pairs_mined", "regex_search",
                      "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",

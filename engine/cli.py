@@ -99,6 +99,9 @@ def main(argv=None):
     pc.add_argument("--no-dedup-content", action="store_true",
                     help="skip the content-sha aliases stage (legacy "
                          "partials without content_sha256)")
+    pc.add_argument("--verify", action="store_true",
+                    help="fsck the compacted index before reporting "
+                         "success (exit nonzero on any violation)")
 
     pm = sub.add_parser("merge")
     pm.add_argument("--inputs", required=True,
@@ -109,6 +112,9 @@ def main(argv=None):
     pm.add_argument("--no-dedup-content", action="store_true",
                     help="skip cross-segment content dedup (legacy indexes "
                          "without content_sha256 in their docs snapshots)")
+    pm.add_argument("--verify", action="store_true",
+                    help="fsck the merged index before reporting success "
+                         "(exit nonzero on any violation)")
 
     pd_ = sub.add_parser("delete")
     pd_.add_argument("--work", required=True,
@@ -281,6 +287,12 @@ def main(argv=None):
         merge_indexes(spark, args.inputs.split(","), args.out,
                       n_salts=args.salts, partitions=args.partitions,
                       dedup_content=not args.no_dedup_content)
+        if args.verify:
+            from engine.verify_index import verify_index
+            rep = verify_index(spark, args.out)
+            if not rep["ok"]:
+                print(json.dumps(rep))
+                sys.exit(1)
         print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
     elif args.cmd == "mlt":
         from engine.mlt import ensure_doc_terms, more_like_this
@@ -348,6 +360,12 @@ def main(argv=None):
                 spark, args.work, args.out, n_salts=args.salts,
                 partitions=args.partitions,
                 dedup_content=not args.no_dedup_content)
+            if args.verify:
+                from engine.verify_index import verify_index
+                rep = verify_index(spark, cur)
+                if not rep["ok"]:
+                    print(json.dumps(rep))
+                    sys.exit(1)
             out = BuildManifest(cur).metrics()
             out["current"] = cur
             print(json.dumps(out, indent=1))
@@ -356,6 +374,12 @@ def main(argv=None):
             compact(spark, args.work, args.out, n_salts=args.salts,
                     partitions=args.partitions,
                     dedup_content=not args.no_dedup_content)
+            if args.verify:
+                from engine.verify_index import verify_index
+                rep = verify_index(spark, args.out)
+                if not rep["ok"]:
+                    print(json.dumps(rep))
+                    sys.exit(1)
             print(json.dumps(BuildManifest(args.out).metrics(), indent=1))
 
 
