@@ -85,16 +85,66 @@ _BREAK_ATS = {
 }
 
 
-def _run_terms(run: str, left_break: bool, right_break: bool
-               ) -> frozenset[str]:
+#: boundary context sentinel: a tokenizer boundary is GUARANTEED here.
+#: Other context values: a frozenset of the possible adjacent characters
+#: (boundary decided per edge char), or None (nothing known).
+BREAK = "BREAK"
+
+
+def _ctx_union(ctxs) -> object:
+    """Combine alternative contexts (e.g. branch trails): the guarantee
+    must hold whichever alternative matched. BREAK members pass any edge
+    test, so they drop out of a mixed union; any unknown poisons it."""
+    chars: set[str] = set()
+    all_break = True
+    for c in ctxs:
+        if c is None:
+            return None
+        if c is BREAK:
+            continue
+        all_break = False
+        chars |= c
+    return BREAK if all_break else frozenset(chars)
+
+
+def _boundary_before(ctx, first: str) -> bool:
+    """Is a token boundary guaranteed between an adjacent char (ctx) and a
+    token starting with ``first``? Breaking chars always split; a camel
+    split needs [a-z0-9] then [A-Z] (both chars known)."""
+    if ctx is BREAK:
+        return True
+    if not isinstance(ctx, frozenset):
+        return False
+    return all(_breaking(c)
+               or (("a" <= c <= "z" or "0" <= c <= "9")
+                   and "A" <= first <= "Z") for c in ctx)
+
+
+def _boundary_after(last: str, ctx) -> bool:
+    """Mirror of _boundary_before for a token's right edge."""
+    if ctx is BREAK:
+        return True
+    if not isinstance(ctx, frozenset):
+        return False
+    return all(_breaking(c)
+               or (("a" <= last <= "z" or "0" <= last <= "9")
+                   and "A" <= c <= "Z") for c in ctx)
+
+
+def _run_terms(run: str, left_ctx, right_ctx) -> frozenset[str]:
     """Index terms every document whose MODEL TEXT contains literal
     ``run`` must contain: the run's strictly-interior tokens, plus edge
-    tokens whose outer boundary the regex guarantees (left/right_break).
-    No tag stripping here — the run is a verbatim fragment of model text,
-    which is already stripped."""
+    tokens whose outer boundary the surrounding regex context proves (an
+    anchor, a breaking char, or a camelCase transition — the edge chars
+    of the run are known, so a lowercase run end followed by a known
+    uppercase char is as good as punctuation). No tag stripping here —
+    the run is a verbatim fragment of model text, which is already
+    stripped."""
     out = set()
     for term, s, e in token_spans(run):
-        if (s > 0 or left_break) and (e < len(run) or right_break):
+        if ((s > 0 or _boundary_before(left_ctx, run[s]))
+                and (e < len(run) or _boundary_after(run[e - 1],
+                                                     right_ctx))):
             out.add(term)
     return frozenset(out)
 
@@ -134,41 +184,57 @@ def _in_chars(av) -> Optional[list[str]]:
     return chars
 
 
-def _starts_break(node) -> bool:
-    """Does this parsed node's FIRST matched position guarantee a
-    tokenizer boundary before it? (An anchor, or a breaking literal /
-    all-breaking charset.)"""
+def _start_ctx(node):
+    """Boundary context a preceding token sees from this node's FIRST
+    matched position: BREAK for an anchor, the concrete char set for a
+    literal / enumerable charset (recursing into groups, branches, and
+    must-match repeats), None otherwise."""
     if node is None:
-        return False
+        return None
     op, av = node
     if op is sre_c.AT and av in _BREAK_ATS:
-        return True
+        return BREAK
     if op is sre_c.LITERAL:
-        return _breaking(chr(av))
+        return frozenset(chr(av))
     if op is sre_c.IN:
         chars = _in_chars(av)
-        return bool(chars) and all(_breaking(c) for c in chars)
-    return False
+        return frozenset(chars) if chars else None
+    if op is sre_c.SUBPATTERN:
+        _gid, add_f, _del_f, sub = av
+        if add_f & re.IGNORECASE or not list(sub):
+            return None
+        return _start_ctx(list(sub)[0])
+    if op is sre_c.BRANCH:
+        _, branches = av
+        return _ctx_union([_start_ctx(list(b)[0]) if list(b) else None
+                           for b in branches])
+    if op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT,
+              getattr(sre_c, "POSSESSIVE_REPEAT", sre_c.MAX_REPEAT)):
+        lo_rep, _hi_rep, sub = av
+        if lo_rep >= 1 and list(sub):  # absent repeat = unknown follower
+            return _start_ctx(list(sub)[0])
+    return None
 
 
-def _analyze(seq, icase: bool, left0: bool = False, right0: bool = False
-             ) -> tuple[list[Clause], bool]:
+def _analyze(seq, icase: bool, left0=None, right0=None
+             ) -> tuple[list[Clause], object]:
     """CNF requirement of one parsed-regex sequence (conservative).
 
-    ``left0``/``right0``: the caller guarantees a tokenizer boundary
-    immediately before/after this sequence (an adjacent anchor or breaking
-    literal — the parser hoists common affixes like ``\\b`` OUT of
-    branches, so context must flow in). Returns (clauses, trailing_break):
-    whether a boundary is guaranteed immediately after any match."""
+    ``left0``/``right0``: the boundary CONTEXT adjacent to this sequence
+    (BREAK / char set / None — the parser hoists common affixes like
+    ``\\b`` OUT of branches and splits ``(get|set)Value`` around the
+    group, so context must flow in for both anchor and camelCase edge
+    proofs). Returns (clauses, trail_ctx): the context a follower of this
+    sequence sees."""
     if icase:
-        return [], False
+        return [], None
     from itertools import product
     clauses: list[Clause] = []
     seg: list[list[str]] = []  # per-position character choices
-    run_left = left0   # boundary state when the pending segment started
-    prev_break = left0  # boundary state at the current position
+    run_left = left0  # boundary context when the pending segment started
+    prev_ctx = left0  # boundary context at the current position
 
-    def flush(right_break: bool) -> None:
+    def flush(right_ctx) -> None:
         nonlocal seg
         if seg:
             n_comb = 1
@@ -176,14 +242,14 @@ def _analyze(seq, icase: bool, left0: bool = False, right0: bool = False
                 n_comb *= len(cs)
             if n_comb == 1:
                 got = _run_terms("".join(c[0] for c in seg),
-                                 run_left, right_break)
+                                 run_left, right_ctx)
                 clauses.extend((frozenset([t]),) for t in sorted(got))
             elif n_comb <= SEG_COMBO_CAP:
                 # every concretization must pin >= 1 term, else the
                 # segment proves nothing (a match takes exactly one path)
                 alts = []
                 for combo in product(*seg):
-                    t = _run_terms("".join(combo), run_left, right_break)
+                    t = _run_terms("".join(combo), run_left, right_ctx)
                     if not t:
                         alts = None
                         break
@@ -194,51 +260,51 @@ def _analyze(seq, icase: bool, left0: bool = False, right0: bool = False
 
     nodes = list(seq)
     for i, (op, av) in enumerate(nodes):
-        # boundary guaranteed right AFTER this node by what follows it
-        nxt_break = (_starts_break(nodes[i + 1]) if i + 1 < len(nodes)
-                     else right0)
+        # context a token ending at this node's start sees from the right
+        nxt_ctx = (_start_ctx(nodes[i + 1]) if i + 1 < len(nodes)
+                   else right0)
         if op is sre_c.LITERAL:
             if not seg:
-                run_left = prev_break
+                run_left = prev_ctx
             seg.append([chr(av)])
-            prev_break = _breaking(chr(av))
+            prev_ctx = frozenset(chr(av))
         elif op is sre_c.IN and (chars := _in_chars(av)) is not None:
             if not seg:
-                run_left = prev_break
+                run_left = prev_ctx
             seg.append(chars)
-            prev_break = all(_breaking(c) for c in chars)
+            prev_ctx = frozenset(chars)
         elif op is sre_c.AT and av in _BREAK_ATS:
-            flush(True)
-            prev_break = True
+            flush(BREAK)
+            prev_ctx = BREAK
         elif op is sre_c.SUBPATTERN:
             _gid, add_f, _del_f, sub = av
-            flush(False)
+            flush(_start_ctx((op, av)))
             if add_f & re.IGNORECASE:
-                prev_break = False
+                prev_ctx = None
             else:
-                sub_cl, trail = _analyze(sub, icase, prev_break, nxt_break)
+                sub_cl, trail = _analyze(sub, icase, prev_ctx, nxt_ctx)
                 clauses.extend(sub_cl)
-                prev_break = trail
+                prev_ctx = trail
         elif op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT,
                     getattr(sre_c, "POSSESSIVE_REPEAT", sre_c.MAX_REPEAT)):
             lo_rep, hi_rep, sub = av
-            flush(False)
+            flush(_start_ctx((op, av)))
             # >1 iteration: the sub is adjacent to ITSELF, so neither edge
             # context holds for inner iterations ((aa|bb)+ can match
             # "aabb", one token) — analyze edge-blind unless exactly once
             once = lo_rep == hi_rep == 1
             sub_cl, trail = _analyze(sub, icase,
-                                     prev_break if once else False,
-                                     nxt_break if once else False)
+                                     prev_ctx if once else None,
+                                     nxt_ctx if once else None)
             if lo_rep >= 1:
                 clauses.extend(sub_cl)
-                prev_break = trail
-            else:  # may be absent: boundary only if both states agree
-                prev_break = prev_break and trail
+                prev_ctx = trail
+            else:  # may be absent: a follower sees either state
+                prev_ctx = _ctx_union([prev_ctx, trail])
         elif op is sre_c.BRANCH:
-            flush(False)
+            flush(_start_ctx((op, av)))
             _, branches = av
-            analyzed = [_analyze(b, icase, prev_break, nxt_break)
+            analyzed = [_analyze(b, icase, prev_ctx, nxt_ctx)
                         for b in branches]
             alts = []
             for sub_cl, _tr in analyzed:
@@ -249,22 +315,25 @@ def _analyze(seq, icase: bool, left0: bool = False, right0: bool = False
                 alts.append(t)
             if alts:
                 clauses.append(tuple(dict.fromkeys(alts)))
-            prev_break = all(tr for _cl, tr in analyzed)
+            prev_ctx = _ctx_union([tr for _cl, tr in analyzed])
         elif op is sre_c.ASSERT:  # positive lookaround must match too
             direction, sub = av
-            flush(False)
+            # zero-width: the run's right neighbor is the NEXT consumed
+            # node's first char (same position the assertion inspects)
+            flush(nxt_ctx)
             if direction > 0:  # lookahead: left context known, right not
-                sub_cl, _tr = _analyze(sub, icase, prev_break, False)
+                sub_cl, _tr = _analyze(sub, icase, prev_ctx, None)
             else:  # lookbehind: its content ends exactly here
-                sub_cl, _tr = _analyze(sub, icase, False, nxt_break)
+                sub_cl, _tr = _analyze(sub, icase, None, nxt_ctx)
             clauses.extend(sub_cl)
-            # zero-width: position (and its boundary state) unchanged
+            # zero-width: position (and its boundary context) unchanged
         else:
-            # IN / ANY / CATEGORY / NOT_LITERAL / GROUPREF / ASSERT_NOT /
-            # ATOMIC_GROUP / unknown: breaks the run, proves nothing
-            flush(False)
-            prev_break = False
-    trail = (all(_breaking(c) for c in seg[-1]) if seg else prev_break)
+            # ANY / CATEGORY / NOT_LITERAL / GROUPREF / ASSERT_NOT /
+            # non-enumerable IN / ATOMIC_GROUP / unknown: breaks the run,
+            # proves nothing
+            flush(None)
+            prev_ctx = None
+    trail = frozenset("".join(seg[-1])) if seg else prev_ctx
     flush(right0)
     return clauses, trail
 

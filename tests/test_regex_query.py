@@ -90,13 +90,20 @@ SOUNDNESS_PATTERNS = E2E_PATTERNS + [
     r"getOrCreateTable",
     r"(?:public|private) static\b",
     r"import (numpy|pandas) as",
+    # camel-context propagation across node edges
+    r"raise (Value|Type)Error\(",
+    r"\b(get|set)Value\b",
+    r"(get|set)Value",
+    r"newHash(Map|Set)",
 ]
 
 _WORDS = ["foo", "bar", "Baz", "qux", "corge", "aa", "bb", "def", "new",
           "Hash", "Map", "return", "static", "function", "identifier_41",
           "identifier_85", "range", "self", "class", "struct", "void",
           "print", "public", "private", "numpy", "pandas", "as", "import",
-          "getattr", "setattr", "_test", "x", "y", "attr"]
+          "getattr", "setattr", "_test", "x", "y", "attr",
+          "raise", "Value", "Type", "Error", "get", "set", "Set",
+          "newHash", "Values", "GETValue"]
 
 
 @settings(max_examples=300, deadline=None)
@@ -130,6 +137,17 @@ def test_required_clauses_shapes():
     assert required_clauses(r"(?i)FooBar") == []
     # repeated groups concatenate -> edge tokens must not be required
     assert required_clauses(r"x (aa|bb)+ y") == []
+    # camelCase context propagates across node edges: the branch's
+    # uppercase follower proves get/set's right boundary, the branch's
+    # lowercase trail proves Value/Error's left boundary
+    got = required_clauses(r"raise (Value|Type)Error\(")
+    assert (frozenset({"error"}),) in got
+    assert (frozenset({"type"}), frozenset({"value"})) in got or \
+           (frozenset({"value"}), frozenset({"type"})) in got
+    got = required_clauses(r"\b(get|set)Value\b")
+    assert (frozenset({"value"}),) in got
+    # ...but NOT without the anchors: getValues / xsetValue must match
+    assert required_clauses(r"(get|set)Value") == []
 
 
 def test_bad_pattern_raises():
