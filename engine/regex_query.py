@@ -346,7 +346,8 @@ def required_clauses(pattern: str) -> list[Clause]:
     clauses, _trail = _analyze(list(parsed), icase)
     # dedup identical clauses; fewest-alternatives (most selective) first
     seen, out = set(), []
-    for cl in sorted(clauses, key=lambda c: (len(c), c)):
+    for cl in sorted(clauses,
+                     key=lambda c: (len(c), [sorted(a) for a in c])):
         if cl not in seen:
             seen.add(cl)
             out.append(cl)
@@ -380,23 +381,20 @@ def regex_candidates(spark: SparkSession, index_dir: str,
     index_df = spark.read.parquet(man.stage_path("index"))
     all_terms = sorted({t for cl in clauses for alt in cl for t in alt})
     pairs = _pairs_frame(index_df, all_terms)
+    # ONE decode pass + ONE shuffle: per-ordinal matched-term set, then
+    # the whole CNF as a column predicate over it (the mentioned-term set
+    # is query-sized, so collect_set stays tiny per ordinal)
+    matched = pairs.groupBy("ordinal").agg(
+        F.collect_set("term").alias("ts"))
 
-    def conj(terms: frozenset[str]) -> DataFrame:
-        if len(terms) == 1:
-            return (pairs.where(F.col("term").isin(list(terms)))
-                    .select("ordinal").distinct())
-        return (pairs.where(F.col("term").isin(list(terms)))
-                .groupBy("ordinal")
-                .agg(F.count_distinct("term").alias("nt"))
-                .where(F.col("nt") == len(terms)).select("ordinal"))
+    def alt_pred(alt: frozenset[str]):
+        return reduce(lambda a, b: a & b,
+                      (F.array_contains("ts", t) for t in sorted(alt)))
 
-    def clause_frame(cl: Clause) -> DataFrame:
-        frames = [conj(alt) for alt in cl]
-        return reduce(DataFrame.union, frames).distinct() \
-            if len(frames) > 1 else frames[0]
-
-    return reduce(lambda a, b: a.join(b, "ordinal"),
-                  (clause_frame(cl) for cl in clauses))
+    pred = reduce(lambda a, b: a & b,
+                  (reduce(lambda a, b: a | b, (alt_pred(a) for a in cl))
+                   for cl in clauses))
+    return matched.where(pred).select("ordinal")
 
 
 def regex_search(spark: SparkSession, index_dir: str, source_df: DataFrame,
