@@ -139,6 +139,9 @@ def main(argv=None):
                          "view (current generation + fresh uncompacted "
                          "segment; GET /refresh re-resolves it) — "
                          "--index is the compact --incremental out dir")
+    ps.add_argument("--source", default=None,
+                    help="corpus parquet the index was built from: "
+                         "enables GET /regex (single-index mode)")
 
     pml = sub.add_parser("mlt")
     pml.add_argument("--index", required=True)
@@ -351,7 +354,7 @@ def main(argv=None):
     elif args.cmd == "serve":
         from engine.server import serve
         serve(spark, args.index, host=args.host, port=args.port,
-              big=args.big, work_dir=args.work)
+              big=args.big, work_dir=args.work, source_path=args.source)
     elif args.cmd == "compact":
         from engine.checkpoint import BuildManifest
         if args.incremental:

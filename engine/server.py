@@ -98,11 +98,15 @@ class SearchService:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 big: bool = False):
+                 big: bool = False, source_path: str | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.big = big
         self._phrase = None
+        # the corpus table backing GET /regex (the index stores no
+        # content); None = endpoint disabled with a clear 400
+        self._source_df = (spark.read.parquet(source_path)
+                           if source_path else None)
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         self._docs_df = docs
         self._docs_cols = set(docs.columns)
@@ -283,6 +287,26 @@ class SearchService:
                              index_df=idx)
         return {"query": query,
                 "did_you_mean": apply_corrections(q, corr)}
+
+    def regex_payload(self, pattern: str, k: int = 100) -> list[dict]:
+        """GET /regex: index-pruned regex content search
+        (engine/regex_query.py) over the source table registered at
+        service construction (``serve --source`` — the index itself
+        stores no content). Returns up to k matches as
+        {url, title, doc_id}, doc_id ASC (regex matches carry no score).
+        The distributed sort+limit ships exactly k ids to the driver;
+        display fields resolve like every other endpoint."""
+        if self._source_df is None:
+            raise ValueError("regex search needs the corpus table: start "
+                             "the service with --source <corpus parquet>")
+        from .regex_query import regex_search
+        out = regex_search(self.spark, self.index_dir, self._source_df,
+                           pattern)
+        ids = [int(r["doc_id"]) for r in
+               out.orderBy("doc_id").limit(max(0, k)).collect()]
+        disp = self.resolve_many(ids)
+        return [{"url": disp[i][0], "title": disp[i][1], "doc_id": i}
+                for i in ids]
 
     def mlt_payload(self, doc_id: int, k: int = 10) -> list[dict]:
         """More-like-this (engine/mlt.py): the k docs most similar to
@@ -819,6 +843,31 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if u.path == "/regex" and hasattr(service, "regex_payload"):
+                qs = parse_qs(u.query)
+                pattern = qs.get("pattern", [""])[0]
+                try:
+                    k = int(qs.get("k", ["100"])[0])
+                except ValueError:
+                    self.send_error(400, "k must be an integer")
+                    return
+                if not pattern:
+                    self.send_error(400, "pattern is required")
+                    return
+                import re as _re
+                try:
+                    body = json.dumps(
+                        service.regex_payload(pattern, k=k)).encode()
+                except (_re.error, ValueError) as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if u.path == "/facets":
                 qs = parse_qs(u.query)
                 query = qs.get("query", [""])[0]
@@ -905,16 +954,19 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
 
 def serve(spark: SparkSession, index_dir: str, host: str = "127.0.0.1",
           port: int = 8080, big: bool = False,
-          work_dir: str | None = None) -> None:
+          work_dir: str | None = None,
+          source_path: str | None = None) -> None:
     """work_dir set -> NRT federated serving: index_dir is the
     compact_incremental out_dir, the service resolves serving_view(work,
     out) at startup and GET /refresh re-resolves it (new ingests become
-    searchable without a compaction)."""
+    searchable without a compaction). source_path (single-index mode)
+    enables GET /regex over that corpus table."""
     if work_dir is not None:
         svc: SearchService | FederatedSearchService = FederatedSearchService(
             spark, work_dir=work_dir, out_dir=index_dir)
     else:
-        svc = SearchService(spark, index_dir, big=big)
+        svc = SearchService(spark, index_dir, big=big,
+                            source_path=source_path)
     srv = make_server(svc, host, port)
     print(json.dumps({"serving": f"http://{host}:{srv.server_address[1]}"
                       "/search?query=..."}))

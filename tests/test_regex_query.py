@@ -195,6 +195,62 @@ def test_pruning_actually_prunes(spark, built_index, fixture_corpus_pdf):
     assert regex_candidates(spark, idx, r"(?i)static") is None
 
 
+@pytest.fixture(scope="module")
+def regex_served(spark, built_index, source_df, tmp_path_factory):
+    import threading
+
+    from engine.server import SearchService, make_server
+    idx, _ = built_index
+    src = str(tmp_path_factory.mktemp("regex_src") / "corpus")
+    source_df.write.parquet(src)
+    service = SearchService(spark, idx, source_path=src)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_regex_endpoint(regex_served, spark, built_index, source_df,
+                        fixture_corpus_pdf):
+    import json
+    import urllib.parse
+    import urllib.request
+    pattern = r"\bdef identifier_41\b"
+    url = (f"{regex_served}/regex?k=50&pattern="
+           f"{urllib.parse.quote(pattern)}")
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        hits = json.loads(resp.read().decode())
+    rx = re.compile(pattern)
+    want = sorted(int(d) for d, c in zip(fixture_corpus_pdf["doc_id"],
+                                         fixture_corpus_pdf["content"])
+                  if rx.search(_model(c)))[:50]
+    assert [h["doc_id"] for h in hits] == want
+    by_id = {r.doc_id: r for r in fixture_corpus_pdf.itertuples()}
+    for h in hits:
+        src = by_id[h["doc_id"]]
+        assert h["url"] == f"{src.repo}/{src.path}@{src.commit}"
+        assert h["title"] == src.path.split("/")[-1]
+
+
+def test_regex_endpoint_errors(regex_served, spark, built_index):
+    import urllib.error
+    import urllib.request
+
+    from engine.server import SearchService, make_server
+    for bad in ("/regex?pattern=", "/regex?pattern=%28unclosed",
+                "/regex?pattern=x&k=abc"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{regex_served}{bad}", timeout=60)
+        assert e.value.code == 400
+    # a service without a registered source refuses with a clear message
+    idx, _ = built_index
+    svc = SearchService(spark, idx)
+    with pytest.raises(ValueError, match="--source"):
+        svc.regex_payload(r"\bx\b")
+
+
 def test_empty_and_zero_row_source(spark, built_index, source_df):
     idx, _ = built_index
     # prunable pattern with an empty candidate set: no verify scan needed,
