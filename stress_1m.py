@@ -132,6 +132,32 @@ def main() -> None:
     res["phrase_filtered_distributed_s"] = round(time.time() - t0, 3)
     assert pf
 
+    # regex search at 1M docs (round 4): a rare-literal pattern — the
+    # analyzer pins {identifier, 1965}, so the verify scan touches only
+    # that conjunction's candidates, vs the unpruned full-content scan
+    from engine.regex_query import regex_candidates, regex_search
+    pat = r"\bdef identifier_1965\b"
+    t0 = time.time()
+    n_cand = regex_candidates(spark, out, pat).count()
+    res["regex_candidates_s"] = round(time.time() - t0, 3)
+    res["regex_candidates_n"] = int(n_cand)
+    t0 = time.time()
+    n_pruned = regex_search(spark, out, corpus, pat).count()
+    res["regex_pruned_s"] = round(time.time() - t0, 3)
+    res["regex_matches_n"] = int(n_pruned)
+    t0 = time.time()
+    n_full = regex_search(spark, out, corpus, pat, prune=False).count()
+    res["regex_fullscan_s"] = round(time.time() - t0, 3)
+    assert n_full == n_pruned and n_cand < N_DOCS / 10
+
+    # index fsck at 1M docs (round 4): the standing pre-promotion check —
+    # every posting decoded + block-max metadata recomputed, 107M postings
+    from engine.verify_index import verify_index
+    t0 = time.time()
+    rep = verify_index(spark, out)
+    res["verify_index_s"] = round(time.time() - t0, 3)
+    assert rep["ok"], rep
+
     print(json.dumps(res))
     spark.stop()
 
