@@ -239,6 +239,41 @@ class SearchEngine:
         return self._topk(cands, self._score(terms, postings, cands), k,
                           rounded)
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Lucene-style score explanation: the per-term BM25 breakdown of
+        ``doc_id``'s score for ``query``, computed with the EXACT float64
+        op order ranking uses (sorted terms, ``idf * tfw`` accumulation),
+        so ``total`` is bitwise equal to the score ``search`` ranks by
+        (test-enforced). Terms absent from the doc (or the corpus)
+        contribute 0 and still appear, with their stats — that is the
+        point of an explain: showing why something did NOT score."""
+        terms = query_terms(query)
+        pos = int(np.searchsorted(self._ext_ids, doc_id))
+        # ordinals ascend in doc_id order, so _ext_ids is sorted
+        if pos >= self._ext_ids.size or self._ext_ids[pos] != doc_id:
+            raise ValueError(f"unknown doc_id {doc_id}")
+        ordinal, dl = pos, float(self._doc_lens[pos])
+        postings = self._fetch(terms)
+        total = np.float64(0.0)
+        parts = []
+        for t in terms:
+            tp = postings.get(t)
+            ent = {"term": t, "df": int(tp.df) if tp else 0,
+                   "idf": self._idf(tp.df) if tp else None,
+                   "tf": 0, "contribution": 0.0}
+            if tp is not None:
+                p = int(np.searchsorted(tp.doc_ids, ordinal))
+                if p < tp.doc_ids.size and tp.doc_ids[p] == ordinal:
+                    tf = np.float64(tp.tfs[p])
+                    c = self._idf(tp.df) * self._tfw(tf, np.float64(dl))
+                    total = total + c
+                    ent["tf"] = int(tp.tfs[p])
+                    ent["contribution"] = float(c)
+            parts.append(ent)
+        return {"query": query, "doc_id": int(doc_id), "doc_len": int(dl),
+                "n_docs": int(self.n_docs), "avgdl": float(self.avgdl),
+                "k1": K1, "b": B, "score": float(total), "terms": parts}
+
     @staticmethod
     def _union(postings: dict[str, TermPostings]) -> np.ndarray:
         arrays = [tp.doc_ids for tp in postings.values()]

@@ -288,6 +288,21 @@ class SearchService:
         return {"query": query,
                 "did_you_mean": apply_corrections(q, corr)}
 
+    def explain_payload(self, query: str, doc_id: int) -> dict:
+        """GET /explain: the per-term BM25 breakdown of one document's
+        score for a query (engine.query.SearchEngine.explain — bitwise
+        the ranked score). Filter/NOT syntax is parsed off first (they
+        restrict result sets, never scores); alias doc_ids resolve to
+        their canonical before lookup."""
+        if self.engine is None:
+            raise ValueError("explain serves from the driver-map regime "
+                             "(start the service without --big)")
+        from .tokenizer import parse_query
+        q, _filters, _nots = parse_query(query.strip())
+        did = self._alias.get(int(doc_id), int(doc_id)) \
+            if self._alias else int(doc_id)
+        return self.engine.explain(q, did)
+
     def regex_payload(self, pattern: str, k: int = 100) -> list[dict]:
         """GET /regex: index-pruned regex content search
         (engine/regex_query.py) over the source table registered at
@@ -833,6 +848,27 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 try:
                     body = json.dumps(
                         service.mlt_payload(doc_id, k=k)).encode()
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/explain" and hasattr(service, "explain_payload"):
+                qs = parse_qs(u.query)
+                query = qs.get("query", [""])[0]
+                try:
+                    doc_id = int(qs.get("doc_id", [""])[0])
+                except ValueError:
+                    self.send_error(400, "doc_id must be an integer")
+                    return
+                try:
+                    body = json.dumps(
+                        service.explain_payload(query, doc_id)).encode()
                 except ValueError as e:
                     self.send_error(400, str(e))
                     return
