@@ -331,7 +331,7 @@ def main():
                      "suggest_prefix", "bm25_facet_counts",
                      "fuzzy_bm25_topk", "more_like_this", "bulk_bm25_topk",
                      "did_you_mean", "training_pairs_mined", "regex_search",
-                     "bm25_filtered_topk", "tfidf_rank",
+                     "bm25f_topk", "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
                      "neardup_embedding_pairs", "neardup_clusters",

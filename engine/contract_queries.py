@@ -571,6 +571,73 @@ from ranked where rank <= {k}
 PAIRS_K_POS, PAIRS_N_HARD, PAIRS_N_RAND = 10, 10, 5
 
 
+#: field-boost fixture: two body terms + one PATH-only term (the engine
+#: dir's path is source||'/'||doc_id, so 'src7' hits 1/20 of docs via the
+#: path field only — the filename-boost case)
+FIELD_QUERY = "join spark src7"
+FIELD_W = 2.0
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """Field-boosted ranking (engine/fields.py): bm25_body + w*bm25_path
+    through the REAL engine (path_index ensure-stage + FieldedEngine) vs
+    a two-field DuckDB mirror. Path tokens of the engine dir are exactly
+    (source, doc_id) — the oracle derives them without a tokenizer."""
+    from .fields import FieldedEngine
+    from .query import SearchEngine
+    out = _built_engine_dir(spark, sf_dir)
+    fe = FieldedEngine(SearchEngine(spark, out), w_path=FIELD_W)
+    rows = fe.search(FIELD_QUERY, k=TOPK, rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
+def _bm25f_duck_sql(terms: list[str], k: int, w: float) -> str:
+    tl = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+with tok as ({_TOKENS_SQL}),
+dl as (select doc_id, count(*) as doc_len from tok group by doc_id),
+stats as (select count(*) as n_docs, sum(doc_len)/count(*) as avgdl from dl),
+tf as (select doc_id, term, count(*) as tf from tok
+       where term in ({tl}) group by doc_id, term),
+dfs as (select term, count(*) as df from tf group by term),
+body as (
+  select tf.doc_id,
+         sum( ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5) + 1.0)
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.doc_len / s.avgdl)))
+            ) as score
+  from tf join dfs using (term) join dl using (doc_id) cross join stats s
+  group by tf.doc_id),
+ptok as (select doc_id, source as term from documents
+         union all
+         select doc_id, cast(doc_id as varchar) as term from documents),
+pl as (select doc_id, count(*) as plen from ptok group by doc_id),
+pstats as (select sum(plen) / (select n_docs from stats) as avgpl from pl),
+ptf as (select doc_id, term, count(*) as tf from ptok
+        where term in ({tl}) group by doc_id, term),
+pdfs as (select term, count(*) as df from ptf group by term),
+pbody as (
+  select ptf.doc_id,
+         sum( ln((s.n_docs - pdfs.df + 0.5)/(pdfs.df + 0.5) + 1.0)
+              * (ptf.tf * ({K1} + 1.0))
+              / (ptf.tf + {K1} * ((1.0 - {B}) + {B} * (pl.plen / ps.avgpl)))
+            ) as score
+  from ptf join pdfs using (term) join pl using (doc_id)
+       cross join stats s cross join pstats ps
+  group by ptf.doc_id),
+scored as (
+  select coalesce(b.doc_id, p.doc_id) as doc_id,
+         coalesce(b.score, 0) + {w} * coalesce(p.score, 0) as score
+  from body b full outer join pbody p on b.doc_id = p.doc_id),
+ranked as (
+  select doc_id, round(score, 6) as score_r,
+         row_number() over (order by round(score, 6) desc, doc_id) as rank
+  from scored)
+select doc_id, rank, score_r from ranked where rank <= {k}
+"""
+
+
 #: regex fixture: \b anchor + parser-hoisted alternation + conjunctive
 #: literal — the analyzer must pin {spark} and {order|sort} from it; inside
 #: the Python-re ∩ RE2 common subset so the DuckDB oracle agrees
@@ -1840,6 +1907,9 @@ def consolidated_oracles():
             where regexp_matches(
               regexp_replace(text, '<[^>]*>', ' ', 'g'),
               '{REGEX_PATTERN}')""",
+        # field-boosted ranking: bm25_body + w*bm25_path, two-field mirror
+        "bm25f_topk": _bm25f_duck_sql(
+            sorted(set(FIELD_QUERY.split())), TOPK, FIELD_W),
     }
 
 
@@ -1861,6 +1931,7 @@ def consolidated_queries():
         "did_you_mean": q_did_you_mean,
         "training_pairs_mined": q_training_pairs,
         "regex_search": q_regex_search,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 

@@ -103,6 +103,7 @@ class SearchService:
         self.index_dir = index_dir
         self.big = big
         self._phrase = None
+        self._fielded = None  # lazy FieldedEngine (scoring=bm25f)
         # the corpus table backing GET /regex (the index stores no
         # content); None = endpoint disabled with a clear 400
         self._source_df = (spark.read.parquet(source_path)
@@ -438,6 +439,17 @@ class SearchService:
                 rows = self.engine.search_tfidf_reference(
                     q, k=min(k, REFERENCE_MAX_RESULTS),
                     filters=filters, not_terms=not_terms)
+        elif scoring == "bm25f":
+            # field-boosted ranking (engine/fields.py): path hits weigh in.
+            # Driver regime only (the path index is dictionary-scale, but
+            # the scorer rides the driver engine's candidate arrays).
+            if self.big or filters or not_terms:
+                raise ValueError("scoring=bm25f serves from the driver-map"
+                                 " regime without filters/NOT terms")
+            if self._fielded is None:
+                from .fields import FieldedEngine
+                self._fielded = FieldedEngine(self.engine)
+            rows = self._fielded.search(q, k=k)
         elif is_fuzzy:
             # single-token trailing-~ fuzzy (edit distance <= 1); like the
             # wildcard, multi-term queries fall through to normal search
@@ -698,6 +710,9 @@ class FederatedSearchService:
         """Same payload contract as SearchService.search_payload, every
         mode federated (tests assert equality against the big service on
         the merged index)."""
+        if scoring == "bm25f":
+            raise ValueError("scoring=bm25f serves from the single-index "
+                             "driver-map regime, not the NRT federation")
         from .query import (
             query_terms,
             search_big_fuzzy_federated,
@@ -951,7 +966,7 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                 self.send_error(400, "slop must be an integer")
                 return
             if mode not in ("ranked", "conjunctive", "phrase", "near") or \
-                    scoring not in ("bm25", "tfidf") or slop < 1 or \
+                    scoring not in ("bm25", "tfidf", "bm25f") or slop < 1 or \
                     offset < 0:
                 self.send_error(400, "bad mode/scoring/slop/offset")
                 return
