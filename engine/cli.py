@@ -77,6 +77,10 @@ def main(argv=None):
     pq.add_argument("--k", type=int, default=10)
     pq.add_argument("--mode", default="ranked",
                     choices=["ranked", "conjunctive", "phrase"])
+    pq.add_argument("--scoring", default="bm25",
+                    choices=["bm25", "tfidf", "bm25f"],
+                    help="bm25 (north rule), tfidf (the reference's "
+                         "formula), bm25f (path field boost)")
 
     pi = sub.add_parser("ingest")
     pi.add_argument("--source", required=True)
@@ -266,6 +270,22 @@ def main(argv=None):
             eng = SearchEngine(spark, args.index)
             res = eng.search_fuzzy(q[:-1].lower(), k=args.k,
                                    filters=filters, not_terms=not_terms)
+            print(json.dumps([
+                {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+        elif args.scoring == "tfidf":
+            from engine.query import SearchEngine
+            eng = SearchEngine(spark, args.index)
+            res = eng.search_tfidf_reference(q, k=args.k, filters=filters,
+                                             not_terms=not_terms)
+            print(json.dumps([
+                {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
+        elif args.scoring == "bm25f":
+            if filters or not_terms:
+                raise SystemExit("bm25f takes no filters/NOT terms")
+            from engine.fields import FieldedEngine
+            from engine.query import SearchEngine
+            fe = FieldedEngine(SearchEngine(spark, args.index))
+            res = fe.search(q, k=args.k)
             print(json.dumps([
                 {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
         else:
