@@ -158,6 +158,18 @@ def main() -> None:
     res["verify_index_s"] = round(time.time() - t0, 3)
     assert rep["ok"], rep
 
+    # field-boosted ranking at 1M docs (round 4): the path index builds
+    # from the metadata snapshot only (never re-reads content)
+    from engine.fields import FieldedEngine, ensure_path_index
+    t0 = time.time()
+    ensure_path_index(spark, out)
+    res["path_index_build_s"] = round(time.time() - t0, 2)
+    fe = FieldedEngine(eng)
+    t0 = time.time()
+    rf2 = fe.search("def mod777 return", k=10)
+    res["bm25f_query_s"] = round(time.time() - t0, 3)
+    assert rf2
+
     print(json.dumps(res))
     spark.stop()
 
