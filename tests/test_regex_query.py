@@ -157,6 +157,45 @@ def test_bad_pattern_raises():
         regex_search(None, None, None, r"[bad")
 
 
+_ATOMS = ["foo", "bar", "Baz", "get", "Set", "Value", "new", "x", "_",
+          " ", r"\w+", "[rz]", "(aa|bb)", r"\b", ".", "<", ">", "9"]
+
+
+@st.composite
+def _patterns(draw):
+    """Random valid patterns from a small grammar: concatenations of
+    atoms, with optional grouping/alternation/repetition wrappers."""
+    n = draw(st.integers(1, 6))
+    parts = []
+    for _ in range(n):
+        p = draw(st.sampled_from(_ATOMS))
+        wrap = draw(st.integers(0, 5))
+        if wrap == 1:
+            p = f"({p})"
+        elif wrap == 2:
+            p = f"({p})?"
+        elif wrap == 3 and p not in (r"\b",):
+            p = f"(?:{p})+"
+        parts.append(p)
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pat=_patterns(),
+       text=st.lists(st.sampled_from(
+           _WORDS + list("aB <>_.x(")), max_size=15).map("".join))
+def test_generated_patterns_sound(pat, text):
+    """For ANY grammar-generated pattern: analysis never crashes, is
+    deterministic, and its clauses hold on every matching text."""
+    cls = required_clauses(pat)
+    assert cls == required_clauses(pat)
+    if re.search(pat, _model(text)):
+        toks = set(tokenize(text))
+        for clause in cls:
+            assert any(set(alt) <= toks for alt in clause), \
+                (pat, text, clause, toks)
+
+
 # ---------------------------------------------------------------- layer 3
 
 @pytest.fixture(scope="module")
