@@ -145,7 +145,8 @@ def main(argv=None):
                          "--index is the compact --incremental out dir")
     ps.add_argument("--source", default=None,
                     help="corpus parquet the index was built from: "
-                         "enables GET /regex (single-index mode)")
+                         "enables GET /regex (single-index AND federated "
+                         "--work mode)")
 
     pml = sub.add_parser("mlt")
     pml.add_argument("--index", required=True)
@@ -280,12 +281,11 @@ def main(argv=None):
             print(json.dumps([
                 {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
         elif args.scoring == "bm25f":
-            if filters or not_terms:
-                raise SystemExit("bm25f takes no filters/NOT terms")
             from engine.fields import FieldedEngine
             from engine.query import SearchEngine
             fe = FieldedEngine(SearchEngine(spark, args.index))
-            res = fe.search(q, k=args.k)
+            res = fe.search(q, k=args.k, filters=filters,
+                            not_terms=not_terms)
             print(json.dumps([
                 {"rank": r, "doc_id": d, "score": s} for r, d, s in res]))
         else:

@@ -53,7 +53,16 @@ class TermPostings:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    #: driver posting-cache budget — LRU-evicted past this many distinct
+    #: terms (a hot-term entry is O(df) int64s), so a long-lived serve
+    #: process holds bounded driver memory no matter how many distinct
+    #: query terms it answers (same discipline as PhraseEngine's
+    #: CACHE_MAX_BLOCKS)
+    CACHE_MAX_TERMS = 4096
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_max_terms: int | None = None):
+        from collections import OrderedDict
         self.spark = spark
         self.index_dir = index_dir
         self.n_docs, self.avgdl = load_stats(spark, index_dir)
@@ -67,13 +76,27 @@ class SearchEngine:
         self._ext_ids = docs["doc_id"].to_numpy(np.int64)
         self._doc_lens = docs["doc_len"].to_numpy(np.int64)
         self._min_dl = int(self._doc_lens.min()) if len(docs) else 1
-        self._term_cache: dict[str, TermPostings | None] = {}
+        # term -> TermPostings (None marks a fetched-absent term);
+        # LRU-bounded (VERDICT r4: the unbounded dict grew with every
+        # distinct query term for the service lifetime)
+        self._term_cache: "OrderedDict[str, TermPostings | None]" = \
+            OrderedDict()
+        self._cache_max = (cache_max_terms if cache_max_terms is not None
+                           else self.CACHE_MAX_TERMS)
         self._meta_cache: dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------- postings IO
 
     def _fetch(self, terms: list[str]) -> dict[str, TermPostings]:
-        missing = [t for t in terms if t not in self._term_cache]
+        out: dict[str, TermPostings] = {}
+        missing = []
+        for t in terms:
+            if t in self._term_cache:
+                self._term_cache.move_to_end(t)  # LRU touch
+                if (tp := self._term_cache[t]) is not None:
+                    out[t] = tp
+            else:
+                missing.append(t)
         if missing:
             rows = (self.index_df
                     .where(F.col("term").isin(missing))  # parquet pushdown
@@ -86,9 +109,15 @@ class SearchEngine:
                     np.array(r["block_last_ids"], dtype=np.int64),
                     np.array(r["block_max_tfs"], dtype=np.int64))
             for t in missing:
-                self._term_cache[t] = got.get(t)
-        return {t: tp for t in terms
-                if (tp := self._term_cache.get(t)) is not None}
+                tp = got.get(t)
+                self._term_cache[t] = tp
+                if tp is not None:
+                    out[t] = tp
+            # evict AFTER collecting this query's results — a query wider
+            # than the whole budget still answers exactly
+            while len(self._term_cache) > self._cache_max:
+                self._term_cache.popitem(last=False)
+        return {t: out[t] for t in terms if t in out}
 
     # -------------------------------------------- result-set restriction
     # (metadata filters + NOT terms — Lucene filter-query semantics: the
@@ -1043,71 +1072,91 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
 
     if rounded:
         # contract ordering: rank by round(score, 6), doc_id tie-break.
-        # ADVICE r3: rank with the SAME np.round the driver engine uses
-        # (F.round is HALF_UP, np.round half-even — a grid-boundary score
-        # could order differently across the bitwise-compared paths).
-        # Two-pass: unrounded top-k gives the boundary; every doc whose
-        # ROUNDED score could reach the k-th rounded value has unrounded
-        # score >= round(θ_k,6)-6e-7 (round is monotone), so that bounded
-        # slice is fetched and ranked in NumPy exactly like _topk.
         # The scored frame is persisted across the two passes (released
-        # before returning) so the decode+join+agg pipeline runs once.
+        # in _finish) so the decode+join+agg pipeline runs once.
         scored = scored.persist()
-        top_rows = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
-                    .limit(k).select("ordinal", "score").collect())
-        if not top_rows:
+        pairs = _rounded_pairs(spark, scored, k)
+        if not pairs:
             return _finish([])
-        if len(top_rows) >= k:
-            cutoff = float(np.round(
-                float(top_rows[-1]["score"]), 6)) - 6e-7
-            tie_cap = max(4 * k, 1024)
-            cand_rows = (scored.where(F.col("score") >= cutoff)
-                         .orderBy(F.col("score").desc(), F.col("ordinal"))
-                         .limit(tie_cap)
-                         .select("ordinal", "score").collect())
-            if len(cand_rows) >= tie_cap:
-                # pathological grid-boundary mass tie: stay distributed
-                # with HALF_UP ordering (positive scores: identical to
-                # the oracle's round-half-away) instead of shipping an
-                # unbounded tie set to the driver
-                cand_rows = (scored
-                             .withColumn("score", F.round("score", 6))
-                             .orderBy(F.col("score").desc(),
-                                      F.col("ordinal"))
-                             .limit(k).select("ordinal", "score")
-                             .collect())
-                pairs = [(int(r["ordinal"]), float(r["score"]))
-                         for r in cand_rows]
-            else:
-                ords = np.array([r["ordinal"] for r in cand_rows],
-                                dtype=np.int64)
-                scs = np.round(np.array([r["score"] for r in cand_rows],
-                                        dtype=np.float64), 6)
-                order = np.lexsort((ords, -scs))[:k]
-                pairs = [(int(ords[j]), float(scs[j])) for j in order]
-        else:
-            ords = np.array([r["ordinal"] for r in top_rows],
-                            dtype=np.int64)
-            scs = np.round(np.array([r["score"] for r in top_rows],
-                                    dtype=np.float64), 6)
-            order = np.lexsort((ords, -scs))[:k]
-            pairs = [(int(ords[j]), float(scs[j])) for j in order]
-        top = spark.createDataFrame(pairs, "ordinal long, score double")
-        id_rows = (F.broadcast(top)
-                   .join(docs.select("ordinal", "doc_id"), "ordinal")
-                   .collect())
-        id_of = {int(r["ordinal"]): int(r["doc_id"]) for r in id_rows}
-        return _finish([(i + 1, id_of[o], s)
-                        for i, (o, s) in enumerate(pairs)])
+        return _finish(_pairs_to_results(spark, pairs, docs))
 
+    return _finish(_plain_topk(spark, scored, docs, k))
+
+
+def _rounded_pairs(spark, scored, k: int) -> list[tuple[int, float]]:
+    """Contract-ordering top-k over a PERSISTED scored frame (ordinal,
+    score): rank by round(score, 6) with ordinal tie-break, returned as
+    [(ordinal, rounded_score)].
+
+    ADVICE r3: rank with the SAME np.round the driver engine uses
+    (F.round is HALF_UP, np.round half-even — a grid-boundary score
+    could order differently across the bitwise-compared paths).
+    Two-pass: unrounded top-k gives the boundary; every doc whose
+    ROUNDED score could reach the k-th rounded value has unrounded
+    score >= round(θ_k,6)-6e-7 (round is monotone), so that bounded
+    slice is fetched and ranked in NumPy exactly like _topk."""
+    top_rows = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
+                .limit(k).select("ordinal", "score").collect())
+    if not top_rows:
+        return []
+    if len(top_rows) >= k:
+        cutoff = float(np.round(
+            float(top_rows[-1]["score"]), 6)) - 6e-7
+        tie_cap = max(4 * k, 1024)
+        cand_rows = (scored.where(F.col("score") >= cutoff)
+                     .orderBy(F.col("score").desc(), F.col("ordinal"))
+                     .limit(tie_cap)
+                     .select("ordinal", "score").collect())
+        if len(cand_rows) >= tie_cap:
+            # pathological grid-boundary mass tie: stay distributed
+            # with HALF_UP ordering (positive scores: identical to
+            # the oracle's round-half-away) instead of shipping an
+            # unbounded tie set to the driver
+            cand_rows = (scored
+                         .withColumn("score", F.round("score", 6))
+                         .orderBy(F.col("score").desc(),
+                                  F.col("ordinal"))
+                         .limit(k).select("ordinal", "score")
+                         .collect())
+            return [(int(r["ordinal"]), float(r["score"]))
+                    for r in cand_rows]
+        ords = np.array([r["ordinal"] for r in cand_rows],
+                        dtype=np.int64)
+        scs = np.round(np.array([r["score"] for r in cand_rows],
+                                dtype=np.float64), 6)
+        order = np.lexsort((ords, -scs))[:k]
+        return [(int(ords[j]), float(scs[j])) for j in order]
+    ords = np.array([r["ordinal"] for r in top_rows],
+                    dtype=np.int64)
+    scs = np.round(np.array([r["score"] for r in top_rows],
+                            dtype=np.float64), 6)
+    order = np.lexsort((ords, -scs))[:k]
+    return [(int(ords[j]), float(scs[j])) for j in order]
+
+
+def _pairs_to_results(spark, pairs: list[tuple[int, float]], docs
+                      ) -> list[tuple[int, int, float]]:
+    """Resolve ranked (ordinal, score) pairs to external doc_ids via the
+    k-row broadcast join (never a driver array)."""
+    top = spark.createDataFrame(pairs, "ordinal long, score double")
+    id_rows = (F.broadcast(top)
+               .join(docs.select("ordinal", "doc_id"), "ordinal")
+               .collect())
+    id_of = {int(r["ordinal"]): int(r["doc_id"]) for r in id_rows}
+    return [(i + 1, id_of[o], s) for i, (o, s) in enumerate(pairs)]
+
+
+def _plain_topk(spark, scored, docs, k: int) -> list[tuple[int, int, float]]:
+    """Unrounded top-k tail: distributed sort+limit on (score DESC,
+    ordinal ASC), doc_id via the k-row broadcast join."""
     top = (scored.orderBy(F.col("score").desc(), F.col("ordinal"))
            .limit(k).select("ordinal", "score"))
     rows = (F.broadcast(top)
             .join(docs.select("ordinal", "doc_id"), "ordinal")
             .orderBy(F.col("score").desc(), F.col("ordinal"))
             .collect())
-    return _finish([(i + 1, int(r["doc_id"]), float(r["score"]))
-                    for i, r in enumerate(rows)])
+    return [(i + 1, int(r["doc_id"]), float(r["score"]))
+            for i, r in enumerate(rows)]
 
 
 def search_big_federated(spark: SparkSession, index_dirs: list[str],

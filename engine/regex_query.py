@@ -437,6 +437,68 @@ def _candidates_bounded(spark: SparkSession, index_dir: str, pattern: str
     return matched.where(pred).select("ordinal"), n_bound
 
 
+def _verify_frame(src: DataFrame, pattern: str, id_col: str,
+                  content_col: str) -> DataFrame:
+    """The shared verify tail: ONE vectorized ``Series.str.contains``
+    pass over Arrow batches of ``src`` (model text — tags stripped),
+    returning the single-column ``id_col`` frame of matches. Capture
+    groups are rewritten non-capturing first (regex semantics unchanged)
+    so pandas' "match groups" UserWarning never fires per batch."""
+    quiet = _non_capturing(pattern)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            model = pdf[content_col].str.replace(_TAG_RE, " ", regex=True)
+            hit = model.str.contains(quiet, regex=True, na=False)
+            yield pdf.loc[hit, [id_col]]
+
+    id_field = src.schema[id_col]
+    return src.mapInPandas(
+        verify, schema=f"{id_col} {id_field.dataType.simpleString()}")
+
+
+def _non_capturing(pattern: str) -> str:
+    """``pattern`` with every plain capturing ``(`` rewritten to ``(?:``
+    (match semantics identical — only group numbering changes, and the
+    verify pass never reads groups). Patterns whose rewrite cannot be
+    proven safe (backreferences like ``\\1`` or ``(?P=name)`` NEED their
+    groups) are returned unchanged — the cosmetic warning is better than
+    a semantics change."""
+    if re.search(r"\\\d|\(\?P=", pattern):
+        return pattern
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if c == "[":  # char class: copy verbatim to its closing ]
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            out.append(pattern[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(" and (i + 1 >= n or pattern[i + 1] != "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    rewritten = "".join(out)
+    try:  # the rewrite must stay a valid pattern — else keep the original
+        re.compile(rewritten)
+    except re.error:
+        return pattern
+    return rewritten
+
+
 def regex_search(spark: SparkSession, index_dir: str, source_df: DataFrame,
                  pattern: str, *, id_col: str = "doc_id",
                  content_col: str = "content",
@@ -471,12 +533,60 @@ def regex_search(spark: SparkSession, index_dir: str, source_df: DataFrame,
             cand_ids = F.broadcast(cand_ids)
         src = src.join(cand_ids, id_col, "left_semi")
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            model = pdf[content_col].str.replace(_TAG_RE, " ", regex=True)
-            hit = model.str.contains(pattern, regex=True, na=False)
-            yield pdf.loc[hit, [id_col]]
+    return _verify_frame(src, pattern, id_col, content_col)
 
-    id_field = src.schema[id_col]
-    return src.mapInPandas(
-        verify, schema=f"{id_col} {id_field.dataType.simpleString()}")
+
+def regex_search_federated(spark: SparkSession, index_dirs: list[str],
+                           source_df: DataFrame, pattern: str, *,
+                           id_col: str = "doc_id",
+                           content_col: str = "content",
+                           excludes: list | None = None,
+                           docs_dfs: list | None = None,
+                           prune: bool = True) -> DataFrame:
+    """Regex content search over a doc-disjoint FEDERATION of index
+    segments (VERDICT r4 #2: the NRT serving view — newly ingested,
+    uncompacted docs must be regex-visible without waiting for a
+    compaction). Semantics: doc_ids of ``source_df`` rows that the
+    federation SERVES (some segment's doc, not tombstoned) whose model
+    text matches ``pattern`` — identical to regex_search on the
+    physically merged index with tombstones applied (tests assert it).
+
+    Shape: candidate derivation fans out PER SEGMENT (each segment's own
+    index prunes with its own df-gated clause selection — the same
+    per-segment jobs every other federated mode runs); a segment whose
+    pattern analysis yields no selective requirement contributes its full
+    surviving doc set instead (the per-segment analog of the documented
+    full-scan fallback). Per-segment exclusion arrays (logical deletes)
+    anti-join off the ordinals BEFORE the doc_id map. The unioned id
+    frame semi-joins the source table once, and the ONE vectorized verify
+    pass runs over surviving candidates only."""
+    re.compile(pattern)  # surface bad patterns before any job runs
+    from .query import _excl_value  # late import: query imports us not
+
+    src = source_df.select(F.col(id_col), F.col(content_col))
+    id_frames = []
+    total_bound = 0
+    for i, d in enumerate(index_dirs):
+        man = BuildManifest(d)
+        docs = (docs_dfs[i] if docs_dfs is not None
+                else spark.read.parquet(man.stage_path("docs")))
+        cands, bound = (_candidates_bounded(spark, d, pattern)
+                        if prune else (None, 0))
+        base = docs.select("ordinal", F.col("doc_id").alias(id_col))
+        if cands is not None:
+            base = base.join(cands, "ordinal")
+        else:
+            bound = int(man.state["completed"]["stats"]["metrics"]
+                        ["n_docs"])
+        exc = _excl_value(excludes[i]) if excludes else None
+        if exc is not None:
+            excl_df = F.broadcast(spark.createDataFrame(
+                [(int(o),) for o in exc], "ordinal long"))
+            base = base.join(excl_df, "ordinal", "left_anti")
+        total_bound += bound
+        id_frames.append(base.select(id_col))
+    cand_ids = reduce(lambda a, b: a.unionByName(b), id_frames)
+    if total_bound <= BROADCAST_ID_LIMIT:
+        cand_ids = F.broadcast(cand_ids)
+    src = src.join(cand_ids, id_col, "left_semi")
+    return _verify_frame(src, pattern, id_col, content_col)

@@ -116,6 +116,7 @@ class SearchService:
         self._aliases_df = (
             spark.read.parquet(os.path.join(index_dir, "aliases"))
             if _stage_complete(index_dir, "aliases") else None)
+        self._path_df = None  # lazy warm path_index frame (big bm25f)
         if big:
             self.engine = None
             self._display = None
@@ -166,6 +167,9 @@ class SearchService:
         if self._index_df is not None:
             self._index_df.unpersist()
             self._index_df = None
+        if self._path_df is not None:
+            self._path_df.unpersist()
+            self._path_df = None
         if self.big:
             self._docs_df.unpersist()
 
@@ -441,15 +445,28 @@ class SearchService:
                     filters=filters, not_terms=not_terms)
         elif scoring == "bm25f":
             # field-boosted ranking (engine/fields.py): path hits weigh in.
-            # Driver regime only (the path index is dictionary-scale, but
-            # the scorer rides the driver engine's candidate arrays).
-            if self.big or filters or not_terms:
-                raise ValueError("scoring=bm25f serves from the driver-map"
-                                 " regime without filters/NOT terms")
-            if self._fielded is None:
-                from .fields import FieldedEngine
-                self._fielded = FieldedEngine(self.engine)
-            rows = self._fielded.search(q, k=k)
+            # Both regimes, filters/NOT composed (VERDICT r4 #1): big uses
+            # the zero-driver-array search_big_fielded (path_index frame
+            # persisted warm like index/docs), driver the FieldedEngine.
+            if self.big:
+                from .fields import ensure_path_index, search_big_fielded
+                if self._path_df is None:
+                    from pyspark import StorageLevel
+                    self._path_df = (self.spark.read.parquet(
+                        ensure_path_index(self.spark, self.index_dir))
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+                rows = search_big_fielded(self.spark, self.index_dir, q,
+                                          k=k, index_df=self._index_df,
+                                          docs_df=self._docs_df,
+                                          path_df=self._path_df,
+                                          filters=filters,
+                                          not_terms=not_terms)
+            else:
+                if self._fielded is None:
+                    from .fields import FieldedEngine
+                    self._fielded = FieldedEngine(self.engine)
+                rows = self._fielded.search(q, k=k, filters=filters,
+                                            not_terms=not_terms)
         elif is_fuzzy:
             # single-token trailing-~ fuzzy (edit distance <= 1); like the
             # wildcard, multi-term queries fall through to normal search
@@ -519,10 +536,15 @@ class FederatedSearchService:
     def __init__(self, spark: SparkSession,
                  index_dirs: list[str] | None = None, *,
                  work_dir: str | None = None, out_dir: str | None = None,
-                 n_salts: int = 8, partitions: int = 16):
+                 n_salts: int = 8, partitions: int = 16,
+                 source_path: str | None = None):
         self.spark = spark
         self._work, self._out = work_dir, out_dir
         self._salts, self._parts = n_salts, partitions
+        # the corpus table backing GET /regex (same contract as the
+        # single-index service); None = endpoint disabled with a clear 400
+        self._source_df = (spark.read.parquet(source_path)
+                           if source_path else None)
         if index_dirs is None:
             if work_dir is None or out_dir is None:
                 raise ValueError(
@@ -621,6 +643,21 @@ class FederatedSearchService:
                         b.value if b is not None else None)
         return self._phrases
 
+    def _path_frames(self) -> list:
+        """Per-member warm path_index frames (lazy ensure + persist on
+        first bm25f query, released by the members' close())."""
+        from pyspark import StorageLevel
+
+        from .fields import ensure_path_index
+        out = []
+        for s in self.services:
+            if s._path_df is None:
+                s._path_df = (self.spark.read.parquet(
+                    ensure_path_index(self.spark, s.index_dir))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+            out.append(s._path_df)
+        return out
+
     def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
         ids = [int(d) for d in doc_ids]
         out: dict[int, tuple[str, str, str]] = {}
@@ -680,6 +717,26 @@ class FederatedSearchService:
         return {"query": query,
                 "did_you_mean": apply_corrections(q, corr)}
 
+    def regex_payload(self, pattern: str, k: int = 100) -> list[dict]:
+        """GET /regex over the NRT federation (VERDICT r4 #2): per-segment
+        index-pruned candidates (regex_query.regex_search_federated) with
+        tombstone exclusion, one verify pass over the union — freshly
+        ingested docs are regex-visible before any compaction. Same
+        payload shape as the single-index endpoint."""
+        if self._source_df is None:
+            raise ValueError("regex search needs the corpus table: start "
+                             "the service with --source <corpus parquet>")
+        from .regex_query import regex_search_federated
+        out = regex_search_federated(
+            self.spark, self.index_dirs, self._source_df, pattern,
+            excludes=self._excl_bcs,
+            docs_dfs=[s._docs_df for s in self.services])
+        ids = [int(r["doc_id"]) for r in
+               out.orderBy("doc_id").limit(max(0, k)).collect()]
+        disp = self.resolve_many(ids)
+        return [{"url": disp[i][0], "title": disp[i][1], "doc_id": i}
+                for i in ids]
+
     def facets(self, query: str, fields: list[str], k_values: int = 10,
                mode: str = "ranked") -> dict[str, list[dict]]:
         """EXACT federation facets: members' candidate-metadata frames
@@ -710,9 +767,6 @@ class FederatedSearchService:
         """Same payload contract as SearchService.search_payload, every
         mode federated (tests assert equality against the big service on
         the merged index)."""
-        if scoring == "bm25f":
-            raise ValueError("scoring=bm25f serves from the single-index "
-                             "driver-map regime, not the NRT federation")
         from .query import (
             query_terms,
             search_big_fuzzy_federated,
@@ -759,6 +813,20 @@ class FederatedSearchService:
                 self.spark, self.index_dirs, q,
                 k=min(k, REFERENCE_MAX_RESULTS),
                 idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                excludes=self._excl_bcs, filters=filters,
+                not_terms=not_terms)
+        elif scoring == "bm25f":
+            # field-boosted ranking over the NRT view (VERDICT r4 #1):
+            # per-segment search_big_fielded under the federation's global
+            # two-field weights, k×S merge — freshly ingested docs get the
+            # path boost without waiting for a compaction. Same routing
+            # precedence as the single-index service (phrase/near win,
+            # bm25f beats the trailing-* / ~ shorthands).
+            from .fields import search_big_fielded_federated
+            rows = search_big_fielded_federated(
+                self.spark, self.index_dirs, q, k=k,
+                idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                path_dfs=self._path_frames(),
                 excludes=self._excl_bcs, filters=filters,
                 not_terms=not_terms)
         elif is_fuzzy:
@@ -1010,11 +1078,12 @@ def serve(spark: SparkSession, index_dir: str, host: str = "127.0.0.1",
     """work_dir set -> NRT federated serving: index_dir is the
     compact_incremental out_dir, the service resolves serving_view(work,
     out) at startup and GET /refresh re-resolves it (new ingests become
-    searchable without a compaction). source_path (single-index mode)
-    enables GET /regex over that corpus table."""
+    searchable without a compaction). source_path enables GET /regex over
+    that corpus table in both modes."""
     if work_dir is not None:
         svc: SearchService | FederatedSearchService = FederatedSearchService(
-            spark, work_dir=work_dir, out_dir=index_dir)
+            spark, work_dir=work_dir, out_dir=index_dir,
+            source_path=source_path)
     else:
         svc = SearchService(spark, index_dir, big=big,
                             source_path=source_path)

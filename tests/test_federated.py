@@ -150,6 +150,10 @@ def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
         {"query": "identifier_1*", "mode": "ranked"},
         {"query": "def return", "mode": "phrase"},
         {"query": "def import", "mode": "near", "slop": 3},
+        # field-boosted ranking over the NRT view (VERDICT r4 #1): the
+        # path boost serves federated, filters/NOT composed
+        {"query": "pkg5 def", "scoring": "bm25f"},
+        {"query": "lang:python pkg5 def -import", "scoring": "bm25f"},
     ]
     for cargs in checks:
         assert fed.search_payload(**cargs) == ref.search_payload(**cargs), \

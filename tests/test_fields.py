@@ -96,7 +96,6 @@ def test_weight_zero_is_body_bm25(spark, built_index):
 def test_served_bm25f(spark, built_index, fielded):
     import json
     import threading
-    import urllib.error
     import urllib.request
 
     from engine.server import SearchService, make_server
@@ -112,14 +111,99 @@ def test_served_bm25f(spark, built_index, fielded):
             hits = json.loads(resp.read().decode())
         want = fielded.search("pkg5 def", k=5)
         assert [h["rank_score"] for h in hits] == [s for _r, _d, s in want]
-        # filters/NOT and the big regime refuse with 400, never misserve
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(
-                f"{base}/search?query=lang:py+def&scoring=bm25f",
-                timeout=60)
-        assert e.value.code == 400
+        # filters/NOT compose now (VERDICT r4 #1) — same engine semantics
+        with urllib.request.urlopen(
+                f"{base}/search?query=lang:python+pkg5+def+-import"
+                "&scoring=bm25f&k=5", timeout=60) as resp:
+            hits = json.loads(resp.read().decode())
+        want = fielded.search("pkg5 def", k=5,
+                              filters={"lang": "python"},
+                              not_terms=["import"])
+        assert [h["rank_score"] for h in hits] == [s for _r, _d, s in want]
     finally:
         srv.shutdown()
+
+
+def test_served_bm25f_big_regime(spark, built_index, fielded):
+    """The big-regime service answers scoring=bm25f byte-identically to
+    the driver-map service (VERDICT r4 #1: the 10^12-doc regime must
+    serve the path boost)."""
+    from engine.server import SearchService
+    out, _man = built_index
+    small = SearchService(spark, out)
+    big = SearchService(spark, out, big=True)
+    try:
+        for q in ["pkg5 def", "def return", "lang:java pkg5 def",
+                  "pkg5 def -import"]:
+            assert big.search_payload(q, k=5, scoring="bm25f") == \
+                small.search_payload(q, k=5, scoring="bm25f"), q
+    finally:
+        big.close()
+
+
+QUERIES_BIG = ["def return", "pkg3 static", "mod7 js def", "src",
+               "pkg5", "pkg5 def"]
+
+
+@pytest.mark.parametrize("query", QUERIES_BIG)
+def test_big_fielded_bitwise(spark, built_index, fielded, query):
+    """search_big_fielded (zero-driver-array path) is BITWISE equal to
+    FieldedEngine.search — ranks, doc_ids and float64 scores — in plain
+    and rounded (contract-ordering) modes."""
+    from engine.fields import search_big_fielded
+    out, _man = built_index
+    want = fielded.search(query, k=10)
+    got = search_big_fielded(spark, out, query, k=10,
+                             w_path=fielded.w_path)
+    assert got == want, query
+    want_r = fielded.search(query, k=10, rounded=True)
+    got_r = search_big_fielded(spark, out, query, k=10,
+                               w_path=fielded.w_path, rounded=True)
+    assert got_r == want_r, (query, "rounded")
+
+
+def test_fielded_filters_not_restrict(spark, built_index, fielded,
+                                      fixture_corpus_pdf):
+    """filters/NOT on the fielded engine: the surviving docs' scores are
+    UNCHANGED (stats as built) and exactly the metadata/NOT-restricted
+    prefix of the unrestricted ranking; big path bitwise-equal."""
+    from engine.fields import search_big_fielded
+    from engine.tokenizer import tokenize
+    out, _man = built_index
+    q = "pkg5 def"
+    full = fielded.search(q, k=1200)  # everything
+    meta = {int(r.doc_id): (r.lang, tokenize(r.content))
+            for r in fixture_corpus_pdf.itertuples()}
+    want = [(d, s) for _r, d, s in full
+            if meta[d][0] == "python" and "import" not in meta[d][1]]
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(want[:10])]
+    got = fielded.search(q, k=10, filters={"lang": "python"},
+                         not_terms=["import"])
+    assert got == want
+    got_big = search_big_fielded(spark, out, q, k=10,
+                                 w_path=fielded.w_path,
+                                 filters={"lang": "python"},
+                                 not_terms=["import"])
+    assert got_big == want
+
+
+def test_fielded_lru_cache_bound(spark, built_index):
+    """VERDICT r4: the driver posting caches are LRU-bounded — a
+    pathologically tiny budget (constant eviction) changes no result, and
+    the cache never exceeds its bound after arbitrarily many distinct
+    terms."""
+    out, _man = built_index
+    big_eng = SearchEngine(spark, out)
+    tiny_eng = SearchEngine(spark, out, cache_max_terms=2)
+    big_fe = FieldedEngine(big_eng)
+    tiny_fe = FieldedEngine(tiny_eng, cache_max_terms=2)
+    for q in ["def return", "pkg5 def", "import class self",
+              "identifier_10 static", "pkg3 mod7"]:
+        assert tiny_eng.search(q, k=10) == big_eng.search(q, k=10), q
+        assert tiny_fe.search(q, k=10) == big_fe.search(q, k=10), q
+        assert len(tiny_eng._term_cache) <= 2
+        assert len(tiny_fe._cache) <= 2
+    assert len(big_eng._term_cache) <= SearchEngine.CACHE_MAX_TERMS
 
 
 def test_path_stage_is_metadata_only(spark, built_index):
