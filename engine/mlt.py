@@ -168,6 +168,84 @@ def more_like_this(engine, doc_id: int, k: int = 10,
     return _drop_source(rows, doc_id, k)
 
 
+def mlt_terms_federated(spark: SparkSession, index_dirs: list[str],
+                        doc_id: int, idx_dfs: list | None = None,
+                        m: int = MLT_QUERY_TERMS
+                        ) -> tuple[int, list[str]]:
+    """Steps 1-2 over a doc-disjoint federation: the doc's stored vector
+    comes from its OWNING segment (doc_terms probes segment by segment,
+    alias resolution included), interestingness weights from the
+    FEDERATION's statistics (n_docs = Σ n_docs_i, df(t) = Σ df_i(t) —
+    the same integer sums every federated scorer uses), so the selected
+    terms equal mlt_terms on the merged index (the vector is doc-local
+    and identical in both; tests assert the end-to-end payload parity).
+    doc_terms stages ensure lazily per segment — NRT segments churn with
+    every compaction, so requiring a manual staging step per segment
+    would make the endpoint unusable; the ensure is one postings-decode
+    job per fresh segment, manifest-cached after that."""
+    from .index_build import load_stats_totals
+    if idx_dfs is None:
+        idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
+                   for d in index_dirs]
+    vec = None
+    for d in index_dirs:
+        dt = spark.read.parquet(ensure_doc_terms(spark, d))
+        rows = dt.where(F.col("doc_id") == doc_id).collect()
+        if not rows:
+            canon = _resolve_alias(spark, d, doc_id)
+            if canon != doc_id:
+                rows = dt.where(F.col("doc_id") == canon).collect()
+                if rows:
+                    doc_id = canon
+        if rows:
+            vec = rows
+            break
+    if vec is None:
+        raise ValueError(f"unknown doc_id {doc_id}")
+    n_total = sum(n for n, _ in (load_stats_totals(d) for d in index_dirs))
+    tfs = {r["term"]: int(r["tf"]) for r in vec}
+    dfs: dict[str, int] = {}
+    for idx in idx_dfs:
+        for r in (idx.where(F.col("term").isin(list(tfs)))
+                  .select("term", "df").collect()):
+            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+
+    def weight(t: str) -> float:
+        df = dfs.get(t, 0)
+        return tfs[t] * math.log((n_total - df + 0.5) / (df + 0.5) + 1.0)
+
+    ranked = sorted(tfs, key=lambda t: (-weight(t), t))
+    return doc_id, sorted(ranked[:m])
+
+
+def more_like_this_federated(spark: SparkSession, index_dirs: list[str],
+                             doc_id: int, k: int = 10,
+                             m: int = MLT_QUERY_TERMS,
+                             rounded: bool = False,
+                             idx_dfs: list | None = None,
+                             docs_dfs: list | None = None,
+                             excludes: list | None = None,
+                             filters: dict[str, str] | None = None,
+                             not_terms: list[str] | None = None
+                             ) -> list[tuple[int, int, float]]:
+    """More-like-this over the NRT federation: federation-weighted
+    interesting-term expansion (mlt_terms_federated), then the shared
+    federated ranked tail with k+1 fetch and source-doc drop — equal to
+    more_like_this_big on the merged index (tests assert it)."""
+    from .query import search_big_terms_federated
+    if idx_dfs is None:
+        idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
+                   for d in index_dirs]
+    doc_id, terms = mlt_terms_federated(spark, index_dirs, doc_id,
+                                        idx_dfs=idx_dfs, m=m)
+    rows = search_big_terms_federated(spark, index_dirs, terms, k=k + 1,
+                                      mode="ranked", rounded=rounded,
+                                      idx_dfs=idx_dfs, docs_dfs=docs_dfs,
+                                      excludes=excludes, filters=filters,
+                                      not_terms=not_terms)
+    return _drop_source(rows, doc_id, k)
+
+
 def more_like_this_big(spark: SparkSession, index_dir: str, doc_id: int,
                        k: int = 10, m: int = MLT_QUERY_TERMS,
                        rounded: bool = False, index_df=None, docs_df=None,

@@ -49,12 +49,23 @@ def pd_series_empty(n: int):
 
 
 def render_rows(rows, disp, q: str, is_wild: bool, *, highlight: bool,
-                snippet: bool, snippet_w: int) -> list[dict]:
+                snippet: bool, snippet_w: int,
+                fetch_content=None) -> list[dict]:
     """The shared display tail of both serving services: resolve k rows
     into the reference's result shape, optionally replacing ``body`` with
     the query's best-window snippet (engine/snippets.py) and wrapping
     matches in <em>..</em>. Pure driver-side work on the display tail
-    only; highlight runs AFTER snippet so marks land in the window."""
+    only; highlight runs AFTER snippet so marks land in the window.
+
+    fetch_content (VERDICT r4 #5 — match-aware snippets past the stored
+    prefix): a ``list[doc_id] -> {doc_id: content}`` callback backed by
+    the registered source table (the /regex plumbing). When the best
+    window over the STORED leading snippet matches zero query terms —
+    the match sits past SNIPPET_LEN — the k result docs' full content is
+    fetched in ONE pushdown k-row job and windowed instead, so the
+    snippet is query-relevant wherever the match lives. No source table
+    registered -> the stored-prefix behavior stands (documented
+    fallback); never in a plan either way."""
     hl_terms: list[str] = []
     hl_pfx: tuple[str, ...] = ()
     if highlight or snippet:
@@ -63,14 +74,27 @@ def render_rows(rows, disp, q: str, is_wild: bool, *, highlight: bool,
             hl_pfx = (q[:-1].lower(),)
         else:
             hl_terms = tokenize(q)
+    bodies: dict[int, str] = {}
+    if snippet:
+        from .snippets import make_snippet
+        pending: list[int] = []
+        for _rank, doc_id, _s in rows:
+            _url, _title, body = disp[int(doc_id)]
+            snip = make_snippet(body, hl_terms, hl_pfx, width=snippet_w)
+            if snip is not None:
+                bodies[int(doc_id)] = snip
+            elif fetch_content is not None:
+                pending.append(int(doc_id))
+        if pending:
+            for did, text in fetch_content(sorted(set(pending))).items():
+                snip = make_snippet(text or "", hl_terms, hl_pfx,
+                                    width=snippet_w)
+                if snip is not None:
+                    bodies[int(did)] = snip
     out = []
     for _rank, doc_id, score in rows:
         url, title, body = disp[int(doc_id)]
-        if snippet:
-            from .snippets import make_snippet
-            snip = make_snippet(body, hl_terms, hl_pfx, width=snippet_w)
-            if snip is not None:
-                body = snip
+        body = bodies.get(int(doc_id), body)
         if highlight:
             from .tokenizer import highlight as hl
             title = hl(title, hl_terms, hl_pfx)
@@ -234,6 +258,17 @@ class SearchService:
             return out
         canon, disp = self._canon_disp(ids)
         return {i: disp[c] for i, c in canon.items() if c in disp}
+
+    def _contents_of(self, ids: list[int]) -> dict[int, str]:
+        """doc_id -> full content for a RESULT SET (k ids) from the
+        registered source table — one pushdown k-row job (the /regex
+        plumbing), used by the match-aware snippet fallback."""
+        from pyspark.sql import functions as F
+        if self._source_df is None or not ids:
+            return {}
+        return {int(r["doc_id"]): r["content"] for r in
+                (self._source_df.select("doc_id", "content")
+                 .where(F.col("doc_id").isin(ids)).collect())}
 
     def _phrase_engine(self):
         if self._phrase is None:
@@ -511,7 +546,10 @@ class SearchService:
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         return render_rows(rows, disp, q, is_wild, highlight=highlight,
-                           snippet=snippet, snippet_w=snippet_w)
+                           snippet=snippet, snippet_w=snippet_w,
+                           fetch_content=(self._contents_of
+                                          if self._source_df is not None
+                                          else None))
 
 
 class FederatedSearchService:
@@ -643,6 +681,16 @@ class FederatedSearchService:
                         b.value if b is not None else None)
         return self._phrases
 
+    def _contents_of(self, ids: list[int]) -> dict[int, str]:
+        """Same k-row content fetch as the single-index service — the
+        source table is federation-wide (it backs /regex too)."""
+        from pyspark.sql import functions as F
+        if self._source_df is None or not ids:
+            return {}
+        return {int(r["doc_id"]): r["content"] for r in
+                (self._source_df.select("doc_id", "content")
+                 .where(F.col("doc_id").isin(ids)).collect())}
+
     def _path_frames(self) -> list:
         """Per-member warm path_index frames (lazy ensure + persist on
         first bm25f query, released by the members' close())."""
@@ -716,6 +764,23 @@ class FederatedSearchService:
         corr = correct_terms_federated(idx_dfs, tokenize(q))
         return {"query": query,
                 "did_you_mean": apply_corrections(q, corr)}
+
+    def mlt_payload(self, doc_id: int, k: int = 10) -> list[dict]:
+        """More-like-this over the NRT federation (VERDICT r4 #8): the
+        doc's stored vector from its owning segment, interesting-term
+        ranking under the federation's statistics, the shared federated
+        ranked tail (engine/mlt.py more_like_this_federated). Tombstoned
+        docs drop from results via the members' exclusion sets."""
+        from .mlt import more_like_this_federated
+        rows = more_like_this_federated(
+            self.spark, self.index_dirs, doc_id, k=k,
+            idx_dfs=[s._index_df for s in self.services],
+            docs_dfs=[s._docs_df for s in self.services],
+            excludes=self._excl_bcs)
+        disp = self.resolve_many([d for _r, d, _s in rows])
+        return [{"url": disp[int(d)][0], "rank_score": s,
+                 "title": disp[int(d)][1], "body": disp[int(d)][2]}
+                for _r, d, s in rows]
 
     def regex_payload(self, pattern: str, k: int = 100) -> list[dict]:
         """GET /regex over the NRT federation (VERDICT r4 #2): per-segment
@@ -850,7 +915,10 @@ class FederatedSearchService:
         rows = rows[offset:]
         disp = self.resolve_many([doc_id for _r, doc_id, _s in rows])
         return render_rows(rows, disp, q, is_wild, highlight=highlight,
-                           snippet=snippet, snippet_w=snippet_w)
+                           snippet=snippet, snippet_w=snippet_w,
+                           fetch_content=(self._contents_of
+                                          if self._source_df is not None
+                                          else None))
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",

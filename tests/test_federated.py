@@ -159,6 +159,14 @@ def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
         assert fed.search_payload(**cargs) == ref.search_payload(**cargs), \
             cargs
 
+    # federated /mlt (VERDICT r4 #8): owning-segment vector + federation
+    # interestingness weights == merged-index MLT — for a compacted-gen
+    # doc AND a doc that only exists in the fresh uncompacted segment
+    from engine.mlt import ensure_doc_terms
+    ensure_doc_terms(spark, batch)
+    for did in (int(pdf.iloc[5]["doc_id"]), int(pdf.iloc[150]["doc_id"])):
+        assert fed.mlt_payload(did, k=8) == ref.mlt_payload(did, k=8), did
+
     # NRT reopen: compaction consumes the partials, refresh swaps the view
     gen2 = compact_incremental(spark, work, out, partitions=4)
     assert fed.refresh() == [gen2]

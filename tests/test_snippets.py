@@ -140,3 +140,41 @@ def test_bad_snippet_w_is_400(served):
         except urllib.error.HTTPError as e:
             status = e.code
         assert status == 400
+
+
+def test_snippet_match_past_stored_prefix(spark, tmp_path):
+    """VERDICT r4 #5: when the match sits PAST the stored SNIPPET_LEN
+    prefix, a service with a registered source table fetches the k result
+    docs' content (one pushdown k-row job) and windows THAT — the snippet
+    contains the matched term. Without a source the stored-prefix
+    behavior stands (documented fallback)."""
+    from engine.corpus import content_sha256, corpus_to_spark, make_corpus
+    from engine.index_build import SNIPPET_LEN, build_index
+    from engine.server import SearchService
+
+    pdf = make_corpus(40, seed=17).copy()
+    filler = "alpha " * 60  # 360 chars, no query term in the stored prefix
+    i = pdf.index[0]
+    pdf.loc[i, "content"] = filler + "\nneedlezz target sits here"
+    pdf.loc[i, "content_sha256"] = content_sha256(pdf.loc[i, "content"])
+    assert "needlezz" not in pdf.loc[i, "content"][:SNIPPET_LEN]
+
+    src_pq = str(tmp_path / "srcpq")
+    corpus_to_spark(spark, pdf).write.parquet(src_pq)
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(src_pq), idx,
+                n_salts=4, partitions=4)
+
+    with_src = SearchService(spark, idx, source_path=src_pq)
+    hits = with_src.search_payload("needlezz", k=3, snippet=True)
+    assert hits and any("needlezz" in h["body"] for h in hits)
+    # composes with highlight: the mark lands inside the fetched window
+    hits_hl = with_src.search_payload("needlezz", k=3, snippet=True,
+                                      highlight=True)
+    assert any("<em>needlezz</em>" in h["body"] for h in hits_hl)
+
+    no_src = SearchService(spark, idx)
+    hits2 = no_src.search_payload("needlezz", k=3, snippet=True)
+    # fallback: body stays the stored leading prefix (term not in it)
+    assert hits2 and all("needlezz" not in h["body"] for h in hits2)
+    assert hits2[0]["body"].startswith("alpha")
