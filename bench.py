@@ -334,6 +334,7 @@ def main():
                      "bm25f_topk", "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
+                     "ann_ivf_nprobe4_topk",
                      "neardup_embedding_pairs", "neardup_clusters",
                      "image_decode_features", "frame_sample", "langid_ngram",
                      "winnow_fingerprints", "simhash64", "phrase_docs",
@@ -343,6 +344,14 @@ def main():
             fn = {**cq.queries(), **cq.consolidated_queries()}[name]
             t, _ = _timed(lambda: fn(spark, SF_DIR).collect())
             queries[name] = round(t, 4)
+
+        # the nprobe recall dial (VERDICT r4 #7): recall@5 vs the exact
+        # brute-force baseline at each operating point — quality, not
+        # latency, so it rides its own JSON key
+        from engine.similarity import ivf_recall_at_k
+        ivf_recall = {f"nprobe{n}": round(
+            ivf_recall_at_k(spark, SF_DIR, [0, 1, 2, 3, 4], 5, n), 4)
+            for n in (1, 2, 4, 8)}
     finally:
         spark.stop()
 
@@ -355,6 +364,7 @@ def main():
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "throughput": throughput,
+        "ivf_recall_at5": ivf_recall,
         "scaling": scaling,
     }))
 

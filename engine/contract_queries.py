@@ -1103,6 +1103,14 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K)
 
 
+def q_ann_ivf_nprobe4_topk(spark, sf_dir):
+    """ann_ivf at a SECOND operating point of the nprobe recall dial
+    (VERDICT r4 #7) — same trained index (the ivf_index cache hits),
+    twice the probed cells, mirrored by the same SQL generator."""
+    from .similarity import ann_ivf_topk
+    return ann_ivf_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K, nprobe=4)
+
+
 # ------------------------------------------------- text-analysis extras
 
 LANG_PROFILES = [
@@ -1580,6 +1588,7 @@ def queries():
         "ann_lsh_multitable_topk": q_ann_lsh_multitable_topk,
         "ivf_cells": q_ivf_cells,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_nprobe4_topk": q_ann_ivf_nprobe4_topk,
         "langid_ngram": q_langid_ngram,
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2052,7 +2061,17 @@ def _similarity_oracles() -> dict[str, str]:
         "ivf_cells": f"""
             with {ivf}
             select cell, count(*) as n_vecs from assigned group by cell""",
-        "ann_ivf_topk": f"""
+        "ann_ivf_topk": _ann_ivf_sql(ivf, ann_ql, 2),
+        # nprobe as a first-class dial (VERDICT r4 #7): the recall lever,
+        # verified at a second operating point against the same mirror
+        "ann_ivf_nprobe4_topk": _ann_ivf_sql(ivf, ann_ql, 4),
+    }
+
+
+def _ann_ivf_sql(ivf: str, ann_ql: str, nprobe: int) -> str:
+    """DuckDB mirror of ann_ivf_topk for ANY nprobe (generated from the
+    same constants as the Spark plan — the dial threads through both)."""
+    return f"""
             with {ivf},
             q as (select vec_id as qid, e as qe, nrm as qn from assigned
                   where vec_id in ({ann_ql})),
@@ -2063,7 +2082,7 @@ def _similarity_oracles() -> dict[str, str]:
                          order by round(list_dot_product(q.qe, cents.ce)
                                         / (q.qn * cents.cn), 6) desc,
                                   cents.cid) as prn
-                from q cross join cents) where prn <= 2),
+                from q cross join cents) where prn <= {nprobe}),
             cand as (
               select p.qid, a.vec_id,
                      round(list_dot_product(p.qe, a.e)
@@ -2072,8 +2091,7 @@ def _similarity_oracles() -> dict[str, str]:
               where a.vec_id <> p.qid)
             select qid, row_number() over (partition by qid
                      order by sim desc, vec_id) as rank, vec_id, sim
-            from cand qualify rank <= {ANN_K}""",
-    }
+            from cand qualify rank <= {ANN_K}"""
 
 
 def _pagerank_oracle() -> str:

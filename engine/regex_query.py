@@ -51,9 +51,24 @@ unless the regex itself proves the edge boundary with an adjacent ``\\b``
 boundary: the tokenizer breaks on every non-\\w char, on ``_``, and
 additionally on camelCase transitions). Intra-run boundaries (punctuation
 or camel transitions) depend only on characters inside the run, so they
-survive any embedding. Case-insensitive patterns are not analyzed:
-``FooBar`` under ``re.I`` can match ``FOOBAR``, which tokenizes to one
-term, not two.
+survive any embedding.
+
+Case-insensitive patterns (round 5 — VERDICT r4 #6): under ``re.I`` the
+DOCUMENT's case is unknown, so camelCase splits can appear ANYWHERE
+inside a matched alphabetic span (``FooBar`` can match ``FOOBAR`` — one
+token — or ``fOoBaR`` — three) and no specific interior token can be
+required. What survives every case mapping: for a literal segment whose
+BOTH edges are guaranteed tokenizer boundaries (anchors or breaking
+chars — camel-transition edge proofs are themselves case-dependent and
+disabled), the matched span's tokens PARTITION the span, so its first
+token lowercases to one of the segment's prefix variants and its last
+to one of its suffix variants — two disjunction clauses, enumerated
+over ``str.lower`` images of every document character ``re.I`` can
+match at each position (ı/ſ/İ-style equivalences included — the
+variant table is built by exact ``re.fullmatch`` probes, property-
+tested). A letter-free segment cannot case-vary or camel-split: its
+exact term is required. Segments that would enumerate past
+ICASE_ALT_CAP prove nothing (dropping clauses is always sound).
 """
 
 from __future__ import annotations
@@ -117,28 +132,163 @@ def _ctx_union(ctxs) -> object:
     return BREAK if all_break else frozenset(chars)
 
 
-def _boundary_before(ctx, first: str) -> bool:
+def _boundary_before(ctx, first: str, icase: bool = False) -> bool:
     """Is a token boundary guaranteed between an adjacent char (ctx) and a
     token starting with ``first``? Breaking chars always split; a camel
-    split needs [a-z0-9] then [A-Z] (both chars known)."""
+    split needs [a-z0-9] then [A-Z] (both chars known). Under re.I the
+    camel proof is unavailable (the DOCUMENT's case is hidden): only
+    breaking chars count."""
     if ctx is BREAK:
         return True
     if not isinstance(ctx, frozenset):
         return False
+    if icase:
+        return all(_breaking(c) for c in ctx)
     return all(_breaking(c)
                or (("a" <= c <= "z" or "0" <= c <= "9")
                    and "A" <= first <= "Z") for c in ctx)
 
 
-def _boundary_after(last: str, ctx) -> bool:
+def _boundary_after(last: str, ctx, icase: bool = False) -> bool:
     """Mirror of _boundary_before for a token's right edge."""
     if ctx is BREAK:
         return True
     if not isinstance(ctx, frozenset):
         return False
+    if icase:
+        return all(_breaking(c) for c in ctx)
     return all(_breaking(c)
                or (("a" <= last <= "z" or "0" <= last <= "9")
                    and "A" <= c <= "Z") for c in ctx)
+
+
+def _mk_ctx(chars, icase: bool):
+    """Boundary context emitted by consumed chars: exact char set in
+    case-exact mode; under re.I a cased letter's document form is
+    unknown, so any such char poisons the context to None (digits and
+    breaking chars are caseless and stay)."""
+    fs = frozenset(chars)
+    if icase and any(not _breaking(c) and not c.isdigit() for c in fs):
+        return None
+    return fs
+
+
+#: max enumerated (prefix|suffix) variant alternatives per icase clause
+ICASE_ALT_CAP = 64
+
+_ICASE_POSS: dict[str, tuple[str, ...]] | None = None
+
+
+def _icase_poss() -> dict[str, tuple[str, ...]]:
+    """For each lowercase-ascii [a-z0-9] pattern char ``c``: every string
+    a DOCUMENT character X matched by ``(?i)c`` can contribute to an
+    index term — i.e. ``X.lower()``, the tokenizer's own mapping, which
+    may be multi-char (İ → 'i̇'). Built once (lazily) by scanning the
+    codepoint space for candidates whose lower()/casefold() image leads
+    with ``c``, then keeping exactly those an ``re.fullmatch`` probe
+    CONFIRMS ``(?i)c`` matches — re itself is the authority on its
+    equivalence classes (ı/ſ/K extras included implicitly), so the
+    variant set can't drift from the matcher. Digits are caseless and
+    map to themselves."""
+    global _ICASE_POSS
+    if _ICASE_POSS is not None:
+        return _ICASE_POSS
+    import string
+    import sys
+    targets = set(string.ascii_lowercase)
+    cand: dict[str, set[str]] = {c: {c, c.upper()} for c in targets}
+    for x in range(sys.maxunicode + 1):
+        ch = chr(x)
+        lo, cf = ch.lower(), ch.casefold()
+        if lo and lo[0] in targets:
+            cand[lo[0]].add(ch)
+        if cf and cf[0] in targets:
+            cand[cf[0]].add(ch)
+    try:
+        # re's own extra-equivalence table (ı↔i, ſ↔s, …): members whose
+        # lower/casefold does NOT lead back to the ascii char (ı) are
+        # invisible to the scan above but still match under re.I
+        from re._casefix import _EXTRA_CASES
+        for x, eqs in _EXTRA_CASES.items():
+            ch = chr(x)
+            if ch in targets:
+                cand[ch].update(chr(e) for e in eqs)
+    except ImportError:  # CPython-private module: known latin fallbacks
+        cand["i"].add("ı")
+        cand["s"].add("ſ")
+    out = {d: (d,) for d in string.digits}
+    for c in targets:
+        poss = {c}
+        for ch in cand[c]:
+            if re.fullmatch(f"(?i){re.escape(c)}", ch):
+                poss.add(ch.lower())
+        out[c] = tuple(sorted(poss))
+    _ICASE_POSS = out
+    return out
+
+
+def _seg_clauses_icase(seg: str) -> list[Clause]:
+    """Clauses sound under re.I for ONE boundary-proven lowercase
+    segment (see module docstring): digits-only → the exact term;
+    otherwise the prefix-variant and suffix-variant disjunctions,
+    enumerated over _icase_poss and capped at ICASE_ALT_CAP (a capped
+    segment proves nothing — sound)."""
+    if not all("a" <= ch <= "z" or "0" <= ch <= "9" for ch in seg):
+        return []  # non-ascii pattern literal: not analyzed
+    if not any(ch.isalpha() for ch in seg):
+        return [(frozenset([seg]),)]  # caseless, camel-split-free
+    poss = _icase_poss()
+
+    def variants(piece: str) -> list[str] | None:
+        outs = [""]
+        for ch in piece:
+            outs = [v + p for v in outs for p in poss[ch]]
+            if len(outs) > ICASE_ALT_CAP:
+                return None
+        return outs
+
+    clauses: list[Clause] = []
+    for pieces in ([seg[:j] for j in range(1, len(seg) + 1)],
+                   [seg[j:] for j in range(len(seg))]):
+        alts: list[frozenset[str]] = []
+        ok = True
+        for p in pieces:
+            vs = variants(p)
+            if vs is None or len(alts) + len(vs) > ICASE_ALT_CAP:
+                ok = False
+                break
+            alts.extend(frozenset([v]) for v in vs)
+        if ok:
+            clauses.append(tuple(dict.fromkeys(alts)))
+    return clauses
+
+
+def _run_terms_icase(run: str, left_ctx, right_ctx) -> list[Clause]:
+    """Clauses a document matching literal ``run`` (lowercased pattern
+    chars) under re.I must satisfy: per breaking-char-free segment with
+    BOTH edges proven (anchors/breaking chars; a>0 / b<len mean the
+    neighbor inside the run is itself a breaking char), the
+    prefix/suffix variant disjunctions of _seg_clauses_icase."""
+    clauses: list[Clause] = []
+    n = len(run)
+    segs: list[tuple[int, int]] = []
+    s: int | None = None
+    for i, ch in enumerate(run):
+        if _breaking(ch):
+            if s is not None:
+                segs.append((s, i))
+                s = None
+        elif s is None:
+            s = i
+    if s is not None:
+        segs.append((s, n))
+    for a, b in segs:
+        seg = run[a:b]
+        if ((a > 0 or _boundary_before(left_ctx, seg[0], icase=True))
+                and (b < n or _boundary_after(seg[-1], right_ctx,
+                                              icase=True))):
+            clauses.extend(_seg_clauses_icase(seg))
+    return clauses
 
 
 def _run_terms(run: str, left_ctx, right_ctx) -> frozenset[str]:
@@ -194,35 +344,50 @@ def _in_chars(av) -> Optional[list[str]]:
     return chars
 
 
-def _start_ctx(node):
+def _sub_icase(icase: bool, add_f: int, del_f: int) -> bool:
+    """Effective IGNORECASE inside a (?i:...) / (?-i:...) group."""
+    return (icase or bool(add_f & re.IGNORECASE)) \
+        and not (del_f & re.IGNORECASE)
+
+
+def _start_ctx(node, icase: bool = False):
     """Boundary context a preceding token sees from this node's FIRST
     matched position: BREAK for an anchor, the concrete char set for a
     literal / enumerable charset (recursing into groups, branches, and
-    must-match repeats), None otherwise."""
+    must-match repeats), None otherwise. Under re.I cased letters emit
+    no usable context (_mk_ctx poisons them — their document form is
+    unknown)."""
     if node is None:
         return None
     op, av = node
     if op is sre_c.AT and av in _BREAK_ATS:
         return BREAK
     if op is sre_c.LITERAL:
-        return frozenset(chr(av))
+        c = chr(av).lower() if icase else chr(av)
+        return _mk_ctx([c], icase)
     if op is sre_c.IN:
         chars = _in_chars(av)
-        return frozenset(chars) if chars else None
-    if op is sre_c.SUBPATTERN:
-        _gid, add_f, _del_f, sub = av
-        if add_f & re.IGNORECASE or not list(sub):
+        if not chars:
             return None
-        return _start_ctx(list(sub)[0])
+        if icase:
+            chars = [c.lower() for c in chars]
+            if any(len(c) != 1 for c in chars):
+                return None
+        return _mk_ctx(chars, icase)
+    if op is sre_c.SUBPATTERN:
+        _gid, add_f, del_f, sub = av
+        if not list(sub):
+            return None
+        return _start_ctx(list(sub)[0], _sub_icase(icase, add_f, del_f))
     if op is sre_c.BRANCH:
         _, branches = av
-        return _ctx_union([_start_ctx(list(b)[0]) if list(b) else None
-                           for b in branches])
+        return _ctx_union([_start_ctx(list(b)[0], icase) if list(b)
+                           else None for b in branches])
     if op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT,
               getattr(sre_c, "POSSESSIVE_REPEAT", sre_c.MAX_REPEAT)):
         lo_rep, _hi_rep, sub = av
         if lo_rep >= 1 and list(sub):  # absent repeat = unknown follower
-            return _start_ctx(list(sub)[0])
+            return _start_ctx(list(sub)[0], icase)
     return None
 
 
@@ -235,9 +400,12 @@ def _analyze(seq, icase: bool, left0=None, right0=None
     ``\\b`` OUT of branches and splits ``(get|set)Value`` around the
     group, so context must flow in for both anchor and camelCase edge
     proofs). Returns (clauses, trail_ctx): the context a follower of this
-    sequence sees."""
-    if icase:
-        return [], None
+    sequence sees.
+
+    Under re.I literal runs analyze via _run_terms_icase (prefix/suffix
+    variant disjunctions over boundary-proven segments); multi-choice
+    charset segments prove nothing there (combo × case enumeration is
+    not worth the blowup), and camel-edge proofs are off throughout."""
     from itertools import product
     clauses: list[Clause] = []
     seg: list[list[str]] = []  # per-position character choices
@@ -250,7 +418,11 @@ def _analyze(seq, icase: bool, left0=None, right0=None
             n_comb = 1
             for cs in seg:
                 n_comb *= len(cs)
-            if n_comb == 1:
+            if icase:
+                if n_comb == 1:
+                    clauses.extend(_run_terms_icase(
+                        "".join(c[0] for c in seg), run_left, right_ctx))
+            elif n_comb == 1:
                 got = _run_terms("".join(c[0] for c in seg),
                                  run_left, right_ctx)
                 clauses.extend((frozenset([t]),) for t in sorted(got))
@@ -271,34 +443,40 @@ def _analyze(seq, icase: bool, left0=None, right0=None
     nodes = list(seq)
     for i, (op, av) in enumerate(nodes):
         # context a token ending at this node's start sees from the right
-        nxt_ctx = (_start_ctx(nodes[i + 1]) if i + 1 < len(nodes)
+        nxt_ctx = (_start_ctx(nodes[i + 1], icase) if i + 1 < len(nodes)
                    else right0)
+        in_chars = None
+        if op is sre_c.IN:
+            in_chars = _in_chars(av)
+            if in_chars is not None and icase:
+                in_chars = [c.lower() for c in in_chars]
+                if any(len(c) != 1 for c in in_chars):
+                    in_chars = None  # multi-char lowering: opaque
         if op is sre_c.LITERAL:
+            ch = chr(av).lower() if icase else chr(av)
             if not seg:
                 run_left = prev_ctx
-            seg.append([chr(av)])
-            prev_ctx = frozenset(chr(av))
-        elif op is sre_c.IN and (chars := _in_chars(av)) is not None:
+            seg.append([ch])
+            prev_ctx = _mk_ctx([ch], icase)
+        elif op is sre_c.IN and in_chars is not None:
             if not seg:
                 run_left = prev_ctx
-            seg.append(chars)
-            prev_ctx = frozenset(chars)
+            seg.append(in_chars)
+            prev_ctx = _mk_ctx(in_chars, icase)
         elif op is sre_c.AT and av in _BREAK_ATS:
             flush(BREAK)
             prev_ctx = BREAK
         elif op is sre_c.SUBPATTERN:
-            _gid, add_f, _del_f, sub = av
-            flush(_start_ctx((op, av)))
-            if add_f & re.IGNORECASE:
-                prev_ctx = None
-            else:
-                sub_cl, trail = _analyze(sub, icase, prev_ctx, nxt_ctx)
-                clauses.extend(sub_cl)
-                prev_ctx = trail
+            _gid, add_f, del_f, sub = av
+            flush(_start_ctx((op, av), icase))
+            sub_cl, trail = _analyze(sub, _sub_icase(icase, add_f, del_f),
+                                     prev_ctx, nxt_ctx)
+            clauses.extend(sub_cl)
+            prev_ctx = trail
         elif op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT,
                     getattr(sre_c, "POSSESSIVE_REPEAT", sre_c.MAX_REPEAT)):
             lo_rep, hi_rep, sub = av
-            flush(_start_ctx((op, av)))
+            flush(_start_ctx((op, av), icase))
             # >1 iteration: the sub is adjacent to ITSELF, so neither edge
             # context holds for inner iterations ((aa|bb)+ can match
             # "aabb", one token) — analyze edge-blind unless exactly once
@@ -312,7 +490,7 @@ def _analyze(seq, icase: bool, left0=None, right0=None
             else:  # may be absent: a follower sees either state
                 prev_ctx = _ctx_union([prev_ctx, trail])
         elif op is sre_c.BRANCH:
-            flush(_start_ctx((op, av)))
+            flush(_start_ctx((op, av), icase))
             _, branches = av
             analyzed = [_analyze(b, icase, prev_ctx, nxt_ctx)
                         for b in branches]
@@ -343,7 +521,7 @@ def _analyze(seq, icase: bool, left0=None, right0=None
             # proves nothing
             flush(None)
             prev_ctx = None
-    trail = frozenset("".join(seg[-1])) if seg else prev_ctx
+    trail = _mk_ctx(seg[-1], icase) if seg else prev_ctx
     flush(right0)
     return clauses, trail
 

@@ -387,6 +387,42 @@ def ivf_assign_sql(ivf_k: int = IVF_K,
     return ",".join(parts)
 
 
+def ann_exact_topk(spark, sf_dir, query_ids: list[int], k: int) -> DataFrame:
+    """EXACT cosine top-k (the labeled O(Q×N) brute-force baseline, same
+    rounded-sim + vec_id tie-break rule as every ANN path) — the recall
+    denominator for the IVF/LSH dials."""
+    from pyspark.sql import Window
+    emb_n = _emb(spark, sf_dir).withColumn("nrm", F.sqrt(_dot("e", "e")))
+    q = (emb_n.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("nrm").alias("qn")))
+    cand = (emb_n.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("qid"))
+            .withColumn("sim", F.round(
+                _dot("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "sim"))
+
+
+def ivf_recall_at_k(spark, sf_dir, query_ids: list[int], k: int,
+                    nprobe: int, *, ivf_k: int = IVF_K,
+                    sample_size: int = IVF_SAMPLE_SIZE) -> float:
+    """Mean recall@k of ann_ivf_topk at a given nprobe vs the exact
+    brute-force top-k — the number behind the nprobe dial's bench curve
+    (VERDICT r4 #7). At nprobe == ivf_k every cell is probed, the
+    candidate set is all-vectors and recall is 1.0 by construction
+    (test-enforced)."""
+    exact = {(int(r["qid"]), int(r["vec_id"])) for r in
+             ann_exact_topk(spark, sf_dir, query_ids, k).collect()}
+    got = {(int(r["qid"]), int(r["vec_id"])) for r in
+           ann_ivf_topk(spark, sf_dir, query_ids, k, nprobe=nprobe,
+                        ivf_k=ivf_k, sample_size=sample_size).collect()}
+    return len(got & exact) / max(len(exact), 1)
+
+
 def ann_lsh_multiprobe_topk(spark, sf_dir, query_ids: list[int], k: int,
                             n_planes: int = N_PLANES) -> DataFrame:
     """Multi-probe LSH: probe the query's own bucket plus every 1-bit-flip

@@ -329,3 +329,17 @@ def test_lsh_multitable_recall_superset_of_single(spark):
         # multi's k-th best sim >= single's k-th best sim at every depth
         for i, s in enumerate(sorted(sims, reverse=True)):
             assert i < len(msims) and msims[i] >= s, (qid, i, s, msims)
+
+
+def test_ivf_nprobe_recall_dial(spark):
+    """VERDICT r4 #7: nprobe is a first-class recall dial — recall@5 is
+    non-decreasing in nprobe, crosses 0.7 at a documented operating
+    point, and probing every cell (nprobe == IVF_K) recovers the exact
+    brute-force top-k (recall 1.0 — same sim rounding + tie-break)."""
+    qids = [0, 1, 2, 3, 4]
+    recalls = {np_: sim.ivf_recall_at_k(spark, SF, qids, 5, np_)
+               for np_ in (1, 2, 4, 8)}
+    vals = [recalls[n] for n in (1, 2, 4, 8)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), recalls
+    assert any(v >= 0.7 for v in vals), recalls
+    assert recalls[8] == 1.0, recalls  # IVF_K cells == exhaustive

@@ -37,8 +37,10 @@ E2E_PATTERNS = [
     r"void identifier_\w+ string",
     r"print\nidentifier_79",
     r"[a-z]+_\d+",            # no requirement -> full-scan fallback
-    r"(?i)STATIC FUNCTION",   # ignorecase -> full-scan fallback
+    r"(?i)STATIC FUNCTION",   # icase w/o boundary proofs -> full scan
     r"zzz_not_in_corpus\b",   # prunable, empty result
+    r"(?i)\bIDENTIFIER_41\b",   # icase WITH boundary proofs -> prunable
+    r"(?i)\bRANGE\b (if|FOR)",  # icase variant clauses + branch
 ]
 
 _TAG = re.compile(r"<[^>]*>")
@@ -385,3 +387,93 @@ def test_regex_federated_nrt_with_tombstone(spark, tmp_path):
         sorted(r["doc_id"] for r in full.collect()) == sorted(got_ids)
     fed.close()
     ref.close()
+
+
+# ------------------------------------------- re.IGNORECASE analysis (r5)
+
+ICASE_PATTERNS = [
+    r"(?i)\berror\b",
+    r"(?i)\bNEEDLEZZ\b",
+    r"(?i)\bfoo_bar\b",
+    r"(?i)\b42\b",
+    r"(?i)\b123x\b",
+    r"(?i)error|fatal",          # no boundary proofs -> no clauses
+    r"(?i)\b(foo|barbaz)_qux\b",
+    r"(?i:foo_bar)\b Baz",       # scoped (?i:) group
+    r"\bValue\b(?i: error\b)",   # mixed-case / scoped-icase sequence
+    r"(?i)\bident\b",            # İ/ı equivalence territory
+    r"(?i)\bstatic\b",           # ſ equivalence territory
+]
+
+#: texts with hostile case mappings: camel-splitting case flips, the
+#: re.I-equivalent exotics (İ ı ſ K-Kelvin), mixed snake/camel
+_ICASE_TEXTS = _WORDS + [
+    "ERRor", "erROR", "ErRoR", "İdent", "ıdent", "IDENT", "ſtatic",
+    "STATIC", "StAtIc", "NEEDLEZZ", "nEeDlEzZ", "FOO_bar", "foo_BAR",
+    "BARBAZ_QUX", "barBaz_Qux", "42", "123X", "x42x", "a123Xb",
+    "error", "fatal", "FATAL", "Value ERROR", "Kelvin",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(_ICASE_TEXTS + list("aB <>_.xı ")),
+                max_size=12).map(" ".join))
+def test_icase_clauses_sound(text):
+    """re.I soundness: any document whose model matches an icase pattern
+    satisfies every derived clause — across camel-hostile case mappings
+    AND the re.I equivalence exotics (İ ı ſ Kelvin-K)."""
+    model = _model(text)
+    toks = set(tokenize(text))
+    for pat in ICASE_PATTERNS:
+        if re.search(pat, model):
+            for clause in required_clauses(pat):
+                assert any(set(alt) <= toks for alt in clause), \
+                    (pat, text, clause, toks)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pat=_patterns(),
+       text=st.lists(st.sampled_from(
+           _ICASE_TEXTS + list("aB <>_.x(ı")), max_size=12).map("".join))
+def test_generated_icase_patterns_sound(pat, text):
+    """Grammar-generated patterns under a global (?i): analysis never
+    crashes, is deterministic, and stays sound on hostile-case texts."""
+    pat = "(?i)" + pat
+    cls = required_clauses(pat)
+    assert cls == required_clauses(pat)
+    if re.search(pat, _model(text)):
+        toks = set(tokenize(text))
+        for clause in cls:
+            assert any(set(alt) <= toks for alt in clause), \
+                (pat, text, clause, toks)
+
+
+def test_icase_clause_shapes():
+    # boundary-proven icase literal: prefix + suffix variant disjunctions
+    cls = required_clauses(r"(?i)\bneedlezz\b")
+    assert len(cls) == 2
+    flat = [{next(iter(a)) for a in cl} for cl in cls]
+    assert {"n", "ne", "nee", "need", "needl", "needle", "needlez",
+            "needlezz"} <= (flat[0] | flat[1])
+    assert {"needlezz", "eedlezz", "z", "zz"} <= (flat[0] | flat[1])
+    # digits-only segment: exact single term (cannot case-vary or split)
+    assert (frozenset(["42"]),) in required_clauses(r"(?i)\b42\b")
+    # the İ/ı equivalences ride along for i-containing prefixes
+    cls = required_clauses(r"(?i)\bif_x\b")
+    alts = {next(iter(a)) for cl in cls for a in cl}
+    assert {"i", "ı", "i̇", "if"} <= alts
+    # without boundary proofs: nothing (the unsound cases of r4)
+    assert required_clauses(r"(?i)error|fatal") == []
+    assert required_clauses(r"(?i)FooBar") == []
+
+
+def test_icase_pruning_engages(spark, built_index, fixture_corpus_pdf):
+    """VERDICT r4 #6 done-criterion: a (?i)-flagged rare-literal pattern
+    hits the CANDIDATES path (not the full scan) with matches == full
+    scan == the python-re oracle."""
+    idx, _ = built_index
+    pat = r"(?i)\bIDENTIFIER_41\b"
+    cands = regex_candidates(spark, idx, pat)
+    assert cands is not None, "icase pattern must prune now"
+    n_docs = len(fixture_corpus_pdf)
+    assert 0 < cands.count() < n_docs / 2
