@@ -592,6 +592,19 @@ def q_bm25f_topk(spark, sf_dir):
     return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
 
 
+def q_bm25f_big_topk(spark, sf_dir):
+    """Field-boosted ranking on the ZERO-DRIVER-ARRAY path
+    (fields.search_big_fielded — VERDICT r4 #1) vs the same two-field
+    DuckDB mirror as bm25f_topk; bitwise driver-vs-big equality is
+    separately pytest-asserted (tests/test_fields.py)."""
+    from .fields import search_big_fielded
+    out = _built_engine_dir(spark, sf_dir)
+    rows = search_big_fielded(spark, out, FIELD_QUERY, k=TOPK,
+                              w_path=FIELD_W, rounded=True)
+    pdf = [(int(d), r, float(s)) for r, d, s in rows]
+    return spark.createDataFrame(pdf, "doc_id long, rank long, score_r double")
+
+
 def _bm25f_duck_sql(terms: list[str], k: int, w: float) -> str:
     tl = ",".join(f"'{t}'" for t in sorted(set(terms)))
     return f"""
@@ -655,6 +668,22 @@ def q_regex_search(spark, sf_dir):
     src = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("content"))
     return regex_search(spark, out, src, REGEX_PATTERN)
+
+
+#: case-insensitive twin (r5): same Python-re ∩ RE2 subset, upper-cased
+#: literals under (?i) — the Spark side prunes via the boundary-proven
+#: prefix/suffix variant clauses (regex_query module docstring)
+REGEX_ICASE_PATTERN = r"(?i)\bSPARK (ORDER|SORT) DATA"
+
+
+def q_regex_icase_search(spark, sf_dir):
+    """regex_search under re.IGNORECASE — index-pruned since round 5
+    (VERDICT r4 #6); DuckDB RE2 honors the same inline (?i)."""
+    from .regex_query import regex_search
+    out = _built_engine_dir(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content"))
+    return regex_search(spark, out, src, REGEX_ICASE_PATTERN)
 
 
 def q_training_pairs(spark, sf_dir):
@@ -1916,8 +1945,20 @@ def consolidated_oracles():
             where regexp_matches(
               regexp_replace(text, '<[^>]*>', ' ', 'g'),
               '{REGEX_PATTERN}')""",
+        # case-insensitive regex (r5): the same subset — RE2 honors the
+        # inline (?i) too — now index-PRUNED on the Spark side via the
+        # boundary-proven prefix/suffix variant clauses
+        "regex_icase_search": f"""
+            select doc_id from documents
+            where regexp_matches(
+              regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              '{REGEX_ICASE_PATTERN}')""",
         # field-boosted ranking: bm25_body + w*bm25_path, two-field mirror
         "bm25f_topk": _bm25f_duck_sql(
+            sorted(set(FIELD_QUERY.split())), TOPK, FIELD_W),
+        # the SAME mirror against the zero-driver-array fielded path
+        # (fields.search_big_fielded — VERDICT r4 #1)
+        "bm25f_big_topk": _bm25f_duck_sql(
             sorted(set(FIELD_QUERY.split())), TOPK, FIELD_W),
     }
 
@@ -1940,7 +1981,9 @@ def consolidated_queries():
         "did_you_mean": q_did_you_mean,
         "training_pairs_mined": q_training_pairs,
         "regex_search": q_regex_search,
+        "regex_icase_search": q_regex_icase_search,
         "bm25f_topk": q_bm25f_topk,
+        "bm25f_big_topk": q_bm25f_big_topk,
     }
 
 

@@ -215,9 +215,16 @@ def load_path_stats(index_dir: str) -> int:
                ["total_plen"])
 
 
+#: stats of the last search_big_fielded call (driver-side): body postings
+#: of the queried terms vs posting rows actually emitted by the decode
+#: stage (block-max pruning drops the rest). Test/bench hook.
+last_fielded_prune_stats: dict[str, int] = {}
+
+
 def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                        k: int = 10, w_path: float = PATH_WEIGHT,
-                       rounded: bool = False, index_df=None, docs_df=None,
+                       rounded: bool = False, prune: bool = True,
+                       index_df=None, docs_df=None,
                        path_df=None,
                        global_stats: tuple[int, float] | None = None,
                        df_global: dict[str, int] | None = None,
@@ -246,12 +253,27 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
       the path sum in sorted-term order scaled once);
     - candidates = union of body and path matches (a doc appears iff it
       emitted >= 1 contribution row — pure path hits rank);
-    - filters/NOT restrict the result set via semi/anti joins on the
-      scored frame (exact: this path never prunes — the body θ is not an
-      upper-bound argument once path contributions join, so the first-cut
-      big fielded path trades the MaxScore skip for exactness; the path
-      side is metadata-sized, and an unpruned body pass is the same cost
-      class as unpruned ranked search).
+    - filters/NOT restrict the result set: metadata filters semi-join the
+      scored frame (and restrict the θ-derivation frame, so pruning stays
+      exact over the survivors); NOT terms merge into the decode-level
+      exclusion array under the gated budget (search_big_terms' rule —
+      past it the scored frame anti-joins and pruning is disabled).
+
+    Block-max pruning (ranked MaxScore, extended with the path field):
+    θ = the k-th best exact single-term BODY contribution of the rarest
+    body term — still a valid lower bound on the k-th best FINAL score
+    (path contributions are non-negative). Body-term blocks are skipped
+    when idf·tfw(block_max_tf, dl=0) + Σ other body ubmax + w·Σ path
+    ubmax falls strictly below θ (the path field's total upper bound —
+    from per-term max path tf, one tiny agg — joins the "max help
+    elsewhere" term, keeping the skip score-safe for docs that rank via
+    their path). Non-essential (hot) body terms emit only blocks holding
+    a CANDIDATE — the union of essential-body posting ordinals AND ALL
+    path-posting ordinals (a doc matching only hot body terms and no
+    path scores ≤ Σ hot ubmax < θ; a path-posting doc is always a
+    candidate, so its hot blocks are never lost). Path rows are never
+    pruned (dictionary-scale). Bitwise tests assert pruned == unpruned
+    == driver engine, and a skew test asserts real skipping.
 
     global_stats/df_global/avg_pl_global/pdf_global: the federation's
     corpus-wide weights (search_big_fielded_federated) — same exactness
@@ -263,10 +285,14 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
     import math
 
     import pandas as pd
+    from pyspark.sql import Observation
 
     from .index_build import load_stats
     from .query import (
+        CANDIDATE_SHIP_LIMIT,
+        _big_theta,
         _bm25_contrib_col,
+        _collect_ordinals,
         _excl_value,
         _filters_col,
         _mask_excluded,
@@ -274,6 +300,7 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
         _pairs_to_results,
         _plain_topk,
         _rounded_pairs,
+        _tfw_zero_dl,
     )
 
     terms = query_terms(query)
@@ -298,15 +325,21 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
 
     # ---- per-term statistics (pushdown dictionary probes, k rows each).
     # df for RANKING comes from the federation overrides when given;
-    # segment-local rows still drive which terms emit contributions.
+    # segment-local rows still drive which terms emit contributions and
+    # the pruning geometry (rarest-term choice, candidate-ship gating).
     bmeta = (index_df.where(F.col("term").isin(terms))
-             .select("term", "df").collect())
-    dfs_b = {r["term"]: int(r["df"]) for r in bmeta}
+             .select("term", "df", "max_tf").collect())
+    dfs_b_local = {r["term"]: int(r["df"]) for r in bmeta}
+    max_tf_b = {r["term"]: int(r["max_tf"]) for r in bmeta}
+    dfs_b = dict(dfs_b_local)
     if df_global is not None:
         dfs_b = {t: int(df_global.get(t, dfs_b[t])) for t in dfs_b}
     pmeta = (path_df.where(F.col("term").isin(terms))
-             .groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect())
-    dfs_p = {r["term"]: int(r["df"]) for r in pmeta}
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df"),
+                                  F.max("tf").alias("max_tf")).collect())
+    dfs_p_local = {r["term"]: int(r["df"]) for r in pmeta}
+    max_tf_p = {r["term"]: int(r["max_tf"]) for r in pmeta}
+    dfs_p = dict(dfs_p_local)
     if pdf_global is not None:
         dfs_p = {t: int(pdf_global.get(t, dfs_p[t])) for t in dfs_p}
     if not dfs_b and not dfs_p:
@@ -318,16 +351,116 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
     ordered = sorted(set(terms))
     tidx = {t: i for i, t in enumerate(ordered)}
 
+    # ---- NOT terms: merged into the decode-level exclusion array under
+    # the gated budget (search_big_terms' rule); hotter NOT sets stay
+    # fully distributed (anti-join) and disable pruning — θ derived
+    # before an anti-join could over-prune survivors ----
+    anti_df = None
+    if not_terms:
+        nts = sorted(set(not_terms))
+        nmeta = (index_df.where(F.col("term").isin(nts))
+                 .select("term", "df").collect())
+        npresent = sorted(r["term"] for r in nmeta)
+        if npresent:
+            if sum(int(r["df"]) for r in nmeta) <= CANDIDATE_SHIP_LIMIT:
+                not_ords = _collect_ordinals(index_df, npresent)
+                base = _excl_value(exclude)
+                exclude = (not_ords if base is None
+                           else np.union1d(base, not_ords))
+            else:
+                prune = False
+                anti_df = _ordinals_frame(index_df, npresent)
+
+    dl = docs_df.select("ordinal",
+                        F.col("doc_len").cast("double").alias("dl"))
+    # θ derives over the SURVIVORS of metadata filters (the scoring dl
+    # stays unfiltered — path-only docs bypass it; the filter lands as a
+    # semi-join on the scored frame)
+    dl_theta = dl
+    if filters:
+        dl_theta = (docs_df.where(_filters_col(filters, docs_df.columns))
+                    .select("ordinal",
+                            F.col("doc_len").cast("double").alias("dl")))
+
+    # ---- block-pruning state (see docstring for the safety argument) --
+    skip_target: dict[str, float] = {}
+    noness: frozenset[str] = frozenset()
+    cand_bc = None
+    if prune and dfs_b_local:
+        rare = min(dfs_b_local, key=lambda t: (dfs_b_local[t], t))
+        theta = _big_theta(index_df, dl_theta, rare, _idf(dfs_b[rare]),
+                           k, avgdl, exclude=exclude)
+        if theta is not None:
+            if rounded:
+                theta = float(np.round(theta, 6)) - 6e-7
+            ubb = {t: _idf(dfs_b[t]) * _tfw_zero_dl(float(max_tf_b[t]))
+                   for t in dfs_b_local}
+            total_body = sum(ubb.values())
+            # the path field's total upper bound — the "max help
+            # elsewhere" a doc can collect outside its body blocks
+            path_help = float(w_path) * sum(
+                _idf(dfs_p[t]) * _tfw_zero_dl(float(max_tf_p[t]))
+                for t in dfs_p_local)
+            for t, ub in ubb.items():
+                target = theta - (total_body - ub) - path_help
+                if target > 0.0:
+                    skip_target[t] = target
+            n_set: list[str] = []
+            acc = 0.0
+            for t in sorted(ubb, key=lambda t: (ubb[t], t)):
+                if acc + ubb[t] >= theta:
+                    break
+                acc += ubb[t]
+                n_set.append(t)
+            essential = [t for t in ubb if t not in n_set]
+            if n_set and (sum(dfs_b_local[t] for t in essential)
+                          + sum(dfs_p_local.values())) \
+                    <= CANDIDATE_SHIP_LIMIT:
+                ess = _collect_ordinals(index_df, essential)
+                if dfs_p_local:
+                    ptbl = (path_df
+                            .where(F.col("term").isin(list(dfs_p_local)))
+                            .select("ordinal").distinct().toArrow())
+                    pords = ptbl.column("ordinal").to_numpy(
+                        zero_copy_only=False)
+                    ess = np.union1d(ess, pords)
+                cand_bc = spark.sparkContext.broadcast(ess)
+                noness = frozenset(n_set)
+
     # ---- body contributions (field 0): search_big's decode shape ----
     exc_bc = exclude
+    idf_of = {t: _idf(dfs_b[t]) for t in dfs_b_local}
 
     def explode_blobs(batches):
+        from .codec import BLOCK_SIZE, decode_postings
+        cand = cand_bc.value if cand_bc is not None else None
         exc = _excl_value(exc_bc)
         for pdf in batches:
             outs = []
-            for term, blob in zip(pdf["term"], pdf["postings"]):
-                from .codec import decode_postings
+            for term, blob, bmax, blast in zip(
+                    pdf["term"], pdf["postings"], pdf["block_max_tfs"],
+                    pdf["block_last_ids"]):
+                if term in noness:
+                    # keep only blocks holding >=1 candidate (block i
+                    # spans (last_ids[i-1], last_ids[i]] in ordinals)
+                    last_ids = np.asarray(blast, dtype=np.int64)
+                    lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
+                    keep_b = (np.searchsorted(cand, last_ids, "right")
+                              > np.searchsorted(cand, lo, "right"))
+                else:
+                    target = skip_target.get(term)
+                    if target is None:
+                        keep_b = None
+                    else:
+                        bounds = idf_of[term] * _tfw_zero_dl(
+                            np.asarray(bmax, dtype=np.float64))
+                        keep_b = bounds >= target  # skip iff below
+                if keep_b is not None and not keep_b.any():
+                    continue
                 ids, tfs = decode_postings(bytes(blob))
+                if keep_b is not None and not keep_b.all():
+                    keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
+                    ids, tfs = ids[keep], tfs[keep]
                 if exc is not None and ids.size:
                     ids, tfs = _mask_excluded(ids, tfs, exc)
                 outs.append(pd.DataFrame(
@@ -336,16 +469,17 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    dl = docs_df.select("ordinal",
-                        F.col("doc_len").cast("double").alias("dl"))
     bidf = F.broadcast(spark.createDataFrame(
         [(tidx[t], _idf(df)) for t, df in dfs_b.items()] or
         [(int(-1), 0.0)],
         "term_idx int, idf double"))
+    obs = Observation()
     body_c = (index_df.where(F.col("term").isin(list(dfs_b) or ["\0"]))
-              .select("term", "postings")
+              .select("term", "postings", "block_max_tfs",
+                      "block_last_ids")
               .mapInPandas(explode_blobs,
                            schema="ordinal long, term_idx int, tf double")
+              .observe(obs, F.count(F.lit(1)).alias("emitted"))
               .join(dl, "ordinal").join(bidf, "term_idx")
               .select("ordinal", F.lit(0).alias("field"), "term_idx",
                       _bm25_contrib_col(avgdl).alias("contrib")))
@@ -392,32 +526,46 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                                    lambda x: x["field"] == F.lit(1)))
               ).alias("score")))
 
-    # ---- result-set restriction (exact — this path never prunes) ----
+    # ---- result-set restriction (filters semi-join; NOT either merged
+    # into the exclusion array above or anti-joined here) ----
     if filters:
         scored = scored.join(
             docs_df.where(_filters_col(filters, docs_df.columns))
             .select("ordinal"), "ordinal", "leftsemi")
-    if not_terms:
-        nts = sorted(set(not_terms))
-        scored = scored.join(_ordinals_frame(index_df, nts),
-                             "ordinal", "left_anti")
+    if anti_df is not None:
+        scored = scored.join(anti_df, "ordinal", "left_anti")
+
+    def _finish(result):
+        global last_fielded_prune_stats
+        if cand_bc is not None:
+            cand_bc.unpersist()
+        total = sum(dfs_b_local.values())
+        try:
+            emitted = int(obs.get["emitted"] or 0)
+        except Exception:
+            emitted = 0  # empty-plan AQE collapse (diagnostics only)
+        last_fielded_prune_stats = {
+            "postings_total": total, "postings_emitted": emitted,
+            "postings_skipped": total - emitted,
+            "pruned_terms": len(skip_target) + len(noness)}
+        return result
 
     if rounded:
         scored = scored.persist()
         try:
             pairs = _rounded_pairs(spark, scored, k)
             if not pairs:
-                return []
-            return _pairs_to_results(spark, pairs, docs_df)
+                return _finish([])
+            return _finish(_pairs_to_results(spark, pairs, docs_df))
         finally:
             scored.unpersist()
-    return _plain_topk(spark, scored, docs_df, k)
+    return _finish(_plain_topk(spark, scored, docs_df, k))
 
 
 def search_big_fielded_federated(spark: SparkSession,
                                  index_dirs: list[str], query: str,
                                  k: int = 10, w_path: float = PATH_WEIGHT,
-                                 rounded: bool = False,
+                                 rounded: bool = False, prune: bool = True,
                                  idx_dfs: list | None = None,
                                  docs_dfs: list | None = None,
                                  path_dfs: list | None = None,
@@ -460,7 +608,7 @@ def search_big_fielded_federated(spark: SparkSession,
     for i, d in enumerate(index_dirs):
         for _, doc_id, score in search_big_fielded(
                 spark, d, query, k=k, w_path=w_path, rounded=rounded,
-                index_df=idx_dfs[i],
+                prune=prune, index_df=idx_dfs[i],
                 docs_df=docs_dfs[i] if docs_dfs else None,
                 path_df=path_dfs[i],
                 global_stats=(n_total, avgdl), df_global=df_map,

@@ -261,3 +261,46 @@ def test_pruned_traversal_actually_skips(spark, skew_setup, monkeypatch):
     assert stats["scored"] + stats["skipped"] == stats["candidates"]
     oracle = Bm25Oracle(dict(zip(pdf["doc_id"], pdf["content"])))
     assert pruned == oracle.topk(q, 5)
+
+
+def test_fielded_big_pruning_skips_and_stays_bitwise(spark,
+                                                     hot_rare_setup):
+    """r5: the zero-driver-array FIELDED path prunes too (MaxScore with
+    the path field's upper bound folded into 'max help elsewhere') — a
+    hot+rare query skips most hot body blocks while staying bitwise
+    equal to the driver FieldedEngine and the unpruned path, in plain
+    and rounded regimes; a query whose PATH term matches every doc
+    degrades pruning but never correctness."""
+    from engine import fields as FD
+
+    pdf, out = hot_rare_setup
+    fe = FD.FieldedEngine(SearchEngine(spark, out))
+    # 'py' hits every doc's path; 'needle' is the rare body term
+    for q in ("hot needle", "hot needle py"):
+        for rounded in (False, True):
+            want = fe.search(q, k=5, rounded=rounded)
+            got = FD.search_big_fielded(spark, out, q, k=5,
+                                        rounded=rounded)
+            assert got == want, (q, rounded)
+            assert FD.search_big_fielded(spark, out, q, k=5,
+                                         rounded=rounded,
+                                         prune=False) == want, (q, rounded)
+    # engagement on the pure body hot+rare shape: the hot list is 5000
+    # postings in 40 blocks; only candidate-bearing blocks survive
+    FD.search_big_fielded(spark, out, "hot needle", k=5)
+    stats = FD.last_fielded_prune_stats
+    assert stats["pruned_terms"] >= 1, stats
+    assert stats["postings_skipped"] >= 5000 - 6 * 128, stats
+    assert stats["postings_emitted"] + stats["postings_skipped"] == \
+        stats["postings_total"]
+    # filters/NOT compose with the pruned traversal exactly
+    want = fe.search("hot needle", k=5, filters={"lang": "python"},
+                     not_terms=["w3"])
+    got = FD.search_big_fielded(spark, out, "hot needle", k=5,
+                                filters={"lang": "python"},
+                                not_terms=["w3"])
+    assert got == want
+    assert FD.search_big_fielded(spark, out, "hot needle", k=5,
+                                 prune=False,
+                                 filters={"lang": "python"},
+                                 not_terms=["w3"]) == want
