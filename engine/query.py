@@ -1159,6 +1159,106 @@ def _plain_topk(spark, scored, docs, k: int) -> list[tuple[int, int, float]]:
             for i, r in enumerate(rows)]
 
 
+def explain_big(spark: SparkSession, index_dir: str, query: str,
+                doc_id: int, index_df=None, docs_df=None,
+                global_stats: tuple[int, float] | None = None,
+                df_global: dict[str, int] | None = None) -> dict:
+    """SearchEngine.explain WITHOUT driver doc arrays (r5 — the big
+    regime used to refuse /explain): the doc's (ordinal, doc_len) comes
+    from one pushdown doc_id lookup, per-term (df, tf-at-doc) from an
+    Arrow probe over just the queried terms' posting rows (blobs decode
+    on the EXECUTOR, only a (term, df, tf) triple per term reaches the
+    driver), and the breakdown is computed with the driver engine's
+    exact float64 op order — ``total`` is bitwise the score the big path
+    ranks by (tests assert dict equality vs SearchEngine.explain).
+    global_stats/df_global: federation weights (explain over the NRT
+    view must show the score the federation ranks by)."""
+    import pandas as pd
+
+    n_docs, avgdl = (global_stats if global_stats is not None
+                     else load_stats(spark, index_dir))
+    terms = query_terms(query)
+    if index_df is None:
+        index_df = spark.read.parquet(os.path.join(index_dir, "index"))
+    if docs_df is None:
+        docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
+    drow = (docs_df.where(F.col("doc_id") == int(doc_id))
+            .select("ordinal", "doc_len").collect())
+    if not drow:
+        raise ValueError(f"unknown doc_id {doc_id}")
+    ordinal, dl = int(drow[0]["ordinal"]), float(drow[0]["doc_len"])
+
+    def probe(batches):
+        for pdf in batches:
+            outs = []
+            for term, df_, blob in zip(pdf["term"], pdf["df"],
+                                       pdf["postings"]):
+                ids, tfs = decode_postings(bytes(blob))
+                p = int(np.searchsorted(ids, ordinal))
+                tf = (int(tfs[p])
+                      if p < ids.size and ids[p] == ordinal else 0)
+                outs.append({"term": term, "df": int(df_), "tf": tf})
+            if outs:
+                yield pd.DataFrame(outs)
+
+    got = {r["term"]: (int(r["df"]), int(r["tf"])) for r in
+           (index_df.where(F.col("term").isin(terms))
+            .select("term", "df", "postings")
+            .mapInPandas(probe, schema="term string, df int, tf int")
+            .collect())} if terms else {}
+
+    def _idf(df: int) -> float:
+        return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def _tfw(tf, dlv):
+        return (tf * (K1 + 1.0)) / (
+            tf + K1 * ((1.0 - B) + B * (dlv / avgdl)))
+
+    total = np.float64(0.0)
+    parts = []
+    for t in terms:  # sorted — the engines' accumulation order
+        df_tf = got.get(t)
+        df_rank = (int(df_global.get(t, df_tf[0] if df_tf else 0))
+                   if df_global is not None
+                   else (df_tf[0] if df_tf else 0))
+        ent = {"term": t, "df": df_rank,
+               "idf": _idf(df_rank) if df_tf else None,
+               "tf": 0, "contribution": 0.0}
+        if df_tf and df_tf[1] > 0:
+            tf = np.float64(df_tf[1])
+            c = _idf(df_rank) * _tfw(tf, np.float64(dl))
+            total = total + c
+            ent["tf"] = df_tf[1]
+            ent["contribution"] = float(c)
+        parts.append(ent)
+    return {"query": query, "doc_id": int(doc_id), "doc_len": int(dl),
+            "n_docs": int(n_docs), "avgdl": float(avgdl),
+            "k1": K1, "b": B, "score": float(total), "terms": parts}
+
+
+def explain_big_federated(spark: SparkSession, index_dirs: list[str],
+                          query: str, doc_id: int,
+                          idx_dfs: list | None = None,
+                          docs_dfs: list | None = None) -> dict:
+    """explain over the NRT federation: the doc's tf/doc_len from its
+    OWNING segment, df/n_docs/avgdl the federation's integer sums — so
+    ``score`` is bitwise the score search_big_terms_federated ranks this
+    doc by."""
+    terms = query_terms(query)
+    n_total, avgdl, df_map, idx_dfs = _federation_weights(
+        spark, index_dirs, terms, idx_dfs)
+    for i, d in enumerate(index_dirs):
+        docs = (docs_dfs[i] if docs_dfs is not None
+                else spark.read.parquet(os.path.join(d, "docs")))
+        if (docs.where(F.col("doc_id") == int(doc_id))
+                .limit(1).count()):
+            return explain_big(spark, d, query, doc_id,
+                               index_df=idx_dfs[i], docs_df=docs,
+                               global_stats=(n_total, avgdl),
+                               df_global=df_map)
+    raise ValueError(f"unknown doc_id {doc_id}")
+
+
 def search_big_federated(spark: SparkSession, index_dirs: list[str],
                          query: str, k: int = 10, mode: str = "ranked",
                          rounded: bool = False, prune: bool = True

@@ -330,17 +330,29 @@ class SearchService:
 
     def explain_payload(self, query: str, doc_id: int) -> dict:
         """GET /explain: the per-term BM25 breakdown of one document's
-        score for a query (engine.query.SearchEngine.explain — bitwise
-        the ranked score). Filter/NOT syntax is parsed off first (they
+        score for a query — bitwise the ranked score in BOTH regimes
+        (driver: SearchEngine.explain; big (r5): query.explain_big — the
+        doc's tf probes decode on the executors, only per-term triples
+        reach the driver). Filter/NOT syntax is parsed off first (they
         restrict result sets, never scores); alias doc_ids resolve to
         their canonical before lookup."""
-        if self.engine is None:
-            raise ValueError("explain serves from the driver-map regime "
-                             "(start the service without --big)")
         from .tokenizer import parse_query
         q, _filters, _nots = parse_query(query.strip())
-        did = self._alias.get(int(doc_id), int(doc_id)) \
-            if self._alias else int(doc_id)
+        did = int(doc_id)
+        if self.big:
+            from pyspark.sql import functions as F
+
+            from .query import explain_big
+            if self._aliases_df is not None:
+                arow = (self._aliases_df
+                        .where(F.col("doc_id") == did)
+                        .select("canonical_doc_id").collect())
+                if arow:
+                    did = int(arow[0]["canonical_doc_id"])
+            return explain_big(self.spark, self.index_dir, q, did,
+                               index_df=self._index_df,
+                               docs_df=self._docs_df)
+        did = self._alias.get(did, did) if self._alias else did
         return self.engine.explain(q, did)
 
     def regex_payload(self, pattern: str, k: int = 100) -> list[dict]:
@@ -764,6 +776,30 @@ class FederatedSearchService:
         corr = correct_terms_federated(idx_dfs, tokenize(q))
         return {"query": query,
                 "did_you_mean": apply_corrections(q, corr)}
+
+    def explain_payload(self, query: str, doc_id: int) -> dict:
+        """GET /explain over the NRT federation (r5): the doc's tf from
+        its owning segment, df/n_docs/avgdl the federation's sums —
+        score bitwise what the federated ranker scores this doc
+        (query.explain_big_federated). Alias doc_ids resolve through the
+        owning segment's alias map first."""
+        from pyspark.sql import functions as F
+
+        from .query import explain_big_federated
+        from .tokenizer import parse_query
+        q, _filters, _nots = parse_query(query.strip())
+        did = int(doc_id)
+        for s in self.services:
+            if s._aliases_df is not None:
+                arow = (s._aliases_df.where(F.col("doc_id") == did)
+                        .select("canonical_doc_id").collect())
+                if arow:
+                    did = int(arow[0]["canonical_doc_id"])
+                    break
+        return explain_big_federated(
+            self.spark, self.index_dirs, q, did,
+            idx_dfs=[s._index_df for s in self.services],
+            docs_dfs=[s._docs_df for s in self.services])
 
     def mlt_payload(self, doc_id: int, k: int = 10) -> list[dict]:
         """More-like-this over the NRT federation (VERDICT r4 #8): the

@@ -170,6 +170,39 @@ def main() -> None:
     res["bm25f_query_s"] = round(time.time() - t0, 3)
     assert rf2
 
+    # round 5: the zero-driver-array FIELDED path at 1M docs — pruned
+    # (MaxScore + path upper bound), bitwise equal to the driver engine
+    from engine import fields as FD
+    t0 = time.time()
+    rfb = FD.search_big_fielded(spark, out, "def mod777 return", k=10)
+    res["bm25f_big_query_s"] = round(time.time() - t0, 3)
+    assert rfb == rf2
+    t0 = time.time()
+    rfb2 = FD.search_big_fielded(spark, out, hot_rare, k=10)
+    res["bm25f_big_hot_rare_s"] = round(time.time() - t0, 3)
+    fps = dict(FD.last_fielded_prune_stats)
+    fps["skip_pct"] = round(100.0 * fps["postings_skipped"]
+                            / max(fps["postings_total"], 1), 1)
+    res["bm25f_big_prune_stats"] = fps
+    assert rfb2 == fe.search(hot_rare, k=10)
+
+    # round 5: case-insensitive regex pruning at 1M docs — the icase
+    # analyzer pins the digits-only '1965' segment exactly (letters are
+    # case-ambiguous, digits are not), so candidates match the
+    # case-exact pattern's on this lowercase corpus
+    ipat = r"(?i)\bDEF IDENTIFIER_1965\b"
+    t0 = time.time()
+    icands = regex_candidates(spark, out, ipat)
+    assert icands is not None, "icase pattern must prune"
+    n_icand = icands.count()
+    res["regex_icase_candidates_s"] = round(time.time() - t0, 3)
+    res["regex_icase_candidates_n"] = int(n_icand)
+    t0 = time.time()
+    n_ip = regex_search(spark, out, corpus, ipat).count()
+    res["regex_icase_pruned_s"] = round(time.time() - t0, 3)
+    res["regex_icase_matches_n"] = int(n_ip)
+    assert n_ip == n_pruned and n_icand < N_DOCS / 10
+
     print(json.dumps(res))
     spark.stop()
 

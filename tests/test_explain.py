@@ -82,3 +82,35 @@ def test_explain_endpoint(spark, built_index):
             assert e.value.code == 400
     finally:
         srv.shutdown()
+
+
+@pytest.mark.parametrize("query", ["def return", "static function",
+                                   "identifier_41 def zzz_absent"])
+def test_explain_big_bitwise(spark, built_index, engine, query):
+    """r5: the zero-driver-array explain (query.explain_big) returns the
+    EXACT dict SearchEngine.explain does — floats bitwise, absent terms
+    included."""
+    from engine.query import explain_big
+    out, _man = built_index
+    rows = engine.search(query, k=3, mode="ranked")
+    for _r, doc_id, _s in rows:
+        assert explain_big(spark, out, query, doc_id) == \
+            engine.explain(query, doc_id), (query, doc_id)
+    with pytest.raises(ValueError, match="unknown doc_id"):
+        explain_big(spark, out, query, 12345)
+
+
+def test_explain_big_regime_endpoint(spark, built_index, engine):
+    """The big-regime service now serves /explain byte-identically to
+    the driver-map service."""
+    from engine.server import SearchService
+    out, _man = built_index
+    big = SearchService(spark, out, big=True)
+    small = SearchService(spark, out)
+    try:
+        q = "def return"
+        _r, doc_id, _s = engine.search(q, k=1)[0]
+        assert big.explain_payload(q, doc_id) == \
+            small.explain_payload(q, doc_id)
+    finally:
+        big.close()

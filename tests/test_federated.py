@@ -167,6 +167,13 @@ def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
     for did in (int(pdf.iloc[5]["doc_id"]), int(pdf.iloc[150]["doc_id"])):
         assert fed.mlt_payload(did, k=8) == ref.mlt_payload(did, k=8), did
 
+    # federated /explain (r5): owning-segment tf under federation
+    # weights == the merged-index explain, bitwise — for a compacted-gen
+    # doc AND a fresh-segment doc
+    for did in (int(pdf.iloc[5]["doc_id"]), int(pdf.iloc[150]["doc_id"])):
+        assert fed.explain_payload("def return", did) == \
+            ref.explain_payload("def return", did), did
+
     # NRT reopen: compaction consumes the partials, refresh swaps the view
     gen2 = compact_incremental(spark, work, out, partitions=4)
     assert fed.refresh() == [gen2]
