@@ -334,7 +334,7 @@ def main():
                      "bm25f_topk", "bm25_filtered_topk", "tfidf_rank",
                      "dedup_exact", "minhash_lsh_buckets", "ann_cosine_topk",
                      "ann_lsh_topk", "ivf_cells", "ann_ivf_topk",
-                     "ann_ivf_nprobe4_topk",
+                     "ann_ivf_nprobe4_topk", "ann_ivf_spill_topk",
                      "neardup_embedding_pairs", "neardup_clusters",
                      "image_decode_features", "frame_sample", "langid_ngram",
                      "winnow_fingerprints", "simhash64", "phrase_docs",
@@ -352,6 +352,13 @@ def main():
         ivf_recall = {f"nprobe{n}": round(
             ivf_recall_at_k(spark, SF_DIR, [0, 1, 2, 3, 4], 5, n), 4)
             for n in (1, 2, 4, 8)}
+        # the assign (cell spilling) recall dial (r5): same curve at
+        # 2x index rows — recall ~ coverage 1-(1-nprobe/K)^assign on
+        # this near-isotropic fixture
+        ivf_recall.update({f"assign2_nprobe{n}": round(
+            ivf_recall_at_k(spark, SF_DIR, [0, 1, 2, 3, 4], 5, n,
+                            assign=2), 4)
+            for n in (1, 2, 4)})
     finally:
         spark.stop()
 

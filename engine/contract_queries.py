@@ -1140,6 +1140,20 @@ def q_ann_ivf_nprobe4_topk(spark, sf_dir):
     return ann_ivf_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K, nprobe=4)
 
 
+def q_ann_ivf_spill_topk(spark, sf_dir):
+    """ann_ivf with CELL SPILLING (assign=2): each vector indexed in its
+    top-2 cells, the standard memory-for-recall IVF dial — on this
+    near-isotropic fixture (mean pairwise cosine ~0) cell membership
+    carries little signal, so recall tracks candidate coverage
+    1-(1-nprobe/K)^assign and spilling is the lever that moves it at a
+    fixed nprobe. Same trained centroids (training is assign-invariant),
+    2x the assignment rows, candidates deduped before ranking; mirrored
+    by the same SQL generator at assign=2."""
+    from .similarity import ann_ivf_topk
+    return ann_ivf_topk(spark, sf_dir, ANN_QUERY_IDS, ANN_K, nprobe=2,
+                        assign=2)
+
+
 # ------------------------------------------------- text-analysis extras
 
 LANG_PROFILES = [
@@ -1617,7 +1631,6 @@ def queries():
         "ann_lsh_multitable_topk": q_ann_lsh_multitable_topk,
         "ivf_cells": q_ivf_cells,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_nprobe4_topk": q_ann_ivf_nprobe4_topk,
         "langid_ngram": q_langid_ngram,
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1887,8 +1900,9 @@ def consolidated_oracles():
                                 query surface (lang:en ... -scan) vs a
                                 full-stats-then-restrict SQL oracle.
     """
-    from .similarity import lsh_signature_sql
+    from .similarity import ivf_assign_sql, lsh_signature_sql
     sig = lsh_signature_sql()
+    _ANN_QL = ",".join(str(i) for i in ANN_QUERY_IDS)
     return {
         "doc_lengths": f"select doc_id, count(*) as doc_len from "
                        f"({_TOKENS_SQL}) group by doc_id",
@@ -1960,6 +1974,13 @@ def consolidated_oracles():
         # (fields.search_big_fielded — VERDICT r4 #1)
         "bm25f_big_topk": _bm25f_duck_sql(
             sorted(set(FIELD_QUERY.split())), TOPK, FIELD_W),
+        # the IVF recall dials (VERDICT r4 #7), each verified at a second
+        # operating point against the same generated mirror: nprobe
+        # (probe-time) and assign (index-time cell spilling, r5)
+        "ann_ivf_nprobe4_topk": _ann_ivf_sql(
+            ivf_assign_sql(), _ANN_QL, 4),
+        "ann_ivf_spill_topk": _ann_ivf_sql(
+            ivf_assign_sql(assign=2), _ANN_QL, 2),
     }
 
 
@@ -1984,6 +2005,8 @@ def consolidated_queries():
         "regex_icase_search": q_regex_icase_search,
         "bm25f_topk": q_bm25f_topk,
         "bm25f_big_topk": q_bm25f_big_topk,
+        "ann_ivf_nprobe4_topk": q_ann_ivf_nprobe4_topk,
+        "ann_ivf_spill_topk": q_ann_ivf_spill_topk,
     }
 
 
@@ -2105,18 +2128,19 @@ def _similarity_oracles() -> dict[str, str]:
             with {ivf}
             select cell, count(*) as n_vecs from assigned group by cell""",
         "ann_ivf_topk": _ann_ivf_sql(ivf, ann_ql, 2),
-        # nprobe as a first-class dial (VERDICT r4 #7): the recall lever,
-        # verified at a second operating point against the same mirror
-        "ann_ivf_nprobe4_topk": _ann_ivf_sql(ivf, ann_ql, 4),
     }
 
 
 def _ann_ivf_sql(ivf: str, ann_ql: str, nprobe: int) -> str:
-    """DuckDB mirror of ann_ivf_topk for ANY nprobe (generated from the
-    same constants as the Spark plan — the dial threads through both)."""
+    """DuckDB mirror of ann_ivf_topk for ANY (nprobe, assign) — the dials
+    thread through the `ivf` CTE block (ivf_assign_sql) and this query,
+    generated from the same constants as the Spark plan. Query vectors
+    come from `emb` (with spilling, `assigned` holds one row per
+    (vector, cell)); `cand` is distinct on (qid, vec_id, sim), exact
+    because spill duplicates carry identical sim."""
     return f"""
             with {ivf},
-            q as (select vec_id as qid, e as qe, nrm as qn from assigned
+            q as (select vec_id as qid, e as qe, nrm as qn from emb
                   where vec_id in ({ann_ql})),
             probes as (
               select qid, qe, qn, cid as cell from (
@@ -2127,7 +2151,7 @@ def _ann_ivf_sql(ivf: str, ann_ql: str, nprobe: int) -> str:
                                   cents.cid) as prn
                 from q cross join cents) where prn <= {nprobe}),
             cand as (
-              select p.qid, a.vec_id,
+              select distinct p.qid, a.vec_id,
                      round(list_dot_product(p.qe, a.e)
                            / (p.qn * a.nrm), 6) as sim
               from probes p join assigned a on p.cell = a.cell

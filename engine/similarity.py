@@ -45,6 +45,16 @@ IVF_SAMPLE_SIZE = 256    # FIXED-SIZE deterministic training sample: the
 #                          at O(sample_size x K) at ANY corpus size, and
 #                          selection is one distributed top-S (TakeOrdered)
 IVF_NPROBE = 2
+IVF_ASSIGN = 1           # cell spilling: index each vector in its top-a
+#                          cells (a=1 is classic IVF). On near-isotropic
+#                          embeddings (this fixture: mean pairwise cosine
+#                          ~0, true-NN cosine 0.3-0.45) cell membership
+#                          carries little signal and recall ~ coverage =
+#                          1-(1-nprobe/K)^a — spilling buys recall at a
+#                          linear index-size cost, the standard
+#                          memory-vs-recall dial. Training is unchanged
+#                          (Lloyd stays top-1); only the final assignment
+#                          fans out.
 NEARDUP_MIN_SIM = 0.3    # corpus max pairwise cosine is ~0.48
 
 
@@ -155,22 +165,35 @@ def _init_centroids(samp: DataFrame, k: int = IVF_K) -> DataFrame:
                     F.col("nrm").alias("cn")))
 
 
-def _assign(emb_n: DataFrame, cents: DataFrame) -> DataFrame:
-    """One assignment pass: broadcast the centroid table, argmax rounded
-    cosine (ties -> lowest cid) via groupBy + max_by — a partial-aggregating
-    sort-free plan. The previous Window.partitionBy(vec_id) + row_number
-    shuffled AND sorted all N x K scored rows; max_by map-side-combines
-    them down to one row per vector before the exchange."""
+def _assign(emb_n: DataFrame, cents: DataFrame,
+            assign: int = 1) -> DataFrame:
+    """Assignment pass: broadcast the centroid table, top-`assign` cells
+    per vector by rounded cosine (ties -> lowest cid). assign=1 (training
+    and classic IVF) stays the sort-free groupBy + max_by plan — the
+    partial agg map-side-combines the N x K scored rows down to one per
+    vector before the exchange. assign>1 (cell spilling) collects the K
+    scored structs per vector (K is the fixed, small cell count — never
+    N-proportional), array_sorts them driverlessly, and explodes the top
+    `assign`; same partial-agg shuffle shape, `assign` output rows per
+    vector."""
     scored = (emb_n.crossJoin(F.broadcast(cents))
               .withColumn("csim", F.round(
                   _dot("e", "ce") / (F.col("nrm") * F.col("cn")), 6)))
-    best = (scored.groupBy("vec_id")
-            .agg(F.max_by(
-                F.struct("e", "nrm", "cid"),
-                F.struct(F.col("csim"), (-F.col("cid")).alias("nc")))
-                .alias("x")))
-    return best.select("vec_id", "x.e", "x.nrm",
-                       F.col("x.cid").alias("cell"))
+    if assign <= 1:
+        best = (scored.groupBy("vec_id")
+                .agg(F.max_by(
+                    F.struct("e", "nrm", "cid"),
+                    F.struct(F.col("csim"), (-F.col("cid")).alias("nc")))
+                    .alias("x")))
+        return best.select("vec_id", "x.e", "x.nrm",
+                           F.col("x.cid").alias("cell"))
+    top = (scored.groupBy("vec_id")
+           .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+               (-F.col("csim")).alias("nc"), F.col("cid"),
+               F.col("e"), F.col("nrm")))), 1, assign).alias("xs")))
+    return (top.select("vec_id", F.explode("xs").alias("x"))
+            .select("vec_id", "x.e", "x.nrm",
+                    F.col("x.cid").alias("cell")))
 
 
 def _lloyd_step(samp: DataFrame, cents: DataFrame) -> DataFrame:
@@ -210,11 +233,13 @@ def trained_centroids(emb: DataFrame, *, ivf_k: int = IVF_K,
 
 
 def with_ivf_cell(emb: DataFrame, *, ivf_k: int = IVF_K,
-                  sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
-    """Final assignment against the TRAINED centroids."""
+                  sample_size: int = IVF_SAMPLE_SIZE,
+                  assign: int = IVF_ASSIGN) -> DataFrame:
+    """Final assignment against the TRAINED centroids (top-`assign`
+    cells per vector — cell spilling when assign > 1)."""
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
     return _assign(emb_n, trained_centroids(
-        emb, ivf_k=ivf_k, sample_size=sample_size))
+        emb, ivf_k=ivf_k, sample_size=sample_size), assign)
 
 
 def ivf_cells(spark, sf_dir, *, ivf_k: int = IVF_K,
@@ -244,7 +269,8 @@ _IVF_INDEX: dict[tuple, tuple] = {}  # (sf_dir,k,S) -> (spark, asgn, cents)
 
 
 def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
-              sample_size: int = IVF_SAMPLE_SIZE) -> tuple:
+              sample_size: int = IVF_SAMPLE_SIZE,
+              assign: int = IVF_ASSIGN) -> tuple:
     """Build (once per process per (sf_dir, geometry)) the IVF index:
     trained centroid literals + the PERSISTED cell-assignment table. An
     IVF index is a built artifact exactly like the inverted index —
@@ -253,7 +279,7 @@ def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
     re-executes) the whole training+assignment lineage. persist() here is
     the cluster-memory analog of writing the index to storage
     (MEMORY_AND_DISK by default)."""
-    key = (sf_dir, ivf_k, sample_size)
+    key = (sf_dir, ivf_k, sample_size, assign)
     ent = _IVF_INDEX.get(key)
     if ent is None or ent[0] is not spark:
         # cache entries are bound to the SparkSession that persisted them;
@@ -263,7 +289,7 @@ def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
         emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
         cents = materialized_centroids(spark, emb, ivf_k=ivf_k,
                                        sample_size=sample_size)
-        assigned = _assign(emb_n, cents).persist()
+        assigned = _assign(emb_n, cents, assign).persist()
         assigned.count()  # materialize the index
         _IVF_INDEX[key] = (spark, assigned, cents)
     return _IVF_INDEX[key][1:]
@@ -271,14 +297,17 @@ def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
 
 def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
                  nprobe: int = IVF_NPROBE, *, ivf_k: int = IVF_K,
-                 sample_size: int = IVF_SAMPLE_SIZE) -> DataFrame:
+                 sample_size: int = IVF_SAMPLE_SIZE,
+                 assign: int = IVF_ASSIGN) -> DataFrame:
     """IVF query: rank centroids per query, probe the top-nprobe cells,
-    exact cosine re-rank within probed cells only."""
+    exact cosine re-rank within probed cells only. With cell spilling
+    (assign > 1) a vector living in two probed cells would surface twice,
+    so candidates dedupe on (qid, vec_id) before ranking."""
     from pyspark.sql import Window
     emb = _emb(spark, sf_dir)
     emb_n = emb.withColumn("nrm", F.sqrt(_dot("e", "e")))
     assigned, cents = ivf_index(spark, sf_dir, ivf_k=ivf_k,
-                                sample_size=sample_size)
+                                sample_size=sample_size, assign=assign)
     # query vectors come straight from the source (their OWN cell is
     # irrelevant to probing) so the NxK assignment pass runs exactly once —
     # for the candidate join below — instead of three times
@@ -297,6 +326,11 @@ def ann_ivf_topk(spark, sf_dir, query_ids: list[int], k: int,
             .where(F.col("vec_id") != F.col("qid"))
             .withColumn("sim", F.round(
                 _dot("qe", "e") / (F.col("qn") * F.col("nrm")), 6)))
+    if assign > 1:
+        # duplicates carry identical sim (same qe/e), so a plain distinct
+        # on the projected triple is exact, and its partial agg collapses
+        # them map-side before the ranking exchange
+        cand = cand.select("qid", "vec_id", "sim").distinct()
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
                                           F.col("vec_id"))
     return (cand.withColumn("rank",
@@ -328,9 +362,10 @@ def lsh_signature_sql(n_planes: int = N_PLANES) -> str:
       from embeddings)"""
 
 
-def _sql_assign(src: str, cents: str, out: str) -> str:
-    """CTE assigning `src`(vec_id,e,nrm) to nearest centroid in `cents` —
-    rounded cosine argmax, ties lowest cid, mirroring _assign."""
+def _sql_assign(src: str, cents: str, out: str, assign: int = 1) -> str:
+    """CTE assigning `src`(vec_id,e,nrm) to its top-`assign` centroids in
+    `cents` — rounded cosine order, ties lowest cid, mirroring _assign
+    (assign > 1 = cell spilling)."""
     return f"""
     {out} as (
       select vec_id, e, nrm, cid as cell from (
@@ -339,7 +374,7 @@ def _sql_assign(src: str, cents: str, out: str) -> str:
                  order by round(list_dot_product({src}.e, {cents}.ce)
                                 / ({src}.nrm * {cents}.cn), 6) desc,
                           {cents}.cid) as rn
-        from {src} cross join {cents}) where rn = 1)"""
+        from {src} cross join {cents}) where rn <= {assign})"""
 
 
 def _sql_lloyd(a: str, out: str) -> str:
@@ -357,7 +392,8 @@ def _sql_lloyd(a: str, out: str) -> str:
 
 
 def ivf_assign_sql(ivf_k: int = IVF_K,
-                   sample_size: int = IVF_SAMPLE_SIZE) -> str:
+                   sample_size: int = IVF_SAMPLE_SIZE,
+                   assign: int = IVF_ASSIGN) -> str:
     """DuckDB CTEs `emb`, `cents` (TRAINED), `assigned` mirroring
     trained_centroids + with_ivf_cell: fixed-size lowest-(hv, vec_id)
     training sample -> K-row init -> IVF_LLOYD_ITERS assign/mean rounds
@@ -383,7 +419,7 @@ def ivf_assign_sql(ivf_k: int = IVF_K,
         prev = f"c{i}"
     parts.append(f"""
     cents as (select cid, ce, cn from {prev})""")
-    parts.append(_sql_assign("emb", "cents", "assigned"))
+    parts.append(_sql_assign("emb", "cents", "assigned", assign))
     return ",".join(parts)
 
 
@@ -409,17 +445,19 @@ def ann_exact_topk(spark, sf_dir, query_ids: list[int], k: int) -> DataFrame:
 
 def ivf_recall_at_k(spark, sf_dir, query_ids: list[int], k: int,
                     nprobe: int, *, ivf_k: int = IVF_K,
-                    sample_size: int = IVF_SAMPLE_SIZE) -> float:
-    """Mean recall@k of ann_ivf_topk at a given nprobe vs the exact
-    brute-force top-k — the number behind the nprobe dial's bench curve
-    (VERDICT r4 #7). At nprobe == ivf_k every cell is probed, the
-    candidate set is all-vectors and recall is 1.0 by construction
-    (test-enforced)."""
+                    sample_size: int = IVF_SAMPLE_SIZE,
+                    assign: int = IVF_ASSIGN) -> float:
+    """Mean recall@k of ann_ivf_topk at a given (nprobe, assign) vs the
+    exact brute-force top-k — the numbers behind the two recall dials'
+    bench curves (VERDICT r4 #7). At nprobe == ivf_k every cell is
+    probed, the candidate set is all-vectors and recall is 1.0 by
+    construction (test-enforced)."""
     exact = {(int(r["qid"]), int(r["vec_id"])) for r in
              ann_exact_topk(spark, sf_dir, query_ids, k).collect()}
     got = {(int(r["qid"]), int(r["vec_id"])) for r in
            ann_ivf_topk(spark, sf_dir, query_ids, k, nprobe=nprobe,
-                        ivf_k=ivf_k, sample_size=sample_size).collect()}
+                        ivf_k=ivf_k, sample_size=sample_size,
+                        assign=assign).collect()}
     return len(got & exact) / max(len(exact), 1)
 
 

@@ -343,3 +343,40 @@ def test_ivf_nprobe_recall_dial(spark):
     assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), recalls
     assert any(v >= 0.7 for v in vals), recalls
     assert recalls[8] == 1.0, recalls  # IVF_K cells == exhaustive
+
+
+def test_ivf_cell_spilling_index_shape(spark):
+    """assign=2 (cell spilling, r5): the assignment table holds exactly
+    `assign` rows per vector, each in a DISTINCT cell, and the top-1 cell
+    of every vector equals the classic assign=1 assignment (training is
+    assign-invariant, spilling only widens the fan-out)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "embedding as e")
+    a2 = sim.with_ivf_cell(emb, assign=2)
+    per_vec = (a2.groupBy("vec_id")
+               .agg(F.count("*").alias("n"),
+                    F.countDistinct("cell").alias("nc")).collect())
+    assert all(r["n"] == 2 and r["nc"] == 2 for r in per_vec)
+    n_vecs = emb.count()
+    assert len(per_vec) == n_vecs
+    a1 = {r["vec_id"]: r["cell"]
+          for r in sim.with_ivf_cell(emb, assign=1).collect()}
+    spilled = {}
+    for r in a2.collect():
+        spilled.setdefault(int(r["vec_id"]), set()).add(int(r["cell"]))
+    assert all(a1[v] in cs for v, cs in spilled.items())
+
+
+def test_ivf_spill_recall_dominates_classic(spark):
+    """The assign dial moves recall at FIXED nprobe: recall@5 with
+    spilling (assign=2) is >= the classic index at every nprobe, hits
+    >= 0.7 at an operating point with nprobe < IVF_K, and full probing
+    still recovers brute force exactly."""
+    qids = [0, 1, 2, 3, 4]
+    for np_ in (1, 2, 4):
+        r1 = sim.ivf_recall_at_k(spark, SF, qids, 5, np_, assign=1)
+        r2 = sim.ivf_recall_at_k(spark, SF, qids, 5, np_, assign=2)
+        assert r2 >= r1 - 1e-9, (np_, r1, r2)
+    assert sim.ivf_recall_at_k(spark, SF, qids, 5, 4, assign=2) >= 0.7
+    assert sim.ivf_recall_at_k(spark, SF, qids, 5, sim.IVF_K,
+                               assign=2) == 1.0
