@@ -230,6 +230,7 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                        df_global: dict[str, int] | None = None,
                        avg_pl_global: float | None = None,
                        pdf_global: dict[str, int] | None = None,
+                       pmeta_local: dict[str, tuple[int, int]] | None = None,
                        exclude=None,
                        filters: dict[str, str] | None = None,
                        not_terms: list[str] | None = None
@@ -295,7 +296,7 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
         _collect_ordinals,
         _excl_value,
         _filters_col,
-        _mask_excluded,
+        _make_explode_blobs,
         _ordinals_frame,
         _pairs_to_results,
         _plain_topk,
@@ -334,11 +335,17 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
     dfs_b = dict(dfs_b_local)
     if df_global is not None:
         dfs_b = {t: int(df_global.get(t, dfs_b[t])) for t in dfs_b}
-    pmeta = (path_df.where(F.col("term").isin(terms))
-             .groupBy("term").agg(F.count(F.lit(1)).alias("df"),
-                                  F.max("tf").alias("max_tf")).collect())
-    dfs_p_local = {r["term"]: int(r["df"]) for r in pmeta}
-    max_tf_p = {r["term"]: int(r["max_tf"]) for r in pmeta}
+    if pmeta_local is None:
+        # the federated wrapper passes each segment's (df, max_tf) down
+        # (it already probed them for the global path-df sums) so the
+        # serving hot path runs ONE path-dictionary job per segment
+        pmeta_local = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in
+                       (path_df.where(F.col("term").isin(terms))
+                        .groupBy("term")
+                        .agg(F.count(F.lit(1)).alias("df"),
+                             F.max("tf").alias("max_tf")).collect())}
+    dfs_p_local = {t: dm[0] for t, dm in pmeta_local.items()}
+    max_tf_p = {t: dm[1] for t, dm in pmeta_local.items()}
     dfs_p = dict(dfs_p_local)
     if pdf_global is not None:
         dfs_p = {t: int(pdf_global.get(t, dfs_p[t])) for t in dfs_p}
@@ -427,47 +434,13 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                 cand_bc = spark.sparkContext.broadcast(ess)
                 noness = frozenset(n_set)
 
-    # ---- body contributions (field 0): search_big's decode shape ----
-    exc_bc = exclude
+    # ---- body contributions (field 0): search_big's decode shape,
+    # the SAME kernel (query._make_explode_blobs) with the fielded
+    # skip_targets (path upper bound folded in) and candidate set
+    # (essential body ∪ all path-posting ordinals) ----
     idf_of = {t: _idf(dfs_b[t]) for t in dfs_b_local}
-
-    def explode_blobs(batches):
-        from .codec import BLOCK_SIZE, decode_postings
-        cand = cand_bc.value if cand_bc is not None else None
-        exc = _excl_value(exc_bc)
-        for pdf in batches:
-            outs = []
-            for term, blob, bmax, blast in zip(
-                    pdf["term"], pdf["postings"], pdf["block_max_tfs"],
-                    pdf["block_last_ids"]):
-                if term in noness:
-                    # keep only blocks holding >=1 candidate (block i
-                    # spans (last_ids[i-1], last_ids[i]] in ordinals)
-                    last_ids = np.asarray(blast, dtype=np.int64)
-                    lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
-                    keep_b = (np.searchsorted(cand, last_ids, "right")
-                              > np.searchsorted(cand, lo, "right"))
-                else:
-                    target = skip_target.get(term)
-                    if target is None:
-                        keep_b = None
-                    else:
-                        bounds = idf_of[term] * _tfw_zero_dl(
-                            np.asarray(bmax, dtype=np.float64))
-                        keep_b = bounds >= target  # skip iff below
-                if keep_b is not None and not keep_b.any():
-                    continue
-                ids, tfs = decode_postings(bytes(blob))
-                if keep_b is not None and not keep_b.all():
-                    keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
-                    ids, tfs = ids[keep], tfs[keep]
-                if exc is not None and ids.size:
-                    ids, tfs = _mask_excluded(ids, tfs, exc)
-                outs.append(pd.DataFrame(
-                    {"ordinal": ids, "term_idx": tidx[term],
-                     "tf": tfs.astype(np.float64)}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    explode_blobs = _make_explode_blobs(
+        noness, skip_target, idf_of, tidx, cand_bc, exclude)
 
     bidf = F.broadcast(spark.createDataFrame(
         [(tidx[t], _idf(df)) for t, df in dfs_b.items()] or
@@ -599,11 +572,19 @@ def search_big_fielded_federated(spark: SparkSession,
             ensure_path_index(spark, d)
     avg_pl = sum(load_path_stats(d) for d in index_dirs) / n_total
     pdf_map: dict[str, int] = {}
+    pmetas: list[dict[str, tuple[int, int]]] = []
     for pdf_seg in path_dfs:
-        for r in (pdf_seg.where(F.col("term").isin(terms))
-                  .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-                  .collect()):
-            pdf_map[r["term"]] = pdf_map.get(r["term"], 0) + int(r["df"])
+        # one path-dictionary probe per segment: (df, max_tf) feeds both
+        # the federation-global df sums AND the per-segment call below
+        # (pmeta_local), instead of each segment re-probing
+        m = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in
+             (pdf_seg.where(F.col("term").isin(terms))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("df"),
+                                   F.max("tf").alias("max_tf"))
+              .collect())}
+        pmetas.append(m)
+        for t, (df_, _mt) in m.items():
+            pdf_map[t] = pdf_map.get(t, 0) + df_
     merged: list[tuple[int, float]] = []
     for i, d in enumerate(index_dirs):
         for _, doc_id, score in search_big_fielded(
@@ -613,6 +594,7 @@ def search_big_fielded_federated(spark: SparkSession,
                 path_df=path_dfs[i],
                 global_stats=(n_total, avgdl), df_global=df_map,
                 avg_pl_global=avg_pl, pdf_global=pdf_map,
+                pmeta_local=pmetas[i],
                 exclude=excludes[i] if excludes else None,
                 filters=filters, not_terms=not_terms):
             merged.append((doc_id, score))

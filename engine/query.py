@@ -783,6 +783,60 @@ def _excl_value(exclude) -> np.ndarray | None:
     return arr if arr is not None and arr.size else None
 
 
+def _make_explode_blobs(noness: frozenset, skip_target: dict,
+                        idf_of: dict, term_idx_of: dict,
+                        cand_bc, exclude):
+    """The block-max decode/prune kernel shared by the big regimes
+    (search_big_terms and fields.search_big_fielded — ONE kernel so a fix
+    reaches both): per posting blob, (a) a NON-ESSENTIAL term keeps only
+    blocks holding >=1 candidate ordinal (block i spans
+    (last_ids[i-1], last_ids[i]] in ordinal space, membership by two
+    searchsorteds against the broadcast sorted candidate array);
+    (b) an essential term keeps blocks whose idf * tfw(block max tf,
+    min_dl) upper bound meets its skip_target (skip iff STRICTLY below —
+    the conservative side of the MaxScore proof); then decodes survivors,
+    slices by the BLOCK_SIZE repeat mask (last block may be short), and
+    masks tombstoned ordinals. Emits (ordinal, term_idx, tf) rows."""
+    def explode_blobs(batches):
+        import pandas as pd
+
+        from .codec import BLOCK_SIZE, decode_postings
+        cand = cand_bc.value if cand_bc is not None else None
+        exc = _excl_value(exclude)
+        for pdf in batches:
+            outs = []
+            for term, blob, bmax, blast in zip(
+                    pdf["term"], pdf["postings"], pdf["block_max_tfs"],
+                    pdf["block_last_ids"]):
+                if term in noness:
+                    last_ids = np.asarray(blast, dtype=np.int64)
+                    lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
+                    keep_b = (np.searchsorted(cand, last_ids, "right")
+                              > np.searchsorted(cand, lo, "right"))
+                else:
+                    target = skip_target.get(term)
+                    if target is None:
+                        keep_b = None
+                    else:
+                        bounds = idf_of[term] * _tfw_zero_dl(
+                            np.asarray(bmax, dtype=np.float64))
+                        keep_b = bounds >= target
+                if keep_b is not None and not keep_b.any():
+                    continue
+                ids, tfs = decode_postings(bytes(blob))
+                if keep_b is not None and not keep_b.all():
+                    keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
+                    ids, tfs = ids[keep], tfs[keep]
+                if exc is not None and ids.size:
+                    ids, tfs = _mask_excluded(ids, tfs, exc)
+                outs.append(pd.DataFrame(
+                    {"ordinal": ids, "term_idx": term_idx_of[term],
+                     "tf": tfs.astype(np.float64)}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+    return explode_blobs
+
+
 def _big_theta(index_df, dl, rare_term: str, rare_idf: float, k: int,
                avgdl: float, exclude=None):
     """Phase-1 θ: the k-th best EXACT single-term BM25 contribution of the
@@ -987,44 +1041,9 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                 noness = frozenset(n_set)
 
     idf_of = {t: v[1] for t, v in term_meta.items()}
-
-    def explode_blobs(batches):
-        from .codec import BLOCK_SIZE
-        cand = cand_sorted.value if cand_sorted is not None else None
-        exc = _excl_value(exclude)
-        for pdf in batches:
-            outs = []
-            for term, blob, bmax, blast in zip(
-                    pdf["term"], pdf["postings"], pdf["block_max_tfs"],
-                    pdf["block_last_ids"]):
-                if term in noness:
-                    # keep only blocks holding >=1 candidate: block i spans
-                    # (last_ids[i-1], last_ids[i]] in ordinal space
-                    last_ids = np.asarray(blast, dtype=np.int64)
-                    lo = np.concatenate(([np.int64(-1)], last_ids[:-1]))
-                    keep_b = (np.searchsorted(cand, last_ids, "right")
-                              > np.searchsorted(cand, lo, "right"))
-                else:
-                    target = skip_target.get(term)
-                    if target is None:
-                        keep_b = None
-                    else:
-                        bounds = idf_of[term] * _tfw_zero_dl(
-                            np.asarray(bmax, dtype=np.float64))
-                        keep_b = bounds >= target  # skip iff STRICTLY below
-                if keep_b is not None and not keep_b.any():
-                    continue
-                ids, tfs = decode_postings(bytes(blob))
-                if keep_b is not None and not keep_b.all():
-                    keep = np.repeat(keep_b, BLOCK_SIZE)[:ids.size]
-                    ids, tfs = ids[keep], tfs[keep]
-                if exc is not None and ids.size:
-                    ids, tfs = _mask_excluded(ids, tfs, exc)
-                outs.append(pd.DataFrame(
-                    {"ordinal": ids, "term_idx": term_meta[term][0],
-                     "tf": tfs.astype(np.float64)}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    explode_blobs = _make_explode_blobs(
+        noness, skip_target, idf_of,
+        {t: v[0] for t, v in term_meta.items()}, cand_sorted, exclude)
 
     obs = Observation()
     cdf = (index_df.where(F.col("term").isin(terms))
@@ -1221,8 +1240,13 @@ def explain_big(spark: SparkSession, index_dir: str, query: str,
         df_rank = (int(df_global.get(t, df_tf[0] if df_tf else 0))
                    if df_global is not None
                    else (df_tf[0] if df_tf else 0))
+        # idf keys off the RANKING df (federation-global when federated):
+        # a term the owning segment lacks but another segment knows has
+        # df_rank > 0 and must show its idf exactly like the merged index
+        # would (merged parity is the payload contract); df_rank == 0
+        # (term nowhere in the corpus) -> None, as the driver engine
         ent = {"term": t, "df": df_rank,
-               "idf": _idf(df_rank) if df_tf else None,
+               "idf": _idf(df_rank) if df_rank > 0 else None,
                "tf": 0, "contribution": 0.0}
         if df_tf and df_tf[1] > 0:
             tf = np.float64(df_tf[1])

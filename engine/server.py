@@ -43,6 +43,18 @@ def _stage_complete(index_dir: str, stage: str) -> bool:
     return BuildManifest(index_dir).is_complete(stage)
 
 
+def _contents_from_source(source_df, ids: list[int]) -> dict[int, str]:
+    """doc_id -> full content for a RESULT SET (k ids) from a registered
+    source table — one pushdown k-row job (the /regex plumbing), used by
+    both services' match-aware snippet fallback."""
+    from pyspark.sql import functions as F
+    if source_df is None or not ids:
+        return {}
+    return {int(r["doc_id"]): r["content"] for r in
+            (source_df.select("doc_id", "content")
+             .where(F.col("doc_id").isin(ids)).collect())}
+
+
 def pd_series_empty(n: int):
     import pandas as pd
     return pd.Series([""] * n)
@@ -260,15 +272,7 @@ class SearchService:
         return {i: disp[c] for i, c in canon.items() if c in disp}
 
     def _contents_of(self, ids: list[int]) -> dict[int, str]:
-        """doc_id -> full content for a RESULT SET (k ids) from the
-        registered source table — one pushdown k-row job (the /regex
-        plumbing), used by the match-aware snippet fallback."""
-        from pyspark.sql import functions as F
-        if self._source_df is None or not ids:
-            return {}
-        return {int(r["doc_id"]): r["content"] for r in
-                (self._source_df.select("doc_id", "content")
-                 .where(F.col("doc_id").isin(ids)).collect())}
+        return _contents_from_source(self._source_df, ids)
 
     def _phrase_engine(self):
         if self._phrase is None:
@@ -694,14 +698,8 @@ class FederatedSearchService:
         return self._phrases
 
     def _contents_of(self, ids: list[int]) -> dict[int, str]:
-        """Same k-row content fetch as the single-index service — the
-        source table is federation-wide (it backs /regex too)."""
-        from pyspark.sql import functions as F
-        if self._source_df is None or not ids:
-            return {}
-        return {int(r["doc_id"]): r["content"] for r in
-                (self._source_df.select("doc_id", "content")
-                 .where(F.col("doc_id").isin(ids)).collect())}
+        # the source table is federation-wide (it backs /regex too)
+        return _contents_from_source(self._source_df, ids)
 
     def _path_frames(self) -> list:
         """Per-member warm path_index frames (lazy ensure + persist on

@@ -265,7 +265,8 @@ def materialized_centroids(spark, emb: DataFrame, *, ivf_k: int = IVF_K,
         "cid long, ce array<double>, cn double"))
 
 
-_IVF_INDEX: dict[tuple, tuple] = {}  # (sf_dir,k,S) -> (spark, asgn, cents)
+_IVF_INDEX: dict[tuple, tuple] = {}  # (sf_dir,k,S,a) -> (spark,asgn,cents)
+_EXACT_TOPK: dict[tuple, tuple] = {}  # (sf_dir,qids,k) -> (spark, id-set)
 
 
 def ivf_index(spark, sf_dir, *, ivf_k: int = IVF_K,
@@ -452,8 +453,15 @@ def ivf_recall_at_k(spark, sf_dir, query_ids: list[int], k: int,
     bench curves (VERDICT r4 #7). At nprobe == ivf_k every cell is
     probed, the candidate set is all-vectors and recall is 1.0 by
     construction (test-enforced)."""
-    exact = {(int(r["qid"]), int(r["vec_id"])) for r in
-             ann_exact_topk(spark, sf_dir, query_ids, k).collect()}
+    ekey = (sf_dir, tuple(query_ids), k)
+    ent = _EXACT_TOPK.get(ekey)
+    if ent is None or ent[0] is not spark:
+        # the O(Q x N) brute-force denominator is (nprobe, assign)-
+        # invariant — compute it once per sweep, not once per dial point
+        _EXACT_TOPK[ekey] = (spark, {
+            (int(r["qid"]), int(r["vec_id"])) for r in
+            ann_exact_topk(spark, sf_dir, query_ids, k).collect()})
+    exact = _EXACT_TOPK[ekey][1]
     got = {(int(r["qid"]), int(r["vec_id"])) for r in
            ann_ivf_topk(spark, sf_dir, query_ids, k, nprobe=nprobe,
                         ivf_k=ivf_k, sample_size=sample_size,

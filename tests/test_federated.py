@@ -126,6 +126,14 @@ def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
     from engine.server import FederatedSearchService, SearchService
 
     pdf = make_corpus(200, seed=29)
+    # plant a term that exists ONLY in wave2 (the fresh, uncompacted
+    # segment): /explain of a compacted-gen doc for this term must show
+    # the federation-global idf even though the doc's OWNING segment has
+    # no posting row for it (r5 review fix — idf keys off df_rank)
+    from engine.corpus import content_sha256
+    pdf.loc[pdf.index[150], "content"] += "\nfreshsegmentonly"
+    pdf.loc[pdf.index[150], "content_sha256"] = content_sha256(
+        pdf.iloc[150]["content"])
     wave1, wave2 = pdf.iloc[:120], pdf.iloc[120:]
     src, work, out = (str(tmp_path / d) for d in ("src", "work", "out"))
     os.makedirs(src)
@@ -173,6 +181,17 @@ def test_federated_service_payload_parity_and_refresh(spark, tmp_path):
     for did in (int(pdf.iloc[5]["doc_id"]), int(pdf.iloc[150]["doc_id"])):
         assert fed.explain_payload("def return", did) == \
             ref.explain_payload("def return", did), did
+    # a term the owning (compacted) segment lacks but the fresh segment
+    # knows: merged parity requires df = federation df with its idf set,
+    # tf = 0, contribution 0 — not idf: null
+    exp_fed = fed.explain_payload("def freshsegmentonly",
+                                  int(pdf.iloc[5]["doc_id"]))
+    assert exp_fed == ref.explain_payload("def freshsegmentonly",
+                                          int(pdf.iloc[5]["doc_id"]))
+    fresh_ent = [e for e in exp_fed["terms"]
+                 if e["term"] == "freshsegmentonly"][0]
+    assert fresh_ent["df"] == 1 and fresh_ent["idf"] is not None
+    assert fresh_ent["tf"] == 0 and fresh_ent["contribution"] == 0.0
 
     # NRT reopen: compaction consumes the partials, refresh swaps the view
     gen2 = compact_incremental(spark, work, out, partitions=4)
