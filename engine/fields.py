@@ -98,6 +98,12 @@ def ensure_path_index(spark: SparkSession, index_dir: str) -> str:
     return base
 
 
+def path_lens_parquet(index_dir: str) -> str:
+    """Location of the per-doc path-length table (for callers that keep
+    it persisted warm alongside the path_index frame)."""
+    return BuildManifest(index_dir).stage_path("path_lens")
+
+
 class FieldedEngine:
     """Driver-regime field-boosted scorer on top of a SearchEngine (the
     same regime as the display maps: per-doc path lengths live in one
@@ -225,7 +231,7 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                        k: int = 10, w_path: float = PATH_WEIGHT,
                        rounded: bool = False, prune: bool = True,
                        index_df=None, docs_df=None,
-                       path_df=None,
+                       path_df=None, path_lens_df=None,
                        global_stats: tuple[int, float] | None = None,
                        df_global: dict[str, int] | None = None,
                        avg_pl_global: float | None = None,
@@ -294,9 +300,11 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
         _big_theta,
         _bm25_contrib_col,
         _collect_ordinals,
+        _excl_frame,
         _excl_value,
         _filters_col,
         _make_explode_blobs,
+        _maxscore_state,
         _ordinals_frame,
         _pairs_to_results,
         _plain_topk,
@@ -398,41 +406,31 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
         theta = _big_theta(index_df, dl_theta, rare, _idf(dfs_b[rare]),
                            k, avgdl, exclude=exclude)
         if theta is not None:
-            if rounded:
-                theta = float(np.round(theta, 6)) - 6e-7
             ubb = {t: _idf(dfs_b[t]) * _tfw_zero_dl(float(max_tf_b[t]))
                    for t in dfs_b_local}
-            total_body = sum(ubb.values())
             # the path field's total upper bound — the "max help
             # elsewhere" a doc can collect outside its body blocks
             path_help = float(w_path) * sum(
                 _idf(dfs_p[t]) * _tfw_zero_dl(float(max_tf_p[t]))
                 for t in dfs_p_local)
-            for t, ub in ubb.items():
-                target = theta - (total_body - ub) - path_help
-                if target > 0.0:
-                    skip_target[t] = target
-            n_set: list[str] = []
-            acc = 0.0
-            for t in sorted(ubb, key=lambda t: (ubb[t], t)):
-                if acc + ubb[t] >= theta:
-                    break
-                acc += ubb[t]
-                n_set.append(t)
-            essential = [t for t in ubb if t not in n_set]
-            if n_set and (sum(dfs_b_local[t] for t in essential)
-                          + sum(dfs_p_local.values())) \
-                    <= CANDIDATE_SHIP_LIMIT:
-                ess = _collect_ordinals(index_df, essential)
-                if dfs_p_local:
-                    ptbl = (path_df
-                            .where(F.col("term").isin(list(dfs_p_local)))
-                            .select("ordinal").distinct().toArrow())
-                    pords = ptbl.column("ordinal").to_numpy(
-                        zero_copy_only=False)
-                    ess = np.union1d(ess, pords)
-                cand_bc = spark.sparkContext.broadcast(ess)
-                noness = frozenset(n_set)
+
+            def _path_ordinals():
+                # every path-posting doc must stay a candidate (it can
+                # rank via its path alone); fetched only when the ship
+                # gate passes
+                if not dfs_p_local:
+                    return None
+                ptbl = (path_df
+                        .where(F.col("term").isin(list(dfs_p_local)))
+                        .select("ordinal").distinct().toArrow())
+                return ptbl.column("ordinal").to_numpy(
+                    zero_copy_only=False)
+
+            skip_target, noness, cand_bc = _maxscore_state(
+                spark, index_df, theta, rounded, ubb, dfs_b_local,
+                extra_help=path_help,
+                extra_df=sum(dfs_p_local.values()),
+                extra_cands=_path_ordinals)
 
     # ---- body contributions (field 0): search_big's decode shape,
     # the SAME kernel (query._make_explode_blobs) with the fielded
@@ -458,8 +456,12 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                       _bm25_contrib_col(avgdl).alias("contrib")))
 
     # ---- path contributions (field 1): plain rows, pure JVM ----
-    pl = (spark.read.parquet(man.stage_path("path_lens"))
-          .select("ordinal", F.col("plen").cast("double").alias("dl")))
+    # (the serving paths pass path_lens_df persisted warm — the per-doc
+    # plen table is O(n_docs) rows and must not re-scan per query)
+    if path_lens_df is None:
+        path_lens_df = spark.read.parquet(man.stage_path("path_lens"))
+    pl = path_lens_df.select(
+        "ordinal", F.col("plen").cast("double").alias("dl"))
     pidf = F.broadcast(spark.createDataFrame(
         [(tidx[t], _idf(df)) for t, df in dfs_p.items()] or
         [(int(-1), 0.0)],
@@ -472,9 +474,8 @@ def search_big_fielded(spark: SparkSession, index_dir: str, query: str,
                          F.col("tf").cast("double").alias("tf")))
     exc_arr = _excl_value(exclude)
     if exc_arr is not None:
-        excl_df = F.broadcast(spark.createDataFrame(
-            [(int(o),) for o in exc_arr], "ordinal long"))
-        path_rows = path_rows.join(excl_df, "ordinal", "left_anti")
+        path_rows = path_rows.join(_excl_frame(spark, exc_arr),
+                                   "ordinal", "left_anti")
     path_c = (path_rows.join(pl, "ordinal").join(pidf, "term_idx")
               .select("ordinal", F.lit(1).alias("field"), "term_idx",
                       _bm25_contrib_col(avg_pl).alias("contrib")))
@@ -542,6 +543,7 @@ def search_big_fielded_federated(spark: SparkSession,
                                  idx_dfs: list | None = None,
                                  docs_dfs: list | None = None,
                                  path_dfs: list | None = None,
+                                 path_lens_dfs: list | None = None,
                                  excludes: list | None = None,
                                  filters: dict[str, str] | None = None,
                                  not_terms: list[str] | None = None
@@ -592,6 +594,7 @@ def search_big_fielded_federated(spark: SparkSession,
                 prune=prune, index_df=idx_dfs[i],
                 docs_df=docs_dfs[i] if docs_dfs else None,
                 path_df=path_dfs[i],
+                path_lens_df=path_lens_dfs[i] if path_lens_dfs else None,
                 global_stats=(n_total, avgdl), df_global=df_map,
                 avg_pl_global=avg_pl, pdf_global=pdf_map,
                 pmeta_local=pmetas[i],

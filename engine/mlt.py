@@ -183,7 +183,6 @@ def mlt_terms_federated(spark: SparkSession, index_dirs: list[str],
     every compaction, so requiring a manual staging step per segment
     would make the endpoint unusable; the ensure is one postings-decode
     job per fresh segment, manifest-cached after that."""
-    from .index_build import load_stats_totals
     if idx_dfs is None:
         idx_dfs = [spark.read.parquet(os.path.join(d, "index"))
                    for d in index_dirs]
@@ -202,13 +201,12 @@ def mlt_terms_federated(spark: SparkSession, index_dirs: list[str],
             break
     if vec is None:
         raise ValueError(f"unknown doc_id {doc_id}")
-    n_total = sum(n for n, _ in (load_stats_totals(d) for d in index_dirs))
     tfs = {r["term"]: int(r["tf"]) for r in vec}
-    dfs: dict[str, int] = {}
-    for idx in idx_dfs:
-        for r in (idx.where(F.col("term").isin(list(tfs)))
-                  .select("term", "df").collect()):
-            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+    # federation-global stats from the ONE summing contract every other
+    # federated scorer uses (query._federation_weights) — avgdl unused
+    from .query import _federation_weights
+    n_total, _avgdl, dfs, idx_dfs = _federation_weights(
+        spark, index_dirs, list(tfs), idx_dfs)
 
     def weight(t: str) -> float:
         df = dfs.get(t, 0)

@@ -722,6 +722,16 @@ def _collect_ordinals(index_df, terms: list[str]) -> np.ndarray:
     return np.unique(tbl.column("ordinal").to_numpy(zero_copy_only=False))
 
 
+def _excl_frame(spark, exc: np.ndarray):
+    """A (driver-held) exclusion ordinal array as a broadcast one-column
+    DataFrame, shipped as ONE Arrow batch — building it from a Python
+    list of tuples would materialize len(exc) tuples on the driver per
+    query (the array is bounded only by the ship gate, ~4M)."""
+    import pandas as pd
+    return F.broadcast(spark.createDataFrame(
+        pd.DataFrame({"ordinal": np.asarray(exc, dtype=np.int64)})))
+
+
 def _ordinals_frame(index_df, terms: list[str]):
     """DISTINCT ordinals of the given terms' postings as a DataFrame — the
     stay-distributed twin of _collect_ordinals, for exclusion sets past
@@ -835,6 +845,54 @@ def _make_explode_blobs(noness: frozenset, skip_target: dict,
             if outs:
                 yield pd.concat(outs, ignore_index=True)
     return explode_blobs
+
+
+def _maxscore_state(spark, index_df, theta: float, rounded: bool,
+                    ubmax: dict[str, float], dfs: dict[str, int],
+                    *, extra_help: float = 0.0, extra_df: int = 0,
+                    extra_cands=None):
+    """MaxScore pruning state shared by the big regimes (search_big_terms
+    and fields.search_big_fielded — ONE construction, like the decode
+    kernel, so a safety fix reaches both): the rounded-mode θ margin
+    (round(θ,6) - 6e-7 keeps pruning conservative across the rounding
+    the two engines agree on), per-term block skip targets (θ minus the
+    max help all OTHER terms — plus, on the fielded path, the other
+    FIELD's total upper bound (extra_help) — can contribute), the
+    ascending-upper-bound non-essential set, and the ship-gated
+    broadcast candidate array (essential-term postings ∪ extra_cands(),
+    e.g. the fielded path's path-posting ordinals; extra_df joins the
+    gate sum). Returns (skip_target, noness, cand_bc); cand_bc is None
+    (no candidate gating) when the gate fails or nothing is
+    non-essential."""
+    if rounded:
+        theta = float(np.round(theta, 6)) - 6e-7
+    skip_target: dict[str, float] = {}
+    total_ub = sum(ubmax.values())
+    for t, ub in ubmax.items():
+        target = theta - (total_ub - ub) - extra_help
+        if target > 0.0:    # else every block passes trivially
+            skip_target[t] = target
+    n_set: list[str] = []
+    acc = 0.0
+    for t in sorted(ubmax, key=lambda t: (ubmax[t], t)):
+        if acc + ubmax[t] >= theta:
+            break
+        acc += ubmax[t]
+        n_set.append(t)
+    essential = [t for t in ubmax if t not in n_set]
+    if not n_set or sum(dfs[t] for t in essential) + extra_df \
+            > CANDIDATE_SHIP_LIMIT:
+        return skip_target, frozenset(), None
+    ess = _collect_ordinals(index_df, essential)
+    if extra_cands is not None:
+        extra = extra_cands()
+        if extra is not None:
+            ess = np.union1d(ess, extra)
+    # ship as a Spark broadcast — ONE copy per executor, not a
+    # re-serialized task-closure copy (32 MB at the gate limit; same
+    # pattern as the remap doc_id array in runs_to_index)
+    return (skip_target, frozenset(n_set),
+            spark.sparkContext.broadcast(ess))
 
 
 def _big_theta(index_df, dl, rare_term: str, rare_idf: float, k: int,
@@ -1014,31 +1072,10 @@ def search_big_terms(spark: SparkSession, index_dir: str, terms: list[str],
                            term_meta[rare["term"]][1], k, avgdl,
                            exclude=exclude)
         if theta is not None:
-            if rounded:
-                theta = float(np.round(theta, 6)) - 6e-7
             ubmax = {r["term"]: term_meta[r["term"]][1]
                      * _tfw_zero_dl(float(r["max_tf"])) for r in meta}
-            total_ub = sum(ubmax.values())
-            for t, ub in ubmax.items():
-                target = theta - (total_ub - ub)
-                if target > 0.0:    # else every block passes trivially
-                    skip_target[t] = target
-            n_set = []
-            acc = 0.0
-            for t in sorted(ubmax, key=lambda t: (ubmax[t], t)):
-                if acc + ubmax[t] >= theta:
-                    break
-                acc += ubmax[t]
-                n_set.append(t)
-            essential = [t for t in ubmax if t not in n_set]
-            if n_set and sum(dfs[t] for t in essential) \
-                    <= CANDIDATE_SHIP_LIMIT:
-                # ship as a Spark broadcast — ONE copy per executor, not a
-                # re-serialized task-closure copy (32 MB at the gate limit;
-                # same pattern as the remap doc_id array in runs_to_index)
-                cand_sorted = spark.sparkContext.broadcast(
-                    _collect_ordinals(index_df, essential))
-                noness = frozenset(n_set)
+            skip_target, noness, cand_sorted = _maxscore_state(
+                spark, index_df, theta, rounded, ubmax, dfs)
 
     idf_of = {t: v[1] for t, v in term_meta.items()}
     explode_blobs = _make_explode_blobs(
@@ -1223,7 +1260,10 @@ def explain_big(spark: SparkSession, index_dir: str, query: str,
     got = {r["term"]: (int(r["df"]), int(r["tf"])) for r in
            (index_df.where(F.col("term").isin(terms))
             .select("term", "df", "postings")
-            .mapInPandas(probe, schema="term string, df int, tf int")
+            .mapInPandas(probe,  # df is LongType in the index — at the
+                         # 10^12-doc scale this path serves, a stopword
+                         # df overflows int32
+                         schema="term string, df long, tf int")
             .collect())} if terms else {}
 
     def _idf(df: int) -> float:

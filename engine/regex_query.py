@@ -364,6 +364,8 @@ def _start_ctx(node, icase: bool = False):
         return BREAK
     if op is sre_c.LITERAL:
         c = chr(av).lower() if icase else chr(av)
+        if len(c) != 1:
+            return None  # multi-char lowering (İ -> 'i̇'): unknown form
         return _mk_ctx([c], icase)
     if op is sre_c.IN:
         chars = _in_chars(av)
@@ -452,7 +454,16 @@ def _analyze(seq, icase: bool, left0=None, right0=None
                 in_chars = [c.lower() for c in in_chars]
                 if any(len(c) != 1 for c in in_chars):
                     in_chars = None  # multi-char lowering: opaque
-        if op is sre_c.LITERAL:
+        if op is sre_c.LITERAL and len(
+                chr(av).lower() if icase else chr(av)) != 1:
+            # multi-char lowering (İ -> 'i' + U+0307): under re.I the
+            # literal ALSO matches the bare base char (re's own mapping
+            # is 1-char), so splicing the lowered string into the run
+            # would both fabricate terms and fake a boundary at the
+            # combining mark — opaque: breaks the run, proves nothing
+            flush(None)
+            prev_ctx = None
+        elif op is sre_c.LITERAL:
             ch = chr(av).lower() if icase else chr(av)
             if not seg:
                 run_left = prev_ctx
@@ -758,9 +769,9 @@ def regex_search_federated(spark: SparkSession, index_dirs: list[str],
                         ["n_docs"])
         exc = _excl_value(excludes[i]) if excludes else None
         if exc is not None:
-            excl_df = F.broadcast(spark.createDataFrame(
-                [(int(o),) for o in exc], "ordinal long"))
-            base = base.join(excl_df, "ordinal", "left_anti")
+            from .query import _excl_frame
+            base = base.join(_excl_frame(spark, exc),
+                             "ordinal", "left_anti")
         total_bound += bound
         id_frames.append(base.select(id_col))
     cand_ids = reduce(lambda a, b: a.unionByName(b), id_frames)

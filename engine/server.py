@@ -153,6 +153,7 @@ class SearchService:
             spark.read.parquet(os.path.join(index_dir, "aliases"))
             if _stage_complete(index_dir, "aliases") else None)
         self._path_df = None  # lazy warm path_index frame (big bm25f)
+        self._plens_df = None  # lazy warm path_lens frame (big bm25f)
         if big:
             self.engine = None
             self._display = None
@@ -206,6 +207,9 @@ class SearchService:
         if self._path_df is not None:
             self._path_df.unpersist()
             self._path_df = None
+        if self._plens_df is not None:
+            self._plens_df.unpersist()
+            self._plens_df = None
         if self.big:
             self._docs_df.unpersist()
 
@@ -500,16 +504,21 @@ class SearchService:
             # the zero-driver-array search_big_fielded (path_index frame
             # persisted warm like index/docs), driver the FieldedEngine.
             if self.big:
-                from .fields import ensure_path_index, search_big_fielded
+                from .fields import (ensure_path_index, path_lens_parquet,
+                                     search_big_fielded)
                 if self._path_df is None:
                     from pyspark import StorageLevel
                     self._path_df = (self.spark.read.parquet(
                         ensure_path_index(self.spark, self.index_dir))
                         .persist(StorageLevel.MEMORY_AND_DISK))
+                    self._plens_df = (self.spark.read.parquet(
+                        path_lens_parquet(self.index_dir))
+                        .persist(StorageLevel.MEMORY_AND_DISK))
                 rows = search_big_fielded(self.spark, self.index_dir, q,
                                           k=k, index_df=self._index_df,
                                           docs_df=self._docs_df,
                                           path_df=self._path_df,
+                                          path_lens_df=self._plens_df,
                                           filters=filters,
                                           not_terms=not_terms)
             else:
@@ -701,20 +710,24 @@ class FederatedSearchService:
         # the source table is federation-wide (it backs /regex too)
         return _contents_from_source(self._source_df, ids)
 
-    def _path_frames(self) -> list:
-        """Per-member warm path_index frames (lazy ensure + persist on
-        first bm25f query, released by the members' close())."""
+    def _path_frames(self) -> tuple[list, list]:
+        """Per-member warm (path_index, path_lens) frames (lazy ensure +
+        persist on first bm25f query, released by the members' close())."""
         from pyspark import StorageLevel
 
-        from .fields import ensure_path_index
-        out = []
+        from .fields import ensure_path_index, path_lens_parquet
+        pidx, plens = [], []
         for s in self.services:
             if s._path_df is None:
                 s._path_df = (self.spark.read.parquet(
                     ensure_path_index(self.spark, s.index_dir))
                     .persist(StorageLevel.MEMORY_AND_DISK))
-            out.append(s._path_df)
-        return out
+                s._plens_df = (self.spark.read.parquet(
+                    path_lens_parquet(s.index_dir))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+            pidx.append(s._path_df)
+            plens.append(s._plens_df)
+        return pidx, plens
 
     def resolve_many(self, doc_ids) -> dict[int, tuple[str, str, str]]:
         ids = [int(d) for d in doc_ids]
@@ -922,10 +935,11 @@ class FederatedSearchService:
             # precedence as the single-index service (phrase/near win,
             # bm25f beats the trailing-* / ~ shorthands).
             from .fields import search_big_fielded_federated
+            path_dfs, plens_dfs = self._path_frames()
             rows = search_big_fielded_federated(
                 self.spark, self.index_dirs, q, k=k,
                 idx_dfs=idx_dfs, docs_dfs=docs_dfs,
-                path_dfs=self._path_frames(),
+                path_dfs=path_dfs, path_lens_dfs=plens_dfs,
                 excludes=self._excl_bcs, filters=filters,
                 not_terms=not_terms)
         elif is_fuzzy:

@@ -403,6 +403,8 @@ ICASE_PATTERNS = [
     r"\bValue\b(?i: error\b)",   # mixed-case / scoped-icase sequence
     r"(?i)\bident\b",            # İ/ı equivalence territory
     r"(?i)\bstatic\b",           # ſ equivalence territory
+    r"(?i)\bİtem\b",             # multi-char lower() İ IN THE PATTERN
+    r"(?i)error İtem\b",         # İ adjacent to a provable segment
 ]
 
 #: texts with hostile case mappings: camel-splitting case flips, the
@@ -412,7 +414,23 @@ _ICASE_TEXTS = _WORDS + [
     "STATIC", "StAtIc", "NEEDLEZZ", "nEeDlEzZ", "FOO_bar", "foo_BAR",
     "BARBAZ_QUX", "barBaz_Qux", "42", "123X", "x42x", "a123Xb",
     "error", "fatal", "FATAL", "Value ERROR", "Kelvin",
+    "item", "İtem", "i̇tem", "error item", "ERROR İTEM",
 ]
+
+
+def test_icase_multichar_lower_pattern_literal_is_opaque():
+    """r5 review: 'İ'.lower() is 2 chars ('i' + combining dot) and under
+    re.I the literal İ ALSO matches bare 'i' — so a pattern-İ must not
+    fabricate an 'i' term requirement or a fake boundary at the combining
+    mark. The İ node is opaque; neighboring proven segments keep their
+    clauses; a document matching via plain 'item' must satisfy every
+    clause."""
+    assert required_clauses(r"(?i)\bİtem") == []
+    cls = required_clauses(r"(?i)\berror İtem\b")
+    toks = {"error", "item"}  # tokenize(' error item ')
+    assert cls, "the provable 'error' segment must still emit clauses"
+    for clause in cls:
+        assert any(set(alt) <= toks for alt in clause), clause
 
 
 @settings(max_examples=300, deadline=None)
