@@ -1898,7 +1898,11 @@ def consolidated_oracles():
                                 deterministic shard (export capstone);
       bm25_filtered_topk      — the engine's metadata-filter + NOT-term
                                 query surface (lang:en ... -scan) vs a
-                                full-stats-then-restrict SQL oracle.
+                                full-stats-then-restrict SQL oracle;
+      suggest/facets/fuzzy/mlt/bulk/did_you_mean/training_pairs (r4) and
+      regex_search/regex_icase_search/bm25f_topk/bm25f_big_topk plus the
+      IVF recall dials ann_ivf_nprobe4_topk/ann_ivf_spill_topk (r5) —
+      each a distinct serving surface with its own generated mirror.
     """
     from .similarity import ivf_assign_sql, lsh_signature_sql
     sig = lsh_signature_sql()
