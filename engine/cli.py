@@ -198,6 +198,28 @@ def main(argv=None):
                          "pushdown key lookups instead of a dictionary "
                          "scan")
 
+    pa = sub.add_parser(
+        "ann", help="approximate nearest neighbors over an embeddings "
+                    "table (array<float> column), cosine top-k")
+    pa.add_argument("--embeddings", required=True,
+                    help="sf dir holding embeddings.parquet "
+                         "(vec_id, embedding)")
+    pa.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_ids to search for")
+    pa.add_argument("--k", type=int, default=5)
+    pa.add_argument("--method", choices=["exact", "lsh", "ivf"],
+                    default="ivf",
+                    help="exact = brute-force O(Q x N) baseline; lsh = "
+                         "hyperplane bucket equi-join; ivf = trained "
+                         "cells + probe")
+    pa.add_argument("--nprobe", type=int, default=None,
+                    help="ivf: probed cells per query (recall dial)")
+    pa.add_argument("--assign", type=int, default=None,
+                    help="ivf: cells per indexed vector (cell spilling "
+                         "— index-size-for-recall dial)")
+    pa.add_argument("--ivf-k", type=int, default=None,
+                    help="ivf: number of trained cells")
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -363,6 +385,28 @@ def main(argv=None):
                out.orderBy("doc_id").limit(args.limit).collect()]
         print(json.dumps({"pattern": args.pattern, "n_shown": len(ids),
                           "doc_ids": ids}))
+    elif args.cmd == "ann":
+        from engine import similarity as sim
+        qids = [int(x) for x in args.query_ids.split(",") if x != ""]
+        if args.method == "exact":
+            out = sim.ann_exact_topk(spark, args.embeddings, qids, args.k)
+        elif args.method == "lsh":
+            out = sim.ann_lsh_topk(spark, args.embeddings, qids, args.k)
+        else:
+            kw = {}
+            if args.nprobe is not None:
+                kw["nprobe"] = args.nprobe
+            if args.assign is not None:
+                kw["assign"] = args.assign
+            if args.ivf_k is not None:
+                kw["ivf_k"] = args.ivf_k
+            out = sim.ann_ivf_topk(spark, args.embeddings, qids, args.k,
+                                   **kw)
+        rows = out.orderBy("qid", "rank").collect()
+        print(json.dumps({"method": args.method, "k": args.k, "results": [
+            {"qid": int(r["qid"]), "rank": int(r["rank"]),
+             "vec_id": int(r["vec_id"]), "sim": float(r["sim"])}
+            for r in rows]}))
     elif args.cmd == "verify":
         from engine.verify_index import main_verify
         sys.exit(main_verify(spark, args.index, deep=args.deep,

@@ -380,3 +380,21 @@ def test_ivf_spill_recall_dominates_classic(spark):
     assert sim.ivf_recall_at_k(spark, SF, qids, 5, 4, assign=2) >= 0.7
     assert sim.ivf_recall_at_k(spark, SF, qids, 5, sim.IVF_K,
                                assign=2) == 1.0
+
+
+def test_cli_ann_smoke(spark, capsys):
+    """The `ann` CLI surface (r5): ivf with both recall dials, and exact;
+    at nprobe == IVF_K (every cell probed) the ivf answer equals the
+    brute-force baseline row for row (same rounding + tie-break)."""
+    import json as _json
+
+    from engine import cli
+    cli.main(["ann", "--embeddings", SF, "--query-ids", "0,1", "--k", "3",
+              "--method", "ivf", "--nprobe", str(sim.IVF_K),
+              "--assign", "2"])
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["method"] == "ivf" and len(got["results"]) == 6
+    cli.main(["ann", "--embeddings", SF, "--query-ids", "0,1", "--k", "3",
+              "--method", "exact"])
+    exact = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["results"] == exact["results"]
